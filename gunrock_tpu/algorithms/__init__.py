@@ -1,0 +1,11 @@
+"""The 14 graph primitives (role of reference include/gunrock/algorithms/).
+
+Each module exposes the reference's per-algorithm API shape
+(algorithms/bfs.hxx:162-215): a ``Param``/``Result`` pair and a
+``run(graph, ...) -> Result`` entry point returning elapsed milliseconds,
+plus pure jit/vmap-friendly kernels for composition.
+"""
+
+from gunrock_tpu.algorithms import bfs  # noqa: F401
+from gunrock_tpu.algorithms import sssp  # noqa: F401
+from gunrock_tpu.algorithms import pr  # noqa: F401

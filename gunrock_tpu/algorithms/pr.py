@@ -1,0 +1,147 @@
+"""PageRank (weighted power iteration with dangling-mass correction).
+
+Role of reference include/gunrock/algorithms/pr.hxx — frontier-less dense
+iteration (SURVEY.md section 3.3):
+
+- ``iweights[v] = alpha / sum_out_weights(v)`` (0 for dangling vertices),
+  precomputed in reset (pr.hxx:78-92),
+- per iteration: ``plast = p``; ``dsum = sum over dangling v of
+  alpha * plast[v]`` (pr.hxx:125-132); ``p = (1 - alpha + dsum) / n``
+  everywhere (pr.hxx:134); then scatter ``plast[src]*iweights[src]*w``
+  into ``p[dst]`` over every edge (pr.hxx:140-152),
+- converge when ``max|p - plast| < tol``, checked from iteration 1
+  (pr.hxx:172-195).
+
+TPU redesign: the atomicAdd edge scatter becomes one sorted segment-sum
+over the CSC ordering (deterministic SpMV); the whole power iteration is a
+``lax.while_loop`` with the L-inf error computed on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gunrock_tpu.framework.enactor import Enactor
+from gunrock_tpu.framework.problem import Problem
+from gunrock_tpu.graph import Graph
+from gunrock_tpu.ops.configs import Options
+
+
+@dataclasses.dataclass
+class Param:
+    alpha: float = 0.85
+    tol: float = 1e-6
+
+
+@dataclasses.dataclass
+class Result:
+    p: jax.Array  # float32[V]
+    iterations: int
+    elapsed_ms: float
+
+
+def compute_iweights(graph: Graph, alpha: float):
+    """``alpha / out_weight_sum`` per vertex, 0 if dangling (pr.hxx:78-92)."""
+    out_wsum = jax.ops.segment_sum(
+        graph.values,
+        graph.edge_src,
+        num_segments=graph.n_vertices,
+        indices_are_sorted=True,
+    )
+    return jnp.where(out_wsum != 0.0, alpha / out_wsum, 0.0)
+
+
+def pr_step(graph: Graph, p, iweights, alpha: float):
+    """One power iteration (pure). Returns (p_next, linf_err)."""
+    plast = p
+    dsum = jnp.sum(jnp.where(iweights == 0.0, alpha * plast, 0.0))
+    base = (1.0 - alpha + dsum) / graph.n_vertices
+    src = graph.csc_rows
+    contrib = plast[src] * iweights[src] * graph.csc_values
+    p = base + jax.ops.segment_sum(
+        contrib,
+        graph.csc_dst,
+        num_segments=graph.n_vertices,
+        indices_are_sorted=True,
+    )
+    err = jnp.max(jnp.abs(p - plast))
+    return p, err
+
+
+def pr_kernel(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 10_000,
+):
+    """Pure PageRank to convergence. Returns (p, iterations)."""
+    V = graph.n_vertices
+    iweights = compute_iweights(graph, alpha)
+    p0 = jnp.full(V, 1.0 / V, dtype=jnp.float32)
+
+    def cond(carry):
+        it, p, err = carry
+        return (err >= tol) & (it < max_iterations)
+
+    def body(carry):
+        it, p, _ = carry
+        p, err = pr_step(graph, p, iweights, alpha)
+        return it + 1, p, err
+
+    it, p, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), p0, jnp.float32(jnp.inf))
+    )
+    return p, it
+
+
+class PrProblem(Problem):
+    def __init__(self, graph: Graph, param: Param):
+        super().__init__(graph)
+        self.param = param
+
+    def reset(self):
+        V = self.graph.n_vertices
+        return {
+            "p": jnp.full(V, 1.0 / V, dtype=jnp.float32),
+            "iweights": compute_iweights(self.graph, self.param.alpha),
+            "err": jnp.float32(jnp.inf),
+        }
+
+
+class PrEnactor(Enactor):
+    def __init__(self, problem, max_iterations: int = 10_000):
+        super().__init__(problem, max_iterations=max_iterations)
+
+    def prepare_frontier(self):
+        return self.problem.reset()
+
+    def loop(self, state):
+        p, err = pr_step(
+            self.problem.graph, state["p"], state["iweights"], self.problem.param.alpha
+        )
+        return {**state, "p": p, "err": err}
+
+    def is_converged(self, state):
+        # Reference checks from iteration >= 1 (pr.hxx:172-176); err starts
+        # at +inf so the first check is naturally false.
+        return state["err"] < self.problem.param.tol
+
+
+def run(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    options: Options | None = None,
+    warmup: bool = True,
+) -> Result:
+    """Role of reference ``pr::run`` (pr.hxx:211-230)."""
+    max_it = 10_000
+    if options is not None and options.max_iterations:
+        max_it = options.max_iterations
+    problem = PrProblem(graph, Param(alpha=alpha, tol=tol))
+    enactor = PrEnactor(problem, max_iterations=max_it)
+    state, elapsed_ms = enactor.enact(warmup=warmup)
+    return Result(p=state["p"], iterations=int(state["iteration"]), elapsed_ms=elapsed_ms)

@@ -1,0 +1,151 @@
+"""Single-source shortest paths (frontier Bellman-Ford).
+
+Role of reference include/gunrock/algorithms/sssp.hxx: advance with
+``atomic::min(dist[n], dist[src] + w)`` (sssp.hxx:116-130), a bypass filter
+deduping by visited-iteration (sssp.hxx:132-151), and optional uniquify.
+
+TPU redesign: each iteration is one masked segmented-min over the CSC
+ordering — the relaxation of *all* out-edges of frontier vertices at once.
+The new frontier is exactly the set of improved vertices, so the
+reference's heuristic per-iteration dedup (visited-bitmap + best-effort
+uniquify) is subsumed: the dense mask is exact. Final distances match the
+reference (both are label-correcting Bellman-Ford fixpoints);
+per-iteration frontiers may differ where the reference is
+nondeterministic (SURVEY.md section 7 "hard parts").
+
+Predecessors (declared but unimplemented in the reference,
+sssp.hxx result_t) are recovered in finalize with one extra pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gunrock_tpu.framework.enactor import Enactor
+from gunrock_tpu.framework.problem import Problem
+from gunrock_tpu.graph import Graph
+from gunrock_tpu.ops.configs import Options
+
+INF = jnp.inf
+
+
+@dataclasses.dataclass
+class Param:
+    single_source: int
+
+
+@dataclasses.dataclass
+class Result:
+    distances: jax.Array  # float32[V]; +inf if unreachable
+    predecessors: jax.Array  # int32[V]; -1 if unreachable / source
+    search_depth: int
+    elapsed_ms: float
+
+
+def sssp_step(graph: Graph, frontier, distances):
+    """One relaxation wave: relax all out-edges of frontier vertices."""
+    src = graph.csc_rows
+    active = frontier[src]
+    cand = jnp.where(active, distances[src] + graph.csc_values, INF)
+    relaxed = jax.ops.segment_min(
+        cand,
+        graph.csc_dst,
+        num_segments=graph.n_vertices,
+        indices_are_sorted=True,
+    )
+    improved = relaxed < distances
+    distances = jnp.where(improved, relaxed, distances)
+    return improved, distances
+
+
+def sssp_kernel(graph: Graph, single_source, max_iterations: int | None = None):
+    """Pure SSSP distances (vmap-friendly)."""
+    V = graph.n_vertices
+    max_it = V if max_iterations is None else max_iterations
+    dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
+    front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
+
+    def cond(carry):
+        it, front, dist = carry
+        return jnp.any(front) & (it < max_it)
+
+    def body(carry):
+        it, front, dist = carry
+        front, dist = sssp_step(graph, front, dist)
+        return it + 1, front, dist
+
+    it, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
+    return dist, it
+
+
+def recover_predecessors(graph: Graph, distances):
+    """One pass over edges: pred[v] = min src with dist[src]+w == dist[v]."""
+    src = graph.csc_rows
+    tight = jnp.isclose(distances[src] + graph.csc_values, distances[graph.csc_dst]) & (
+        distances[src] < INF
+    )
+    pred = jax.ops.segment_min(
+        jnp.where(tight, src, jnp.iinfo(jnp.int32).max),
+        graph.csc_dst,
+        num_segments=graph.n_vertices,
+        indices_are_sorted=True,
+    )
+    return jnp.where(
+        (pred == jnp.iinfo(jnp.int32).max) | jnp.isinf(distances), -1, pred
+    ).astype(jnp.int32)
+
+
+class SsspProblem(Problem):
+    def __init__(self, graph: Graph, param: Param):
+        super().__init__(graph)
+        self.param = param
+
+    def reset(self):
+        V = self.graph.n_vertices
+        src = self.param.single_source
+        return {
+            "distances": jnp.full(V, INF, dtype=jnp.float32).at[src].set(0.0),
+            "frontier": jnp.zeros(V, dtype=bool).at[src].set(True),
+        }
+
+
+class SsspEnactor(Enactor):
+    def prepare_frontier(self):
+        return self.problem.reset()
+
+    def loop(self, state):
+        front, dist = sssp_step(self.problem.graph, state["frontier"], state["distances"])
+        return {**state, "frontier": front, "distances": dist}
+
+    def finalize(self, state):
+        state = dict(state)
+        state["predecessors"] = recover_predecessors(
+            self.problem.graph, state["distances"]
+        )
+        return state
+
+
+def run(
+    graph: Graph,
+    single_source: int,
+    options: Options | None = None,
+    warmup: bool = True,
+) -> Result:
+    """Role of reference ``sssp::run`` (sssp.hxx:177-198)."""
+    del options
+    if not 0 <= int(single_source) < graph.n_vertices:
+        raise ValueError(
+            f"source {single_source} out of range [0, {graph.n_vertices})"
+        )
+    problem = SsspProblem(graph, Param(single_source))
+    enactor = SsspEnactor(problem)
+    state, elapsed_ms = enactor.enact(warmup=warmup)
+    return Result(
+        distances=state["distances"],
+        predecessors=state["predecessors"],
+        search_depth=int(state["iteration"]),
+        elapsed_ms=elapsed_ms,
+    )

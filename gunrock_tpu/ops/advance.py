@@ -1,0 +1,169 @@
+"""Advance: frontier expansion as gather + sorted segmented reduction.
+
+The TPU-native redesign of the reference's load-balanced advance kernels
+(reference include/gunrock/framework/operators/advance/advance.hxx:102-275,
+block_mapped.hxx, merge_path_v2.hxx). The reference expands an input
+frontier to all neighbors, applying a user lambda
+``op(src, neighbor, edge, weight) -> bool`` under per-edge atomics.
+
+Here the same computation is a pure dataflow program:
+
+1. **gather** — read frontier activity and per-edge operands for *every*
+   edge in one vectorized pass over the edge arrays (the irregular
+   degree distribution is flattened away: work is O(E) and perfectly
+   load-balanced by construction — the property the reference's
+   merge-path kernels fight for, merge_path.hxx:9-37),
+2. **map** — apply the user's pure ``edge_op(src, dst, edge, weight)``,
+3. **segmented reduce** — combine per-edge values into per-vertex results
+   keyed by destination (forward) or source (backward) with
+   ``jax.ops.segment_{min,max,sum}`` over *sorted* segment ids. Sorted
+   segments are guaranteed because forward reduction runs over the CSC
+   ordering and backward over the CSR ordering.
+
+Associative reductions replace the reference's ``atomic::min/add``
+(util/math.hxx:75-136) — results are deterministic by construction.
+
+Inside a `lax.while_loop`, this makes every BSP iteration a fixed-shape
+XLA program: no host round trip per iteration (contrast the reference call
+stack, SURVEY.md section 3.1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gunrock_tpu.graph import Graph
+from gunrock_tpu.ops.configs import AdvanceDirection, LoadBalance
+from gunrock_tpu.utils.limits import reduce_identity
+
+_SEGMENT_REDUCERS = {
+    "min": jax.ops.segment_min,
+    "max": jax.ops.segment_max,
+    "sum": jax.ops.segment_sum,
+}
+
+
+def edge_map_reduce(
+    graph: Graph,
+    edge_values: jax.Array,
+    active: jax.Array | None,
+    reduce: str = "sum",
+    by: str = "dst",
+    edge_order: str = "csr",
+) -> jax.Array:
+    """Low-level segmented combine of per-edge values into per-vertex values.
+
+    ``edge_values``/``active`` are in CSR edge order if ``edge_order='csr'``
+    or CSC slot order if ``'csc'``. ``by`` selects the reduction key.
+    Inactive edges contribute the reduction identity.
+    """
+    reducer = _SEGMENT_REDUCERS[reduce]
+    if by == "dst" and edge_order == "csr":
+        # permute into CSC order so segment ids are sorted
+        edge_values = edge_values[graph.csc_edge_perm]
+        if active is not None:
+            active = active[graph.csc_edge_perm]
+        seg = graph.csc_dst
+    elif by == "dst" and edge_order == "csc":
+        seg = graph.csc_dst
+    elif by == "src" and edge_order == "csr":
+        seg = graph.edge_src
+    else:
+        raise ValueError(f"unsupported combination by={by} edge_order={edge_order}")
+
+    if active is not None:
+        ident = reduce_identity(edge_values.dtype, reduce)
+        edge_values = jnp.where(active, edge_values, ident)
+    return reducer(
+        edge_values,
+        seg,
+        num_segments=graph.n_vertices,
+        indices_are_sorted=True,
+    )
+
+
+def advance(
+    graph: Graph,
+    frontier: jax.Array,
+    edge_op: Callable,
+    reduce: str = "min",
+    direction: AdvanceDirection = AdvanceDirection.FORWARD,
+    load_balance: LoadBalance = LoadBalance.XLA_SEGMENT,
+    edge_frontier: bool = False,
+):
+    """Expand a frontier along edges and reduce per vertex.
+
+    Args:
+      graph: the CSR+CSC graph.
+      frontier: dense ``bool[V]`` vertex mask (or ``bool[E]`` CSR-edge mask
+        when ``edge_frontier=True``).
+      edge_op: pure vectorized ``edge_op(src, dst, edge_id, weight) ->
+        value`` evaluated for every edge (arrays of shape [E]).
+      reduce: 'min' | 'max' | 'sum'.
+      direction: FORWARD reduces by destination over out-edges of frontier
+        vertices; BACKWARD reduces by source over out-edges whose
+        *destination* is in the frontier (pull).
+      load_balance: strategy; XLA_SEGMENT is the vectorized default.
+        PALLAS_MERGE_PATH lowers the reduction to the Pallas kernel when
+        available (falls back to XLA_SEGMENT otherwise).
+
+    Returns:
+      ``(reduced int/float[V], touched bool[V])`` — per-vertex reduced
+      values and the mask of vertices receiving at least one active edge
+      (the raw output frontier before any user filtering, matching the
+      reference semantics where ``op(...)==false`` writes the invalid
+      sentinel, advance/advance.hxx:17-38).
+    """
+    del load_balance  # Pallas path plugs in here (ops/pallas); XLA default.
+
+    if direction == AdvanceDirection.FORWARD:
+        # CSC slot order: sorted by destination.
+        src = graph.csc_rows
+        dst = graph.csc_dst
+        eid = graph.csc_edge_perm
+        w = graph.csc_values
+        seg = dst
+    elif direction == AdvanceDirection.BACKWARD:
+        # CSR edge order: sorted by source. Frontier tested at destination.
+        src = graph.edge_src
+        dst = graph.col_indices
+        eid = None  # CSR order: edge id is positional
+        w = graph.values
+        seg = src
+    else:
+        raise ValueError(f"advance does not dispatch {direction} directly")
+
+    E = graph.n_edges
+    if eid is None:
+        eid = jnp.arange(E, dtype=jnp.int32)
+
+    if edge_frontier:
+        active = frontier[eid] if direction == AdvanceDirection.FORWARD else frontier
+    else:
+        active = (
+            frontier[src]
+            if direction == AdvanceDirection.FORWARD
+            else frontier[dst]
+        )
+
+    values = edge_op(src, dst, eid, w)
+    ident = reduce_identity(values.dtype, reduce)
+    masked = jnp.where(active, values, ident)
+
+    reducer = _SEGMENT_REDUCERS[reduce]
+    reduced = reducer(
+        masked, seg, num_segments=graph.n_vertices, indices_are_sorted=True
+    )
+    touched = (
+        jax.ops.segment_max(
+            active.astype(jnp.int32),
+            seg,
+            num_segments=graph.n_vertices,
+            indices_are_sorted=True,
+        )
+        > 0
+    )
+    return reduced, touched

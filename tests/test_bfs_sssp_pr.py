@@ -1,0 +1,132 @@
+"""Algorithm correctness vs networkx/scipy oracles (the reference's
+--validate CPU-reference pattern, examples/algorithms/bfs/bfs_cpu.hxx)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+import pytest
+
+from gunrock_tpu.algorithms import bfs, pr, sssp
+from gunrock_tpu.io import sample
+
+REFERENCE_CHESAPEAKE = "/root/reference/datasets/chesapeake/chesapeake.mtx"
+
+
+def _nx_digraph(g):
+    srcs = np.asarray(g.edge_src)
+    dsts = np.asarray(g.col_indices)
+    ws = np.asarray(g.values)
+    G = nx.DiGraph()
+    G.add_nodes_from(range(g.n_vertices))
+    for s, d, w in zip(srcs, dsts, ws):
+        # networkx keeps the *last* parallel edge; keep min weight instead
+        if G.has_edge(int(s), int(d)):
+            w = min(w, G[int(s)][int(d)]["weight"])
+        G.add_edge(int(s), int(d), weight=float(w))
+    return G
+
+
+def check_bfs(g, src):
+    res = bfs.run(g, src, warmup=False)
+    G = _nx_digraph(g)
+    oracle = nx.single_source_shortest_path_length(G, src)
+    dist = np.asarray(res.distances)
+    for v in range(g.n_vertices):
+        if v in oracle:
+            assert dist[v] == oracle[v], f"vertex {v}"
+        else:
+            assert dist[v] == bfs.UNREACHED, f"vertex {v}"
+    # predecessors consistent: dist[pred[v]] + 1 == dist[v]
+    preds = np.asarray(res.predecessors)
+    for v in range(g.n_vertices):
+        if v != src and v in oracle:
+            assert preds[v] >= 0
+            assert dist[preds[v]] + 1 == dist[v]
+
+
+def check_sssp(g, src):
+    res = sssp.run(g, src, warmup=False)
+    G = _nx_digraph(g)
+    oracle = nx.single_source_dijkstra_path_length(G, src)
+    dist = np.asarray(res.distances)
+    for v in range(g.n_vertices):
+        if v in oracle:
+            np.testing.assert_allclose(dist[v], oracle[v], rtol=1e-5)
+        else:
+            assert np.isinf(dist[v])
+    preds = np.asarray(res.predecessors)
+    for v in range(g.n_vertices):
+        if v != src and v in oracle and oracle[v] > 0:
+            assert preds[v] >= 0
+
+
+def test_bfs_small():
+    check_bfs(sample.small_connected_graph(), 0)
+
+
+def test_bfs_disconnected():
+    check_bfs(sample.graph(), 1)  # vertex 0 has no out-edges; 3 unreachable
+
+
+def test_bfs_random(rng):
+    from tests.conftest import random_graph
+
+    g, _ = random_graph(rng, n=80, p=0.05)
+    check_bfs(g, 3)
+
+
+def test_bfs_kernel_vmap():
+    g = sample.small_connected_graph()
+    sources = jnp.array([0, 1, 2], dtype=jnp.int32)
+    dists, preds, depths = jax.vmap(lambda s: bfs.bfs_kernel(g, s))(sources)
+    for i, s in enumerate([0, 1, 2]):
+        single = bfs.run(g, s, warmup=False)
+        np.testing.assert_array_equal(np.asarray(dists[i]), np.asarray(single.distances))
+
+
+def test_sssp_small():
+    check_sssp(sample.small_connected_graph(), 0)
+
+
+def test_sssp_random(rng):
+    from tests.conftest import random_graph
+
+    g, _ = random_graph(rng, n=80, p=0.05)
+    check_sssp(g, 3)
+
+
+def test_pr_matches_networkx(rng):
+    from tests.conftest import random_graph
+
+    g, sp_mat = random_graph(rng, n=60, p=0.1, weighted=True)
+    res = pr.run(g, alpha=0.85, tol=1e-8, warmup=False)
+    G = _nx_digraph(g)
+    oracle = nx.pagerank(G, alpha=0.85, tol=1e-10, max_iter=500, weight="weight")
+    ours = np.asarray(res.p)
+    want = np.array([oracle[v] for v in range(g.n_vertices)])
+    np.testing.assert_allclose(ours, want, atol=2e-5)
+
+
+def test_pr_sums_to_one(rng):
+    from tests.conftest import random_graph
+
+    g, _ = random_graph(rng, n=60, p=0.08)
+    res = pr.run(g, tol=1e-8, warmup=False)
+    np.testing.assert_allclose(float(jnp.sum(res.p)), 1.0, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_CHESAPEAKE), reason="reference dataset not mounted"
+)
+def test_bfs_chesapeake():
+    """The BASELINE smoke config: BFS on chesapeake --src 0."""
+    from gunrock_tpu.io import load_graph_file
+
+    g, props = load_graph_file(REFERENCE_CHESAPEAKE)
+    assert props.symmetric
+    check_bfs(g, 0)
+    res = bfs.run(g, 0, warmup=False)
+    assert res.search_depth <= 5  # chesapeake is tiny and dense
