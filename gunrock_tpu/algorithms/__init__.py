@@ -9,3 +9,8 @@ plus pure jit/vmap-friendly kernels for composition.
 from gunrock_tpu.algorithms import bfs  # noqa: F401
 from gunrock_tpu.algorithms import sssp  # noqa: F401
 from gunrock_tpu.algorithms import pr  # noqa: F401
+from gunrock_tpu.algorithms import spmv  # noqa: F401
+from gunrock_tpu.algorithms import hits  # noqa: F401
+from gunrock_tpu.algorithms import color  # noqa: F401
+from gunrock_tpu.algorithms import kcore  # noqa: F401
+from gunrock_tpu.algorithms import tc  # noqa: F401

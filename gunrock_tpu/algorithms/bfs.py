@@ -48,37 +48,43 @@ def bfs_step(graph: Graph, frontier, distances, predecessors, iteration):
     """One level-synchronous BFS expansion (pure, jit/vmap-friendly).
 
     The advance+filter fusion: new frontier = unvisited vertices with an
-    in-neighbor in the current frontier.
+    in-neighbor in the current frontier. The per-destination "any active
+    in-edge" reduction is a cumsum difference over the CSC ordering
+    (TPU-friendly prefix sum + two offset gathers) rather than a
+    duplicate-index scatter, which XLA serializes on TPU.
     """
     active = frontier[graph.csc_rows]
-    reached = (
-        jax.ops.segment_max(
-            active.astype(jnp.int32),
+    ce = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(active.astype(jnp.int32))]
+    )
+    reached = (ce[graph.csc_offsets[1:]] - ce[graph.csc_offsets[:-1]]) > 0
+    new = reached & (distances == UNREACHED)
+    distances = jnp.where(new, iteration + 1, distances)
+    if predecessors is not None:
+        pred_cand = jax.ops.segment_min(
+            jnp.where(active, graph.csc_rows, UNREACHED),
             graph.csc_dst,
             num_segments=graph.n_vertices,
             indices_are_sorted=True,
         )
-        > 0
-    )
-    new = reached & (distances == UNREACHED)
-    distances = jnp.where(new, iteration + 1, distances)
-    pred_cand = jax.ops.segment_min(
-        jnp.where(active, graph.csc_rows, UNREACHED),
-        graph.csc_dst,
-        num_segments=graph.n_vertices,
-        indices_are_sorted=True,
-    )
-    predecessors = jnp.where(new, pred_cand, predecessors)
+        predecessors = jnp.where(new, pred_cand, predecessors)
     return new, distances, predecessors
 
 
-def bfs_kernel(graph: Graph, single_source, max_iterations: int | None = None):
+def bfs_kernel(
+    graph: Graph,
+    single_source,
+    max_iterations: int | None = None,
+    compute_predecessors: bool = True,
+):
     """Pure BFS: returns (distances, predecessors, depth). vmap over
-    sources for batch BFS (the reference's operators::batch analog)."""
+    sources for batch BFS (the reference's operators::batch analog).
+    ``compute_predecessors=False`` skips the pred segmented-min (the
+    reference computes no predecessors at all) — the fastest path."""
     V = graph.n_vertices
     max_it = V if max_iterations is None else max_iterations
     dist0 = jnp.full(V, UNREACHED, dtype=jnp.int32).at[single_source].set(0)
-    pred0 = jnp.full(V, -1, dtype=jnp.int32)
+    pred0 = jnp.full(V, -1, dtype=jnp.int32) if compute_predecessors else None
     front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
 
     def cond(carry):
@@ -90,10 +96,23 @@ def bfs_kernel(graph: Graph, single_source, max_iterations: int | None = None):
         front, dist, pred = bfs_step(graph, front, dist, pred, it)
         return it + 1, front, dist, pred
 
-    it, _, dist, pred = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), front0, dist0, pred0)
-    )
-    return dist, pred, it
+    if compute_predecessors:
+        it, _, dist, pred = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), front0, dist0, pred0)
+        )
+        return dist, pred, it
+
+    def cond2(carry):
+        it, front, dist = carry
+        return jnp.any(front) & (it < max_it)
+
+    def body2(carry):
+        it, front, dist = carry
+        front, dist, _ = bfs_step(graph, front, dist, None, it)
+        return it + 1, front, dist
+
+    it, _, dist = jax.lax.while_loop(cond2, body2, (jnp.int32(0), front0, dist0))
+    return dist, None, it
 
 
 class BfsProblem(Problem):

@@ -1,0 +1,104 @@
+"""Graph coloring via parallel independent sets (Luby/Jones-Plassmann).
+
+Role of reference include/gunrock/algorithms/color.hxx — a *filter-only*
+loop over the all-vertices frontier: per iteration, an uncolored vertex
+takes color ``2*it`` if its random number beats every relevant neighbor's
+(max), or ``2*it + 1`` if it is beaten by all (min) — two colors per
+iteration (color.hxx:102-149). Randoms are drawn once in reset
+(color.hxx:67).
+
+TPU redesign: the per-vertex neighbor scan becomes two segmented reductions
+(max/min of uncolored neighbors' randoms over the CSR edge order); the
+whole loop is a ``lax.while_loop`` over the dense uncolored mask. Randoms
+are a random *permutation* of [0, V) — unique by construction, so the
+reference's id tie-breaking (color.hxx:132-136) never fires and the
+independent-set argument is exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gunrock_tpu.graph import Graph
+from gunrock_tpu.ops.configs import Options
+
+INVALID_COLOR = jnp.int32(-1)
+
+
+@dataclasses.dataclass
+class Param:
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class Result:
+    colors: jax.Array  # int32[V]
+    iterations: int
+    elapsed_ms: float
+
+
+def color_step(graph: Graph, colors, randoms, iteration):
+    """One coloring round (pure). Two new colors: 2*it and 2*it + 1."""
+    V = graph.n_vertices
+    uncolored = colors == INVALID_COLOR
+    src, dst = graph.edge_src, graph.col_indices
+    # Relevant neighbors: uncolored, not a self loop (color.hxx:126-130).
+    relevant = uncolored[dst] & (src != dst)
+    nbr_rand = jnp.where(relevant, randoms[dst], -1)
+    nbr_max = jax.ops.segment_max(
+        nbr_rand, src, num_segments=V, indices_are_sorted=True
+    )
+    big = V + 1
+    nbr_min = jax.ops.segment_min(
+        jnp.where(relevant, randoms[dst], big),
+        src,
+        num_segments=V,
+        indices_are_sorted=True,
+    )
+    has_nbr = nbr_max >= 0
+    colormax = uncolored & (randoms > nbr_max)
+    colormin = uncolored & has_nbr & (randoms < nbr_min) & ~colormax
+    color = iteration * 2
+    colors = jnp.where(colormax, color, colors)
+    colors = jnp.where(colormin, color + 1, colors)
+    return colors
+
+
+def color_kernel(graph: Graph, seed: int = 0, max_iterations: int | None = None):
+    """Pure coloring. Returns (colors, iterations)."""
+    V = graph.n_vertices
+    max_it = V if max_iterations is None else max_iterations
+    randoms = jax.random.permutation(jax.random.PRNGKey(seed), V).astype(jnp.int32)
+    colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
+
+    def cond(carry):
+        it, colors = carry
+        return jnp.any(colors == INVALID_COLOR) & (it < max_it)
+
+    def body(carry):
+        it, colors = carry
+        return it + 1, color_step(graph, colors, randoms, it)
+
+    it, colors = jax.lax.while_loop(cond, body, (jnp.int32(0), colors0))
+    return colors, it
+
+
+def run(
+    graph: Graph,
+    seed: int = 0,
+    options: Options | None = None,
+    warmup: bool = True,
+) -> Result:
+    """Role of reference ``color::run`` (color.hxx:167-186)."""
+    del options
+    fn = jax.jit(lambda g: color_kernel(g, seed=seed))
+    if warmup:
+        jax.block_until_ready(fn(graph))
+    t0 = time.perf_counter()
+    colors, it = jax.block_until_ready(fn(graph))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    return Result(colors=colors, iterations=int(it), elapsed_ms=elapsed_ms)

@@ -1,0 +1,77 @@
+"""SpMV: y = A.x over the CSR graph.
+
+Role of reference include/gunrock/algorithms/spmv.hxx — push advance over
+the whole graph with ``atomic::add(y[src], w * x[nbr])`` and no output
+frontier (spmv.hxx:84-110); the pull variant via neighborreduce is defunct
+in the reference (spmv.hxx:113-135) but first-class here.
+
+TPU redesign: one sorted segmented sum keyed by source over the CSR edge
+order (deterministic, no atomics) — the neighbor_reduce operator. The
+Pallas row-tiled kernel (ops.pallas) is the speed-of-light path selected
+via ``Options.load_balance``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gunrock_tpu.graph import Graph
+from gunrock_tpu.ops.configs import LoadBalance, Options
+
+
+@dataclasses.dataclass
+class Param:
+    pass
+
+
+@dataclasses.dataclass
+class Result:
+    y: jax.Array  # float32[V]
+    elapsed_ms: float
+
+
+def spmv_kernel(graph: Graph, x: jax.Array) -> jax.Array:
+    """Pure y = A.x (push formulation, reference spmv.hxx:84-110)."""
+    contrib = graph.values * x[graph.col_indices]
+    return jax.ops.segment_sum(
+        contrib,
+        graph.edge_src,
+        num_segments=graph.n_vertices,
+        indices_are_sorted=True,
+    )
+
+
+def spmv_pull_kernel(graph: Graph, x: jax.Array) -> jax.Array:
+    """Pull variant: y[v] = sum over in-edges (u,v) of w * x[u] applied to
+    A^T — i.e. y = A.x computed in CSC order (the capability the
+    reference lost with neighborreduce, spmv.hxx:113-135)."""
+    contrib = graph.csc_values * x[graph.csc_rows]
+    y_t = jax.ops.segment_sum(
+        contrib,
+        graph.csc_dst,
+        num_segments=graph.n_vertices,
+        indices_are_sorted=True,
+    )
+    return y_t  # == A^T.x; for symmetric graphs equals A.x
+
+
+def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) -> Result:
+    """Role of reference ``spmv::run`` (spmv.hxx:139-170)."""
+    options = options or Options()
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+        from gunrock_tpu.ops.pallas import spmv as pallas_spmv
+
+        fn = jax.jit(lambda g, xv: pallas_spmv.spmv(g, xv))
+    else:
+        fn = jax.jit(spmv_kernel)
+    if warmup:
+        jax.block_until_ready(fn(graph, x))
+    t0 = time.perf_counter()
+    y = jax.block_until_ready(fn(graph, x))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    return Result(y=y, elapsed_ms=elapsed_ms)

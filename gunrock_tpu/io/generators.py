@@ -1,0 +1,150 @@
+"""Synthetic graph generators.
+
+The reference ships a dataset Makefile that *downloads* SuiteSparse/SNAP
+graphs (reference datasets/Makefile:5-11) and a 2-D point generator for the
+nearest-neighbor tool (reference include/gunrock/io/points.hxx). In an
+offline environment the benchmarking role of those datasets is played by
+deterministic synthetic generators with the same structural families:
+
+- ``rmat``    — Kronecker/R-MAT power-law graphs (Graph500 parameters by
+                default), the stand-in for soc-LiveJournal1 / soc-orkut
+                scale-free graphs.
+- ``uniform`` — Erdős–Rényi random graphs (uniform degree), the stand-in
+                for delaunay/road-like low-variance-degree graphs.
+- ``grid2d``  — 2-D lattice, the stand-in for road networks (long diameter,
+                degree ≤ 4).
+- ``points``  — 2-D point/star sets (reference io/points.hxx parity).
+
+All generators are numpy-only (host side), deterministic under ``seed``,
+and return host ``Csr`` ready for ``build_graph``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gunrock_tpu.formats import Coo, Csr, coo_to_csr
+from gunrock_tpu.graph import Graph, build_graph
+from gunrock_tpu.graph.properties import GraphProperties
+
+
+def _dedup_coo(rows, cols, n, remove_self_loops=True):
+    """Sort by (row, col), drop duplicate edges (and self loops)."""
+    keep = rows != cols if remove_self_loops else np.ones_like(rows, bool)
+    rows, cols = rows[keep], cols[keep]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    if rows.size:
+        uniq = np.concatenate(([True], (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])))
+        rows, cols = rows[uniq], cols[uniq]
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def rmat_coo(
+    scale: int,
+    edge_factor: int = 16,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+    weighted: bool = True,
+    undirected: bool = False,
+) -> Coo:
+    """R-MAT edge list with Graph500 defaults (a,b,c,d)=(.57,.19,.19,.05).
+
+    ``2**scale`` vertices, ``edge_factor * 2**scale`` sampled edges before
+    dedup. Vertex ids are randomly permuted to break the Kronecker locality
+    (standard Graph500 practice).
+    """
+    n = 1 << scale
+    m = edge_factor * n
+    rng = np.random.default_rng(seed)
+    rows = np.zeros(m, dtype=np.int64)
+    cols = np.zeros(m, dtype=np.int64)
+    for bit in range(scale):
+        r = rng.random(m)
+        # quadrant probabilities: a=(0,0) b=(0,1) c=(1,0) d=(1,1)
+        row_bit = r >= a + b
+        col_bit = (r >= a) & (r < a + b) | (r >= a + b + c)
+        rows |= row_bit.astype(np.int64) << bit
+        cols |= col_bit.astype(np.int64) << bit
+    perm = rng.permutation(n)
+    rows, cols = perm[rows], perm[cols]
+    if undirected:
+        rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    rows, cols = _dedup_coo(rows, cols, n)
+    values = (
+        (rng.random(rows.size).astype(np.float32) + 0.1)
+        if weighted
+        else np.ones(rows.size, dtype=np.float32)
+    )
+    return Coo(n_rows=n, n_cols=n, row_indices=rows, col_indices=cols, values=values)
+
+
+def uniform_random_coo(
+    n: int, avg_degree: int = 8, seed: int = 0, weighted: bool = True
+) -> Coo:
+    """Erdős–Rényi-style G(n, m) with m ≈ n * avg_degree."""
+    rng = np.random.default_rng(seed)
+    m = n * avg_degree
+    rows = rng.integers(0, n, m, dtype=np.int64)
+    cols = rng.integers(0, n, m, dtype=np.int64)
+    rows, cols = _dedup_coo(rows, cols, n)
+    values = (
+        (rng.random(rows.size).astype(np.float32) + 0.1)
+        if weighted
+        else np.ones(rows.size, dtype=np.float32)
+    )
+    return Coo(n_rows=n, n_cols=n, row_indices=rows, col_indices=cols, values=values)
+
+
+def grid2d_coo(side: int, weighted: bool = False, seed: int = 0) -> Coo:
+    """Undirected 2-D lattice (road-network stand-in): side*side vertices."""
+    n = side * side
+    idx = np.arange(n).reshape(side, side)
+    srcs, dsts = [], []
+    # right neighbors
+    srcs.append(idx[:, :-1].ravel()); dsts.append(idx[:, 1:].ravel())
+    # down neighbors
+    srcs.append(idx[:-1, :].ravel()); dsts.append(idx[1:, :].ravel())
+    rows = np.concatenate(srcs); cols = np.concatenate(dsts)
+    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    rows, cols = _dedup_coo(rows, cols, n)
+    rng = np.random.default_rng(seed)
+    values = (
+        (rng.random(rows.size).astype(np.float32) + 0.1)
+        if weighted
+        else np.ones(rows.size, dtype=np.float32)
+    )
+    return Coo(n_rows=n, n_cols=n, row_indices=rows, col_indices=cols, values=values)
+
+
+def rmat_graph(scale: int, edge_factor: int = 16, seed: int = 0, **kw) -> Graph:
+    coo = rmat_coo(scale, edge_factor, seed=seed, **kw)
+    props = GraphProperties(
+        directed=not kw.get("undirected", False),
+        weighted=kw.get("weighted", True),
+        symmetric=kw.get("undirected", False),
+    )
+    return build_graph(coo_to_csr(coo), props)
+
+
+def uniform_graph(n: int, avg_degree: int = 8, seed: int = 0, weighted=True) -> Graph:
+    coo = uniform_random_coo(n, avg_degree, seed=seed, weighted=weighted)
+    return build_graph(
+        coo_to_csr(coo), GraphProperties(directed=True, weighted=weighted)
+    )
+
+
+def grid2d_graph(side: int, weighted: bool = False, seed: int = 0) -> Graph:
+    coo = grid2d_coo(side, weighted=weighted, seed=seed)
+    return build_graph(
+        coo_to_csr(coo),
+        GraphProperties(directed=False, weighted=weighted, symmetric=True),
+    )
+
+
+def generate_points(n: int, seed: int = 0, box: float = 1.0) -> np.ndarray:
+    """Uniform 2-D points (reference io/points.hxx ``generate`` parity)."""
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, 2)) * box).astype(np.float32)

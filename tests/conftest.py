@@ -13,7 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session default is the real TPU (JAX_PLATFORMS=axon):
+# tests must exercise the 8-virtual-device mesh and never the tunneled chip.
+# The axon sitecustomize force-registers its backend, so the env var alone is
+# not enough — override through jax.config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

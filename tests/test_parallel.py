@@ -1,0 +1,106 @@
+"""Distributed (shard_map) algorithms vs single-chip results, on the
+8-virtual-CPU-device mesh (the multi-process-simulated testing the
+reference lacks, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.conftest import random_graph
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from gunrock_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def setup(mesh):
+    from gunrock_tpu.parallel.partition import partition_graph
+
+    g, sp_mat = random_graph(None, n=97, p=0.08, weighted=True, seed_offset=5)
+    pg = partition_graph(g, 8, mesh)
+    return g, sp_mat, pg
+
+
+def test_partition_shapes(setup, mesh):
+    g, _, pg = setup
+    assert pg.csc_rows.shape[0] % 8 == 0
+    assert int(pg.csc_valid.sum()) == g.n_edges
+    assert pg.n_vertices == g.n_vertices
+
+
+def test_distributed_bfs(setup, mesh):
+    from gunrock_tpu.algorithms import bfs
+    from gunrock_tpu.parallel import algorithms as dalg
+
+    g, _, pg = setup
+    want = bfs.run(g, 0, warmup=False).distances
+    got, depth = dalg.bfs(pg, 0, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(depth) > 0
+
+
+def test_distributed_sssp(setup, mesh):
+    from gunrock_tpu.algorithms import sssp
+    from gunrock_tpu.parallel import algorithms as dalg
+
+    g, _, pg = setup
+    want = sssp.run(g, 0, warmup=False).distances
+    got, _ = dalg.sssp(pg, 0, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_distributed_pagerank(setup, mesh):
+    from gunrock_tpu.algorithms import pr
+    from gunrock_tpu.parallel import algorithms as dalg
+
+    g, _, pg = setup
+    want = pr.run(g, warmup=False).p
+    got, it = dalg.pagerank(pg, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_distributed_spmv(setup, mesh):
+    from gunrock_tpu.parallel import algorithms as dalg
+
+    g, sp_mat, pg = setup
+    x = np.random.default_rng(0).random(g.n_vertices).astype(np.float32)
+    got = dalg.spmv(pg, jax.numpy.asarray(x), mesh)
+    want = sp_mat @ x
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
+
+
+def test_generators():
+    from gunrock_tpu.io.generators import grid2d_graph, rmat_graph, uniform_graph
+
+    g = rmat_graph(scale=8, edge_factor=4, seed=0)
+    assert g.n_vertices == 256 and g.n_edges > 256
+    # determinism
+    g2 = rmat_graph(scale=8, edge_factor=4, seed=0)
+    np.testing.assert_array_equal(np.asarray(g.col_indices), np.asarray(g2.col_indices))
+
+    u = uniform_graph(100, avg_degree=4)
+    assert u.n_vertices == 100
+
+    gr = grid2d_graph(5)
+    assert gr.n_vertices == 25
+    # interior vertex has degree 4
+    assert int(np.asarray(gr.out_degrees())[12]) == 4
+
+
+def test_graft_entry_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    mod.dryrun_multichip(8)
