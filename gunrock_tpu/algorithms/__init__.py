@@ -14,3 +14,8 @@ from gunrock_tpu.algorithms import hits  # noqa: F401
 from gunrock_tpu.algorithms import color  # noqa: F401
 from gunrock_tpu.algorithms import kcore  # noqa: F401
 from gunrock_tpu.algorithms import tc  # noqa: F401
+from gunrock_tpu.algorithms import bc  # noqa: F401
+from gunrock_tpu.algorithms import ppr  # noqa: F401
+from gunrock_tpu.algorithms import mst  # noqa: F401
+from gunrock_tpu.algorithms import geo  # noqa: F401
+from gunrock_tpu.algorithms import spgemm  # noqa: F401

@@ -1,0 +1,158 @@
+"""Betweenness centrality (Brandes) from a source, plus all-sources batch.
+
+Role of reference include/gunrock/algorithms/bc.hxx:
+
+- forward sweep: level-synchronous BFS storing per-vertex depth labels and
+  shortest-path counts sigma (atomic CAS label + atomic add sigma,
+  bc.hxx:125-154),
+- backward sweep over stored per-depth frontiers: for each edge
+  (src, dst) with label[dst] == label[src] + 1,
+  ``delta[src] += sigma[src]/sigma[dst] * (1 + delta[dst])`` and
+  ``bc[src] += 0.5 * update`` (bc.hxx:158-192); the source vertex is
+  excluded,
+- all-sources: ``operators::batch`` fan-out accumulating into one
+  bc_values array (bc.hxx:304-321).
+
+TPU redesign: the reference's 1000-buffer frontier *stack* (bc.hxx:256-259)
+is unnecessary — the depth labels array IS the stack (frontier at depth d
+== ``labels == d``). Forward is the BFS cumsum-style expansion plus one
+segmented sum for sigma; backward walks d = depth-1 .. 1 with one by-src
+segmented sum per level; both are ``lax.while_loop``s. The all-sources
+batch is ``vmap`` + sum over the source axis (ops.batch), replacing
+std::thread fan-out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gunrock_tpu.graph import Graph
+from gunrock_tpu.ops.configs import Options
+
+
+@dataclasses.dataclass
+class Param:
+    single_source: int
+
+
+@dataclasses.dataclass
+class Result:
+    bc_values: jax.Array  # float32[V] (scaled by 0.5, reference parity)
+    elapsed_ms: float
+
+
+def _seg_count(active_int, offsets):
+    """Per-destination segment sums via cumsum difference (CSC order)."""
+    ce = jnp.concatenate([jnp.zeros(1, active_int.dtype), jnp.cumsum(active_int)])
+    return ce[offsets[1:]] - ce[offsets[:-1]]
+
+
+def bc_forward(graph: Graph, single_source):
+    """Forward sweep. Returns (labels int32[V], sigma f32[V], depth)."""
+    V = graph.n_vertices
+    labels0 = jnp.full(V, -1, jnp.int32).at[single_source].set(0)
+    sigma0 = jnp.zeros(V, jnp.float32).at[single_source].set(1.0)
+    front0 = jnp.zeros(V, bool).at[single_source].set(True)
+
+    def cond(c):
+        it, front, labels, sigma = c
+        return jnp.any(front) & (it < V)
+
+    def body(c):
+        it, front, labels, sigma = c
+        active = front[graph.csc_rows]
+        reached = _seg_count(active.astype(jnp.int32), graph.csc_offsets) > 0
+        new = reached & (labels == -1)
+        labels = jnp.where(new, it + 1, labels)
+        sig_add = _seg_count(
+            jnp.where(active, sigma[graph.csc_rows], 0.0), graph.csc_offsets
+        )
+        sigma = jnp.where(new, sig_add, sigma)
+        return it + 1, new, labels, sigma
+
+    depth, _, labels, sigma = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), front0, labels0, sigma0)
+    )
+    return labels, sigma, depth
+
+
+def bc_kernel(graph: Graph, single_source):
+    """Pure single-source BC. Returns bc contributions f32[V] (0.5-scaled,
+    source excluded — reference bc.hxx:160-180 semantics)."""
+    V = graph.n_vertices
+    labels, sigma, depth = bc_forward(graph, single_source)
+    sigma_safe = jnp.where(sigma > 0, sigma, 1.0)
+
+    def cond(c):
+        d, delta = c
+        return d >= 1
+
+    def body(c):
+        d, delta = c
+        src, dst = graph.edge_src, graph.col_indices
+        on_level = (labels[src] == d) & (labels[dst] == d + 1)
+        vals = jnp.where(
+            on_level,
+            sigma_safe[src] / sigma_safe[dst] * (1.0 + delta[dst]),
+            0.0,
+        )
+        ce = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(vals)])
+        add = ce[graph.row_offsets[1:]] - ce[graph.row_offsets[:-1]]
+        delta = jnp.where(labels == d, delta + add, delta)
+        return d - 1, delta
+
+    _, delta = jax.lax.while_loop(
+        cond, body, (depth - 1, jnp.zeros(V, jnp.float32))
+    )
+    bc = 0.5 * delta
+    return bc.at[single_source].set(0.0)
+
+
+def run(graph: Graph, single_source: int, options: Options | None = None,
+        warmup: bool = True) -> Result:
+    """Role of reference ``bc::run`` single-source (bc.hxx:276-292)."""
+    del options
+    fn = jax.jit(bc_kernel)
+    if warmup:
+        jax.block_until_ready(fn(graph, single_source))
+    t0 = time.perf_counter()
+    bc = jax.block_until_ready(fn(graph, single_source))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    return Result(bc_values=bc, elapsed_ms=elapsed_ms)
+
+
+def run_all_sources(graph: Graph, chunk_size: int = 32, warmup: bool = True) -> Result:
+    """BC from every source (role of reference ``bc::run(G, bc_values)``,
+    bc.hxx:304-321): vmap over chunks of sources, summed."""
+    V = graph.n_vertices
+
+    def fn(g):
+        sources = jnp.arange(V, dtype=jnp.int32)
+        n_chunks = -(-V // chunk_size)
+        pad = n_chunks * chunk_size - V
+        padded = jnp.concatenate([sources, jnp.zeros(pad, jnp.int32)])
+        chunks = padded.reshape(n_chunks, chunk_size)
+        valid = (jnp.arange(n_chunks * chunk_size).reshape(n_chunks, chunk_size) < V)
+
+        def one_chunk(carry, idx):
+            srcs, mask = idx
+            vals = jax.vmap(lambda s: bc_kernel(g, s))(srcs)
+            vals = jnp.where(mask[:, None], vals, 0.0)
+            return carry + vals.sum(axis=0), None
+
+        total, _ = jax.lax.scan(
+            one_chunk, jnp.zeros(V, jnp.float32), (chunks, valid)
+        )
+        return total
+
+    jfn = jax.jit(fn)
+    if warmup:
+        jax.block_until_ready(jfn(graph))
+    t0 = time.perf_counter()
+    bc = jax.block_until_ready(jfn(graph))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    return Result(bc_values=bc, elapsed_ms=elapsed_ms)

@@ -1,0 +1,217 @@
+"""Geolocation: predict lat/long for unlabeled vertices from neighbors.
+
+Role of reference include/gunrock/algorithms/geo.hxx — per outer iteration,
+every still-unlabeled vertex computes a "spatial center" of its *labeled*
+out-neighbors (geo.hxx:300-379):
+
+- 1 labeled neighbor  -> copy its coordinates,
+- 2 labeled neighbors -> spherical midpoint (geo.hxx:71-98),
+- >2                  -> spatial median: Weiszfeld iteration under the
+  haversine metric, starting from the neighborhood mean, with the
+  reference's zero-distance / rinv correction (geo.hxx:131-238),
+
+for a fixed number of outer iterations (geo.hxx:392-402). Invalid
+coordinates are NaN (the float invalid sentinel, util/type_limits.hxx).
+
+TPU redesign: the per-vertex serial neighbor scans become per-edge masks +
+segmented sums in CSR order (cumsum differences); all unlabeled vertices
+run the Weiszfeld loop in lockstep inside a ``fori_loop`` with per-vertex
+done-masking; the outer loop is a ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gunrock_tpu.graph import Graph
+from gunrock_tpu.ops.configs import Options
+
+
+@dataclasses.dataclass
+class Param:
+    total_iterations: int = 3
+    spatial_iterations: int = 1000
+
+
+@dataclasses.dataclass
+class Result:
+    latitude: jax.Array  # float32[V]; NaN if undetermined
+    longitude: jax.Array  # float32[V]
+    elapsed_ms: float
+
+
+def _radians(a):
+    return a * (jnp.pi / 180.0)
+
+
+def _degrees(a):
+    return a * (180.0 / jnp.pi)
+
+
+def haversine(lat1, lon1, lat2, lon2, radius=6371.0):
+    """Great-circle distance in km (reference geo.hxx:105-127)."""
+    lat1, lon1 = _radians(lat1), _radians(lon1)
+    lat2, lon2 = _radians(lat2), _radians(lon2)
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = jnp.sin(dlat / 2) ** 2 + jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin(dlon / 2) ** 2
+    return radius * 2 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+
+
+def midpoint(lat1, lon1, lat2, lon2):
+    """Spherical midpoint in degrees (reference geo.hxx:71-98)."""
+    lat1, lon1 = _radians(lat1), _radians(lon1)
+    lat2, lon2 = _radians(lat2), _radians(lon2)
+    bx = jnp.cos(lat2) * jnp.cos(lon2 - lon1)
+    by = jnp.cos(lat2) * jnp.sin(lon2 - lon1)
+    mlat = jnp.arctan2(
+        jnp.sin(lat1) + jnp.sin(lat2),
+        jnp.sqrt((jnp.cos(lat1) + bx) ** 2 + by**2),
+    )
+    mlon = lon1 + jnp.arctan2(by, jnp.cos(lat1) + bx)
+    return _degrees(mlat), _degrees(mlon)
+
+
+def _seg_sum(vals, offsets):
+    ce = jnp.concatenate([jnp.zeros(1, vals.dtype), jnp.cumsum(vals)])
+    return ce[offsets[1:]] - ce[offsets[:-1]]
+
+
+def geo_kernel(
+    graph: Graph,
+    latitude,
+    longitude,
+    total_iterations: int = 3,
+    spatial_iterations: int = 1000,
+    eps: float = 1e-3,
+):
+    """Pure geolocation. Returns (latitude, longitude) f32[V]."""
+    V = graph.n_vertices
+    src = graph.edge_src
+    dst = graph.col_indices
+    offs = graph.row_offsets
+    E = graph.n_edges
+    eid = jnp.arange(E, dtype=jnp.int32)
+
+    def outer(c):
+        it, lat, lon = c
+        labeled = ~jnp.isnan(lat)
+        nb_ok = labeled[dst]
+        n_valid = _seg_sum(nb_ok.astype(jnp.int32), offs)
+        unl = ~labeled
+
+        # first/second valid neighbor per vertex (for the 1- and 2-cases):
+        # min/max valid edge id via cumsum trick on monotone masks is not
+        # exact, so use scatter-min/max keyed by src (V-sized, acceptable).
+        first_e = jnp.full(V, E, jnp.int32).at[src].min(jnp.where(nb_ok, eid, E))
+        last_e = jnp.full(V, -1, jnp.int32).at[src].max(jnp.where(nb_ok, eid, -1))
+        fe = jnp.minimum(first_e, E - 1)
+        le = jnp.maximum(last_e, 0)
+        n1_lat, n1_lon = lat[dst[fe]], lon[dst[fe]]
+        n2_lat, n2_lon = lat[dst[le]], lon[dst[le]]
+        mid_lat, mid_lon = midpoint(n1_lat, n1_lon, n2_lat, n2_lon)
+
+        # mean of valid neighbors (start of the spatial median)
+        sum_lat = _seg_sum(jnp.where(nb_ok, lat[dst], 0.0), offs)
+        sum_lon = _seg_sum(jnp.where(nb_ok, lon[dst], 0.0), offs)
+        denom = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+        y_lat, y_lon = sum_lat / denom, sum_lon / denom
+
+        # Weiszfeld under haversine, all vertices in lockstep
+        # (reference geo.hxx:139-238).
+        def wstep(_, s):
+            y_lat, y_lon, out_lat, out_lon, done = s
+            d = haversine(lat[dst], lon[dst], y_lat[src], y_lon[src])
+            dinv = jnp.where(nb_ok & (d != 0), 1.0 / jnp.maximum(d, 1e-30), 0.0)
+            nonzeros = _seg_sum((nb_ok & (d != 0)).astype(jnp.int32), offs)
+            dinvs = _seg_sum(dinv, offs)
+            dsafe = jnp.maximum(dinvs, 1e-30)
+            t_lat = _seg_sum(dinv * jnp.where(nb_ok, lat[dst], 0.0), offs) / dsafe
+            t_lon = _seg_sum(dinv * jnp.where(nb_ok, lon[dst], 0.0), offs) / dsafe
+            num_zeros = n_valid - nonzeros
+            all_zero = num_zeros == n_valid
+            r_lat = (t_lat - y_lat) * dinvs
+            r_lon = (t_lon - y_lon) * dinvs
+            r = jnp.sqrt(r_lat**2 + r_lon**2)
+            rinv = jnp.where(r == 0, 0.0, num_zeros.astype(jnp.float32) / jnp.maximum(r, 1e-30))
+            y1_lat = jnp.where(
+                num_zeros == 0,
+                t_lat,
+                jnp.maximum(0.0, 1 - rinv) * t_lat + jnp.minimum(1.0, rinv) * y_lat,
+            )
+            y1_lon = jnp.where(
+                num_zeros == 0,
+                t_lon,
+                jnp.maximum(0.0, 1 - rinv) * t_lon + jnp.minimum(1.0, rinv) * y_lon,
+            )
+            step = jnp.sqrt((y_lat - y1_lat) ** 2 + (y_lon - y1_lon) ** 2)
+            newly_done = ~done & (all_zero | (step < eps))
+            out_lat = jnp.where(newly_done, jnp.where(all_zero, y_lat, y1_lat), out_lat)
+            out_lon = jnp.where(newly_done, jnp.where(all_zero, y_lon, y1_lon), out_lon)
+            done = done | newly_done
+            y_lat = jnp.where(done, y_lat, y1_lat)
+            y_lon = jnp.where(done, y_lon, y1_lon)
+            return y_lat, y_lon, out_lat, out_lon, done
+
+        med0 = (y_lat, y_lon, y_lat, y_lon, jnp.zeros(V, bool))
+        my_lat, my_lon, out_lat, out_lon, done = jax.lax.fori_loop(
+            0, spatial_iterations, wstep, med0
+        )
+        med_lat = jnp.where(done, out_lat, my_lat)
+        med_lon = jnp.where(done, out_lon, my_lon)
+
+        new_lat = jnp.where(
+            unl & (n_valid == 1), n1_lat,
+            jnp.where(
+                unl & (n_valid == 2), mid_lat,
+                jnp.where(unl & (n_valid > 2), med_lat, lat),
+            ),
+        )
+        new_lon = jnp.where(
+            unl & (n_valid == 1), n1_lon,
+            jnp.where(
+                unl & (n_valid == 2), mid_lon,
+                jnp.where(unl & (n_valid > 2), med_lon, lon),
+            ),
+        )
+        return it + 1, new_lat, new_lon
+
+    def cond(c):
+        it, lat, lon = c
+        return it < total_iterations
+
+    _, lat, lon = jax.lax.while_loop(
+        cond,
+        outer,
+        (jnp.int32(0), jnp.asarray(latitude, jnp.float32), jnp.asarray(longitude, jnp.float32)),
+    )
+    return lat, lon
+
+
+def run(
+    graph: Graph,
+    latitude,
+    longitude,
+    total_iterations: int = 3,
+    spatial_iterations: int = 1000,
+    options: Options | None = None,
+    warmup: bool = True,
+) -> Result:
+    """Role of reference ``geo::run`` (geo.hxx:417-447)."""
+    del options
+    fn = jax.jit(
+        lambda g, la, lo: geo_kernel(
+            g, la, lo, total_iterations, spatial_iterations
+        )
+    )
+    args = (graph, jnp.asarray(latitude, jnp.float32), jnp.asarray(longitude, jnp.float32))
+    if warmup:
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    lat, lon = jax.block_until_ready(fn(*args))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    return Result(latitude=lat, longitude=lon, elapsed_ms=elapsed_ms)

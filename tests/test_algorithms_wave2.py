@@ -1,0 +1,139 @@
+"""BC / PPR / MST vs independent oracles (networkx, exact linear solves)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_graph
+
+
+# ---------------------------------------------------------------- BC
+def test_bc_single_source_matches_brandes():
+    import networkx as nx
+
+    from gunrock_tpu.algorithms import bc
+
+    g, sp_mat = random_graph(None, n=40, p=0.12, symmetric=True, seed_offset=21)
+    res = bc.run(g, 0, warmup=False)
+    # Brandes single-source dependencies, computed by networkx's
+    # accumulation: run full BC on a graph where only source 0 counts.
+    G = nx.from_scipy_sparse_array(sp_mat)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    # manual single-source Brandes (unweighted)
+    want = _brandes_single_source(G, 0)
+    np.testing.assert_allclose(np.asarray(res.bc_values), want, atol=1e-4)
+
+
+def _brandes_single_source(G, s):
+    import collections
+
+    V = G.number_of_nodes()
+    sigma = np.zeros(V)
+    dist = np.full(V, -1)
+    sigma[s] = 1.0
+    dist[s] = 0
+    order = []
+    q = collections.deque([s])
+    preds = [[] for _ in range(V)]
+    while q:
+        v = q.popleft()
+        order.append(v)
+        for u in G.neighbors(v):
+            if dist[u] < 0:
+                dist[u] = dist[v] + 1
+                q.append(u)
+            if dist[u] == dist[v] + 1:
+                sigma[u] += sigma[v]
+                preds[u].append(v)
+    delta = np.zeros(V)
+    for v in reversed(order):
+        for u in preds[v]:
+            delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+    delta[s] = 0.0
+    return 0.5 * delta
+
+
+def test_bc_all_sources_matches_networkx():
+    import networkx as nx
+
+    from gunrock_tpu.algorithms import bc
+
+    g, sp_mat = random_graph(None, n=30, p=0.15, symmetric=True, seed_offset=22)
+    res = bc.run_all_sources(g, chunk_size=8, warmup=False)
+    G = nx.from_scipy_sparse_array(sp_mat)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want_dict = nx.betweenness_centrality(G, normalized=False)
+    want = np.array([want_dict[v] for v in range(30)])
+    np.testing.assert_allclose(np.asarray(res.bc_values), want, atol=1e-3)
+
+
+# ---------------------------------------------------------------- PPR
+def test_ppr_matches_exact_personalized_pagerank():
+    from gunrock_tpu.algorithms import ppr
+
+    g, sp_mat = random_graph(None, n=30, p=0.2, symmetric=True, seed_offset=23)
+    alpha, eps = 0.15, 1e-9
+    res = ppr.run(g, seed=3, alpha=alpha, epsilon=eps, warmup=False)
+    # exact Andersen PPR over the lazy walk W = (I + P)/2 (the convention
+    # implied by the reference's 2a/(1+a), (1-a)/(1+a) push coefficients):
+    # p = alpha * e_s (I - (1-alpha) W)^{-1}
+    A = (sp_mat.toarray() != 0).astype(np.float64)
+    deg = A.sum(axis=1)
+    assert (deg > 0).all(), "test graph must have no dangling vertices"
+    P = A / deg[:, None]
+    V = A.shape[0]
+    W = (np.eye(V) + P) / 2
+    e = np.zeros(V)
+    e[3] = 1.0
+    exact = alpha * e @ np.linalg.inv(np.eye(V) - (1 - alpha) * W)
+    np.testing.assert_allclose(np.asarray(res.p), exact, atol=1e-5)
+
+
+def test_ppr_batch_shape():
+    from gunrock_tpu.algorithms import ppr
+
+    g, _ = random_graph(None, n=30, p=0.2, symmetric=True, seed_offset=23)
+    p, _ = ppr.run_batch(g, [0, 3, 7], epsilon=1e-4, warmup=False)
+    assert p.shape == (3, 30)
+    assert (np.asarray(p) >= 0).all()
+
+
+# ---------------------------------------------------------------- MST
+def test_mst_matches_networkx():
+    import networkx as nx
+
+    from gunrock_tpu.algorithms import mst
+
+    g, sp_mat = random_graph(None, n=50, p=0.15, symmetric=True, seed_offset=24)
+    res = mst.run(g, warmup=False)
+    G = nx.from_scipy_sparse_array(sp_mat)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    T = nx.minimum_spanning_tree(G)
+    want = T.size(weight="weight")
+    assert abs(res.mst_weight - want) < 1e-3, (res.mst_weight, want)
+    # edge mask count equals V - n_components
+    n_edges_mst = int(np.asarray(res.mst_edges).sum())
+    assert n_edges_mst == 50 - res.n_components
+
+
+def test_mst_forest_on_disconnected():
+    import networkx as nx
+    import scipy.sparse as sp
+
+    from gunrock_tpu.algorithms import mst
+    from gunrock_tpu.formats import Coo, coo_to_csr
+    from gunrock_tpu.graph import build_graph
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    # two disjoint triangles
+    rows = np.array([0, 1, 0, 2, 1, 2, 3, 4, 3, 5, 4, 5], np.int32)
+    cols = np.array([1, 0, 2, 0, 2, 1, 4, 3, 5, 3, 5, 4], np.int32)
+    vals = np.array([1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6], np.float32)
+    gph = build_graph(
+        coo_to_csr(Coo(6, 6, rows, cols, vals)),
+        GraphProperties(directed=False, weighted=True, symmetric=True),
+    )
+    res = mst.run(gph, warmup=False)
+    assert res.n_components == 2
+    assert abs(res.mst_weight - (1 + 2 + 4 + 5)) < 1e-5
+    with pytest.raises(RuntimeError):
+        mst.run(gph, require_connected=True, warmup=False)

@@ -1,0 +1,135 @@
+"""Geo / SpGEMM vs oracles."""
+
+import numpy as np
+
+from tests.conftest import random_graph
+
+
+# ---------------------------------------------------------------- Geo
+def test_geo_one_and_two_neighbors():
+    """Vertices with 1 labeled neighbor copy it; with 2, take the
+    spherical midpoint (reference geo.hxx:345-366)."""
+    from gunrock_tpu.algorithms import geo
+    from gunrock_tpu.formats import Coo, coo_to_csr
+    from gunrock_tpu.graph import build_graph
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    # v2 -> v0 (labeled); v3 -> v0, v1 (labeled)
+    rows = np.array([2, 3, 3], np.int32)
+    cols = np.array([0, 0, 1], np.int32)
+    vals = np.ones(3, np.float32)
+    g = build_graph(
+        coo_to_csr(Coo(4, 4, rows, cols, vals)),
+        GraphProperties(directed=True, weighted=False),
+    )
+    lat = np.array([10.0, 20.0, np.nan, np.nan], np.float32)
+    lon = np.array([30.0, 40.0, np.nan, np.nan], np.float32)
+    res = geo.run(g, lat, lon, total_iterations=2, spatial_iterations=5, warmup=False)
+    out_lat, out_lon = np.asarray(res.latitude), np.asarray(res.longitude)
+    assert abs(out_lat[2] - 10.0) < 1e-4 and abs(out_lon[2] - 30.0) < 1e-4
+    # midpoint of (10,30) and (20,40) on the sphere
+    want_lat, want_lon = _midpoint_oracle(10, 30, 20, 40)
+    assert abs(out_lat[3] - want_lat) < 1e-3
+    assert abs(out_lon[3] - want_lon) < 1e-3
+
+
+def _midpoint_oracle(lat1, lon1, lat2, lon2):
+    import math
+
+    lat1, lon1, lat2, lon2 = map(math.radians, (lat1, lon1, lat2, lon2))
+    bx = math.cos(lat2) * math.cos(lon2 - lon1)
+    by = math.cos(lat2) * math.sin(lon2 - lon1)
+    mlat = math.atan2(
+        math.sin(lat1) + math.sin(lat2),
+        math.sqrt((math.cos(lat1) + bx) ** 2 + by**2),
+    )
+    mlon = lon1 + math.atan2(by, math.cos(lat1) + bx)
+    return math.degrees(mlat), math.degrees(mlon)
+
+
+def test_geo_spatial_median_converges_to_cluster():
+    """A vertex whose labeled neighbors cluster around one point must land
+    near that cluster (spatial median robustness)."""
+    from gunrock_tpu.algorithms import geo
+    from gunrock_tpu.formats import Coo, coo_to_csr
+    from gunrock_tpu.graph import build_graph
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    # v0 has 5 labeled neighbors: 4 clustered at ~ (50, 8), 1 outlier
+    n = 6
+    rows = np.zeros(5, np.int32)
+    cols = np.arange(1, 6).astype(np.int32)
+    g = build_graph(
+        coo_to_csr(Coo(n, n, rows, cols, np.ones(5, np.float32))),
+        GraphProperties(directed=True),
+    )
+    lat = np.array([np.nan, 50.0, 50.1, 49.9, 50.05, -30.0], np.float32)
+    lon = np.array([np.nan, 8.0, 8.1, 7.9, 8.05, 120.0], np.float32)
+    res = geo.run(g, lat, lon, total_iterations=1, spatial_iterations=200, warmup=False)
+    assert abs(float(res.latitude[0]) - 50.0) < 0.5
+    assert abs(float(res.longitude[0]) - 8.0) < 0.5
+
+
+def test_geo_propagates_over_iterations():
+    """Labels spread hop by hop across outer iterations."""
+    from gunrock_tpu.algorithms import geo
+    from gunrock_tpu.formats import Coo, coo_to_csr
+    from gunrock_tpu.graph import build_graph
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    # chain 3 -> 2 -> 1 -> 0 (labeled)
+    rows = np.array([1, 2, 3], np.int32)
+    cols = np.array([0, 1, 2], np.int32)
+    g = build_graph(
+        coo_to_csr(Coo(4, 4, rows, cols, np.ones(3, np.float32))),
+        GraphProperties(directed=True),
+    )
+    lat = np.array([42.0, np.nan, np.nan, np.nan], np.float32)
+    lon = np.array([7.0, np.nan, np.nan, np.nan], np.float32)
+    res = geo.run(g, lat, lon, total_iterations=3, spatial_iterations=5, warmup=False)
+    np.testing.assert_allclose(np.asarray(res.latitude), [42, 42, 42, 42], atol=1e-3)
+
+
+# ---------------------------------------------------------------- SpGEMM
+def test_spgemm_matches_scipy():
+    from gunrock_tpu.algorithms import spgemm
+
+    ga, A = random_graph(None, n=40, p=0.1, weighted=True, seed_offset=31)
+    gb, B = random_graph(None, n=40, p=0.12, weighted=True, seed_offset=32)
+    res = spgemm.run(ga, gb, warmup=False)
+    C = res.to_csr(40, 40)
+    want = (A @ B).toarray()
+    got = np.zeros((40, 40), np.float32)
+    for r in range(40):
+        for e in range(C.row_offsets[r], C.row_offsets[r + 1]):
+            got[r, C.col_indices[e]] = C.values[e]
+    # cumsum-difference contraction accumulates in prefix order: tolerate
+    # a few ulps vs scipy's per-row accumulation
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    assert res.nnz == (want != 0).sum()
+
+
+def test_spgemm_squared_sample():
+    from gunrock_tpu.algorithms import spgemm
+    from gunrock_tpu.io import sample
+
+    g = sample.graph()
+    res = spgemm.run(g, g, warmup=False)
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(
+        (
+            np.asarray(g.values),
+            np.asarray(g.col_indices),
+            np.asarray(g.row_offsets),
+        ),
+        shape=(4, 4),
+    )
+    want = (A @ A).toarray()
+    C = res.to_csr(4, 4).to_dense() if hasattr(res.to_csr(4, 4), "to_dense") else None
+    got = np.zeros((4, 4), np.float32)
+    Cc = res.to_csr(4, 4)
+    for r in range(4):
+        for e in range(Cc.row_offsets[r], Cc.row_offsets[r + 1]):
+            got[r, Cc.col_indices[e]] = Cc.values[e]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
