@@ -1,0 +1,42 @@
+"""BFS example driver (role of reference examples/algorithms/bfs/bfs.cu)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gunrock_tpu.algorithms import bfs
+from gunrock_tpu.examples import cpu_reference, runner
+from gunrock_tpu.io.parameters import parse, parse_source_string
+
+
+def main(argv=None):
+    params = parse("bfs", argv)
+    graph, _ = runner.load(params)
+    sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
+
+    times, depths = [], []
+    result = None
+    for src in sources:
+        result = bfs.run(graph, src, options=params.options)
+        times.append(result.elapsed_ms)
+        depths.append(result.search_depth)
+
+    runner.print_head(result.distances, name="distances")
+    dist_np = np.asarray(result.distances)
+    deg = np.diff(np.asarray(graph.row_offsets))
+    reached = dist_np != np.iinfo(np.int32).max
+    runner.finish(
+        params, "bfs", graph, times, srcs=sources, depths=depths,
+        edges_visited=int(deg[reached].sum()), nodes_visited=int(reached.sum()),
+    )
+
+    if params.validate:
+        ref = cpu_reference.bfs(graph, sources[-1])
+        if runner.validate("bfs", result.distances, ref):
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

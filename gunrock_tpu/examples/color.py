@@ -1,0 +1,37 @@
+"""Coloring example driver (role of reference examples/algorithms/color/color.cu)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gunrock_tpu.algorithms import color
+from gunrock_tpu.examples import cpu_reference, runner
+from gunrock_tpu.io.parameters import parse
+
+
+def main(argv=None):
+    params = parse("color", argv)
+    graph, _ = runner.load(params)
+
+    times = []
+    result = None
+    for i in range(params.num_runs):
+        result = color.run(graph, seed=i, options=params.options)
+        times.append(result.elapsed_ms)
+
+    colors = np.asarray(result.colors)
+    runner.print_head(colors, name="colors")
+    print(f"colors used: {int(colors.max()) + 1}")
+    runner.finish(params, "color", graph, times)
+
+    if params.validate:
+        ok = cpu_reference.color_is_valid(graph, colors)
+        print(f"color validation: {'PASSED' if ok else 'FAILED'}")
+        if not ok:
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Geolocation example driver (role of reference examples/algorithms/geo/geo.cu).
+
+The reference driver reads a labels file (``--labels``) with known
+lat/long per vertex; here omitted labels default to a deterministic 10%
+random labeling so the example runs on any graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gunrock_tpu.algorithms import geo
+from gunrock_tpu.examples import runner
+from gunrock_tpu.io.parameters import parse
+
+
+def load_labels(path: str, n_vertices: int):
+    """Reference label file: `vertex latitude longitude` per line."""
+    lat = np.full(n_vertices, np.nan, np.float32)
+    lon = np.full(n_vertices, np.nan, np.float32)
+    with open(path) as f:
+        for line in f:
+            if line.startswith("%") or not line.strip():
+                continue
+            parts = line.split()
+            v = int(parts[0]) - 1
+            lat[v], lon[v] = float(parts[1]), float(parts[2])
+    return lat, lon
+
+
+def main(argv=None):
+    params = parse(
+        "geo", argv,
+        extra_args=[
+            (("--labels",), dict(default="", help="label file (vertex lat lon)")),
+            (("--total_iterations",), dict(type=int, default=3)),
+            (("--spatial_iterations",), dict(type=int, default=1000)),
+        ],
+    )
+    graph, _ = runner.load(params)
+    V = graph.n_vertices
+    if params.extra.labels:
+        lat, lon = load_labels(params.extra.labels, V)
+    else:
+        rng = np.random.default_rng(0)
+        lat = np.full(V, np.nan, np.float32)
+        lon = np.full(V, np.nan, np.float32)
+        known = rng.choice(V, size=max(1, V // 10), replace=False)
+        lat[known] = rng.uniform(-60, 60, known.size).astype(np.float32)
+        lon[known] = rng.uniform(-180, 180, known.size).astype(np.float32)
+
+    times = []
+    result = None
+    for _ in range(params.num_runs):
+        result = geo.run(graph, lat, lon,
+                         total_iterations=params.extra.total_iterations,
+                         spatial_iterations=params.extra.spatial_iterations,
+                         options=params.options)
+        times.append(result.elapsed_ms)
+
+    labeled = int((~np.isnan(np.asarray(result.latitude))).sum())
+    print(f"located {labeled}/{V} vertices")
+    runner.print_head(result.latitude, name="latitude")
+    runner.finish(params, "geo", graph, times)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""K-core example driver (role of reference examples/algorithms/kcore/kcore.cu)."""
+
+from __future__ import annotations
+
+import sys
+
+from gunrock_tpu.algorithms import kcore
+from gunrock_tpu.examples import cpu_reference, runner
+from gunrock_tpu.io.parameters import parse
+
+
+def main(argv=None):
+    params = parse("kcore", argv)
+    graph, _ = runner.load(params)
+
+    times = []
+    result = None
+    for _ in range(params.num_runs):
+        result = kcore.run(graph, options=params.options)
+        times.append(result.elapsed_ms)
+
+    runner.print_head(result.k_cores, name="k_cores")
+    print(f"degeneracy = {result.degeneracy}")
+    runner.finish(params, "kcore", graph, times)
+
+    if params.validate:
+        ref = cpu_reference.kcore(graph)
+        if runner.validate("kcore", result.k_cores, ref):
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

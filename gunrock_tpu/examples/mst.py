@@ -1,0 +1,36 @@
+"""MST example driver (role of reference examples/algorithms/mst/mst.cu)."""
+
+from __future__ import annotations
+
+import sys
+
+from gunrock_tpu.algorithms import mst
+from gunrock_tpu.examples import cpu_reference, runner
+from gunrock_tpu.io.parameters import parse
+
+
+def main(argv=None):
+    params = parse("mst", argv)
+    graph, _ = runner.load(params)
+
+    times = []
+    result = None
+    for _ in range(params.num_runs):
+        result = mst.run(graph, options=params.options)
+        times.append(result.elapsed_ms)
+
+    print(f"mst weight = {result.mst_weight:.6f} "
+          f"({result.n_components} component(s))")
+    runner.finish(params, "mst", graph, times)
+
+    if params.validate:
+        want = cpu_reference.mst_weight(graph)
+        ok = abs(result.mst_weight - want) <= 1e-3 * max(1.0, abs(want))
+        print(f"mst validation: {'PASSED' if ok else 'FAILED'} "
+              f"(cpu={want:.6f})")
+        if not ok:
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""PPR example driver (role of reference examples/algorithms/ppr/ppr.cu)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gunrock_tpu.algorithms import ppr
+from gunrock_tpu.examples import runner
+from gunrock_tpu.io.parameters import parse, parse_source_string
+
+
+def main(argv=None):
+    params = parse(
+        "ppr", argv,
+        extra_args=[
+            (("--alpha",), dict(type=float, default=0.15)),
+            (("--epsilon",), dict(type=float, default=1e-6)),
+        ],
+    )
+    graph, _ = runner.load(params)
+    seeds = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
+
+    times, depths = [], []
+    result = None
+    if len(seeds) > 1:
+        p, elapsed = ppr.run_batch(
+            graph, seeds, alpha=params.extra.alpha, epsilon=params.extra.epsilon
+        )
+        times.append(elapsed)
+        runner.print_head(np.asarray(p)[0], name=f"p[seed={seeds[0]}]")
+    else:
+        result = ppr.run(graph, seeds[0], alpha=params.extra.alpha,
+                         epsilon=params.extra.epsilon, options=params.options)
+        times.append(result.elapsed_ms)
+        depths.append(result.iterations)
+        runner.print_head(result.p, name="p")
+
+    runner.finish(params, "ppr", graph, times, srcs=seeds, depths=depths)
+
+
+if __name__ == "__main__":
+    main()

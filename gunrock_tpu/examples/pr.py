@@ -1,0 +1,43 @@
+"""PageRank example driver (role of reference examples/algorithms/pr/pr.cu)."""
+
+from __future__ import annotations
+
+import sys
+
+from gunrock_tpu.algorithms import pr
+from gunrock_tpu.examples import cpu_reference, runner
+from gunrock_tpu.io.parameters import parse
+
+
+def main(argv=None):
+    params = parse(
+        "pr",
+        argv,
+        extra_args=[
+            (("--alpha",), dict(type=float, default=0.85)),
+            (("--tol",), dict(type=float, default=1e-6)),
+        ],
+    )
+    graph, _ = runner.load(params)
+
+    times, depths = [], []
+    result = None
+    for _ in range(params.num_runs):
+        result = pr.run(graph, alpha=params.extra.alpha, tol=params.extra.tol,
+                        options=params.options)
+        times.append(result.elapsed_ms)
+        depths.append(result.iterations)
+
+    runner.print_head(result.p, name="rank")
+    runner.finish(params, "pr", graph, times, depths=depths,
+                  edges_visited=graph.n_edges * (depths[-1] if depths else 1),
+                  nodes_visited=graph.n_vertices)
+
+    if params.validate:
+        ref = cpu_reference.pr(graph, alpha=params.extra.alpha, tol=params.extra.tol)
+        if runner.validate("pr", result.p, ref, atol=1e-4):
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Shared example-driver scaffolding.
+
+Role of the common flow in every reference example binary
+(examples/algorithms/bfs/bfs.cu:11-128, SURVEY.md section 3.1): parse
+args -> load graph -> per-run algorithm execution over sources ->
+optional CPU validation with mismatch counting -> optional JSON metrics
+export -> print head of results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gunrock_tpu.io.loader import extract_filename, load_graph_file
+from gunrock_tpu.io.parameters import Parameters, parse, parse_source_string
+from gunrock_tpu.utils.compare import compare
+from gunrock_tpu.utils.performance import export_performance_stats
+
+
+def print_head(arr, k: int = 10, name: str = "result"):
+    """Role of reference ``print::head`` (util/print.hxx:32-43)."""
+    a = np.asarray(arr)
+    print(f"{name}[:{k}] = {a[:k]}")
+
+
+def load(params: Parameters):
+    graph, props = load_graph_file(params.filename)
+    print(
+        f"Loaded {extract_filename(params.filename)}: "
+        f"{graph.n_vertices} vertices, {graph.n_edges} edges "
+        f"({'symmetric' if props.symmetric else 'directed'})"
+    )
+    return graph, props
+
+
+def finish(
+    params: Parameters,
+    primitive: str,
+    graph,
+    times_ms: list[float],
+    srcs=None,
+    depths=None,
+    edges_visited: int = 0,
+    nodes_visited: int = 0,
+):
+    avg = float(np.mean(times_ms)) if times_ms else 0.0
+    print(f"{primitive} : {avg:.4f} ms avg over {len(times_ms)} run(s)")
+    if params.export_metrics:
+        path = export_performance_stats(
+            primitive=primitive,
+            process_times_ms=times_ms,
+            graph_file=params.filename,
+            num_vertices=graph.n_vertices,
+            num_edges=graph.n_edges,
+            srcs=srcs or [],
+            search_depths=depths or [],
+            edges_visited=edges_visited,
+            nodes_visited=nodes_visited,
+            tags=params.tags,
+            json_dir=params.json_dir,
+            json_file=params.json_file,
+        )
+        print(f"metrics written to {path}")
+
+
+def validate(name: str, computed, reference, **kw) -> int:
+    n = compare(computed, reference, verbose=True, **kw)
+    if n == 0:
+        print(f"{name} validation: PASSED")
+    else:
+        print(f"{name} validation: FAILED ({n} errors)")
+    return n

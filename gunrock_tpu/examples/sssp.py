@@ -1,0 +1,42 @@
+"""SSSP example driver (role of reference examples/algorithms/sssp/sssp.cu)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gunrock_tpu.algorithms import sssp
+from gunrock_tpu.examples import cpu_reference, runner
+from gunrock_tpu.io.parameters import parse, parse_source_string
+
+
+def main(argv=None):
+    params = parse("sssp", argv)
+    graph, _ = runner.load(params)
+    sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
+
+    times, depths = [], []
+    result = None
+    for src in sources:
+        result = sssp.run(graph, src, options=params.options)
+        times.append(result.elapsed_ms)
+        depths.append(result.search_depth)
+
+    runner.print_head(result.distances, name="distances")
+    dist_np = np.asarray(result.distances)
+    deg = np.diff(np.asarray(graph.row_offsets))
+    reached = np.isfinite(dist_np)
+    runner.finish(
+        params, "sssp", graph, times, srcs=sources, depths=depths,
+        edges_visited=int(deg[reached].sum()), nodes_visited=int(reached.sum()),
+    )
+
+    if params.validate:
+        ref = cpu_reference.sssp(graph, sources[-1])
+        if runner.validate("sssp", result.distances, ref):
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

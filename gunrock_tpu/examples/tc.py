@@ -1,0 +1,34 @@
+"""TC example driver (role of reference examples/algorithms/tc/tc.cu)."""
+
+from __future__ import annotations
+
+import sys
+
+from gunrock_tpu.algorithms import tc
+from gunrock_tpu.examples import cpu_reference, runner
+from gunrock_tpu.io.parameters import parse
+
+
+def main(argv=None):
+    params = parse("tc", argv)
+    graph, _ = runner.load(params)
+
+    times = []
+    result = None
+    for _ in range(params.num_runs):
+        result = tc.run(graph, options=params.options)
+        times.append(result.elapsed_ms)
+
+    runner.print_head(result.vertex_triangles_count, name="triangles")
+    print(f"total (3x triangles) = {result.total_triangles_count}; "
+          f"distinct triangles = {result.n_triangles}")
+    runner.finish(params, "tc", graph, times)
+
+    if params.validate:
+        ref = cpu_reference.tc(graph)
+        if runner.validate("tc", result.vertex_triangles_count, ref):
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
