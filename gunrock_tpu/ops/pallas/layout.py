@@ -1,0 +1,110 @@
+"""Bucketed edge layout for Pallas kernels (host-side, built once).
+
+Edges are grouped into (row_block, col_block) windows of size W and
+streamed in fixed chunks of C edges; each chunk touches exactly one
+x-window and one y-window, so kernels address both through scalar-
+prefetched block ids. Chunks are ordered by (row_block, col_block) so the
+output window is revisited consecutively and accumulates in VMEM.
+
+This is the load-balancing contract of the reference's merge-path advance
+(fixed work per tile regardless of degree skew, merge_path.hxx:9-37)
+materialized as a data layout instead of a runtime search.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["row_local", "col_local", "values", "chunk_rb", "chunk_cb"],
+    meta_fields=["window", "chunk", "n_chunks", "n_row_blocks", "n_col_blocks", "n_vertices"],
+)
+@dataclasses.dataclass(frozen=True)
+class BucketedEdges:
+    row_local: jax.Array  # int32[n_chunks * chunk] — row % W (0 if pad)
+    col_local: jax.Array  # int32[n_chunks * chunk] — col % W (0 if pad)
+    values: jax.Array  # float32[n_chunks * chunk] — 0 for padding
+    chunk_rb: jax.Array  # int32[n_chunks] — row block of each chunk
+    chunk_cb: jax.Array  # int32[n_chunks] — col block of each chunk
+    window: int
+    chunk: int
+    n_chunks: int
+    n_row_blocks: int
+    n_col_blocks: int
+    n_vertices: int
+
+
+def build_bucketed_layout(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    values: np.ndarray,
+    n_vertices: int,
+    window: int = 512,
+    chunk: int = 1024,
+) -> BucketedEdges:
+    """Bucket (row, col, value) edges into the chunked window layout."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float32)
+    n_rb = -(-n_vertices // window)
+    n_cb = -(-n_vertices // window)
+    rb = rows // window
+    cb = cols // window
+    # sort edges by (rb, cb) — np.lexsort: last key is primary
+    order = np.lexsort((cb, rb))
+    rows, cols, values, rb, cb = (
+        rows[order], cols[order], values[order], rb[order], cb[order]
+    )
+    bucket = rb * n_cb + cb
+    # vectorized per-bucket chunking: edge j with within-bucket rank r goes
+    # to slot (chunk_offset[bucket] + r // chunk) * chunk + r % chunk
+    uniq, inverse, counts = np.unique(bucket, return_inverse=True, return_counts=True)
+    starts = np.zeros_like(counts)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rank = np.arange(rows.size, dtype=np.int64) - starts[inverse]
+    chunks_per_bucket = -(-counts // chunk)
+    chunk_off = np.zeros_like(chunks_per_bucket)
+    np.cumsum(chunks_per_bucket[:-1], out=chunk_off[1:])
+    n_chunks = int(chunks_per_bucket.sum())
+    dest = (chunk_off[inverse] + rank // chunk) * chunk + rank % chunk
+    E_out = n_chunks * chunk
+    row_local = np.zeros(E_out, dtype=np.int32)
+    col_local = np.zeros(E_out, dtype=np.int32)
+    vals_out = np.zeros(E_out, dtype=np.float32)
+    row_local[dest] = (rows - rb * window).astype(np.int32)
+    col_local[dest] = (cols - cb * window).astype(np.int32)
+    vals_out[dest] = values
+    chunk_rb = np.repeat((uniq // n_cb).astype(np.int32), chunks_per_bucket)
+    chunk_cb = np.repeat((uniq % n_cb).astype(np.int32), chunks_per_bucket)
+    return BucketedEdges(
+        row_local=jnp.asarray(row_local),
+        col_local=jnp.asarray(col_local),
+        values=jnp.asarray(vals_out),
+        chunk_rb=jnp.asarray(chunk_rb),
+        chunk_cb=jnp.asarray(chunk_cb),
+        window=window,
+        chunk=chunk,
+        n_chunks=n_chunks,
+        n_row_blocks=n_rb,
+        n_col_blocks=n_cb,
+        n_vertices=n_vertices,
+    )
+
+
+def layout_for_graph(graph, window: int = 512, chunk: int = 1024) -> BucketedEdges:
+    """CSR edges of a Graph in bucketed layout (cached per (graph, W, C))."""
+    return build_bucketed_layout(
+        np.asarray(graph.edge_src),
+        np.asarray(graph.col_indices),
+        np.asarray(graph.values),
+        graph.n_vertices,
+        window=window,
+        chunk=chunk,
+    )
