@@ -137,11 +137,70 @@ def run(
     options: Options | None = None,
     warmup: bool = True,
 ) -> Result:
-    """Role of reference ``pr::run`` (pr.hxx:211-230)."""
+    """Role of reference ``pr::run`` (pr.hxx:211-230). With
+    ``options.load_balance == PALLAS_MERGE_PATH`` the edge scatter runs
+    through the bucketed plus-times Pallas kernel."""
     max_it = 10_000
     if options is not None and options.max_iterations:
         max_it = options.max_iterations
+
+    from gunrock_tpu.ops.configs import LoadBalance
+
+    if options is not None and options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+        import time
+
+        from gunrock_tpu.ops.pallas.semiring import pull_layout
+
+        layout = pull_layout(graph)  # host-side; must precede tracing
+        fn = jax.jit(lambda g: pr_kernel_pallas(g, alpha, tol, max_it, layout=layout))
+        if warmup:
+            jax.block_until_ready(fn(graph))
+        t0 = time.perf_counter()
+        p, it = jax.block_until_ready(fn(graph))
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        return Result(p=p, iterations=int(it), elapsed_ms=elapsed_ms)
+
     problem = PrProblem(graph, Param(alpha=alpha, tol=tol))
     enactor = PrEnactor(problem, max_iterations=max_it)
     state, elapsed_ms = enactor.enact(warmup=warmup)
     return Result(p=state["p"], iterations=int(state["iteration"]), elapsed_ms=elapsed_ms)
+
+
+def pr_kernel_pallas(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 10_000,
+    interpret: bool | None = None,
+    layout=None,
+):
+    """PageRank with the Pallas bucketed plus-times advance."""
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv, pull_layout
+
+    if layout is None:
+        layout = pull_layout(graph)  # requires a concrete (unjitted) graph
+    if interpret is None:
+        interpret = use_interpret()
+    V = graph.n_vertices
+    iweights = compute_iweights(graph, alpha)
+    p0 = jnp.full(V, 1.0 / V, dtype=jnp.float32)
+
+    def cond(carry):
+        it, p, err = carry
+        return (err >= tol) & (it < max_iterations)
+
+    def body(carry):
+        it, p, _ = carry
+        plast = p
+        dsum = jnp.sum(jnp.where(iweights == 0.0, alpha * plast, 0.0))
+        base = (1.0 - alpha + dsum) / V
+        p = base + bucketed_semiring_spmv(
+            layout, plast * iweights, "plus_times", interpret=interpret
+        )
+        return it + 1, p, jnp.max(jnp.abs(p - plast))
+
+    it, p, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), p0, jnp.float32(jnp.inf))
+    )
+    return p, it

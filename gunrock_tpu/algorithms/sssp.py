@@ -81,6 +81,45 @@ def sssp_kernel(graph: Graph, single_source, max_iterations: int | None = None):
     return dist, it
 
 
+def sssp_kernel_pallas(
+    graph: Graph,
+    single_source,
+    layout=None,
+    max_iterations: int | None = None,
+    interpret: bool | None = None,
+):
+    """SSSP with the Pallas min-plus semiring advance (the merge-path
+    analog, ops/pallas/semiring.py): each wave relaxes all in-edges of
+    every vertex against the frontier's distances in one bucketed
+    windowed-one-hot kernel."""
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.semiring import _BIG, bucketed_semiring_spmv, pull_layout
+
+    if layout is None:
+        layout = pull_layout(graph, pad_value=_BIG)
+    if interpret is None:
+        interpret = use_interpret()
+    V = graph.n_vertices
+    max_it = V if max_iterations is None else max_iterations
+    dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
+    front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
+
+    def cond(c):
+        it, front, dist = c
+        return jnp.any(front) & (it < max_it)
+
+    def body(c):
+        it, front, dist = c
+        x = jnp.where(front, dist, _BIG)
+        relaxed = bucketed_semiring_spmv(layout, x, "min_plus", interpret=interpret)
+        improved = relaxed < dist
+        dist = jnp.minimum(dist, relaxed)
+        return it + 1, improved, dist
+
+    it, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
+    return dist, it
+
+
 def recover_predecessors(graph: Graph, distances):
     """One pass over edges: pred[v] = min src with dist[src]+w == dist[v]."""
     src = graph.csc_rows
@@ -134,12 +173,37 @@ def run(
     options: Options | None = None,
     warmup: bool = True,
 ) -> Result:
-    """Role of reference ``sssp::run`` (sssp.hxx:177-198)."""
-    del options
+    """Role of reference ``sssp::run`` (sssp.hxx:177-198). The advance
+    strategy is runtime-selected via ``options.load_balance`` (the
+    reference's execute_runtime dispatch, advance.hxx:247-275):
+    PALLAS_MERGE_PATH routes through the bucketed min-plus kernel."""
     if not 0 <= int(single_source) < graph.n_vertices:
         raise ValueError(
             f"source {single_source} out of range [0, {graph.n_vertices})"
         )
+    from gunrock_tpu.ops.configs import LoadBalance
+
+    if options is not None and options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+        from gunrock_tpu.ops.pallas.semiring import _BIG, pull_layout
+
+        layout = pull_layout(graph, pad_value=_BIG)
+        fn = jax.jit(
+            lambda g, s: sssp_kernel_pallas(g, s, layout=layout)
+        )
+        import time
+
+        if warmup:
+            jax.block_until_ready(fn(graph, single_source))
+        t0 = time.perf_counter()
+        dist, it = jax.block_until_ready(fn(graph, single_source))
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        return Result(
+            distances=dist,
+            predecessors=recover_predecessors(graph, dist),
+            search_depth=int(it),
+            elapsed_ms=elapsed_ms,
+        )
+
     problem = SsspProblem(graph, Param(single_source))
     enactor = SsspEnactor(problem)
     state, elapsed_ms = enactor.enact(warmup=warmup)

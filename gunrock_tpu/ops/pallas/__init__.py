@@ -16,3 +16,10 @@ whatever the degree distribution.
 """
 
 from gunrock_tpu.ops.pallas.layout import BucketedEdges, build_bucketed_layout  # noqa: F401
+
+
+def use_interpret() -> bool:
+    """True when kernels must run in interpreter mode (no TPU backend)."""
+    import jax
+
+    return jax.default_backend() in ("cpu", "gpu")

@@ -48,8 +48,12 @@ def build_bucketed_layout(
     n_vertices: int,
     window: int = 512,
     chunk: int = 1024,
+    pad_value: float = 0.0,
 ) -> BucketedEdges:
-    """Bucket (row, col, value) edges into the chunked window layout."""
+    """Bucket (row, col, value) edges into the chunked window layout.
+
+    ``pad_value`` fills padding slots' values (use the reduction identity
+    of the target semiring, e.g. +inf for min_plus)."""
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     values = np.asarray(values, dtype=np.float32)
@@ -77,7 +81,7 @@ def build_bucketed_layout(
     E_out = n_chunks * chunk
     row_local = np.zeros(E_out, dtype=np.int32)
     col_local = np.zeros(E_out, dtype=np.int32)
-    vals_out = np.zeros(E_out, dtype=np.float32)
+    vals_out = np.full(E_out, pad_value, dtype=np.float32)
     row_local[dest] = (rows - rb * window).astype(np.int32)
     col_local[dest] = (cols - cb * window).astype(np.int32)
     vals_out[dest] = values
