@@ -115,6 +115,24 @@ def _counting_sort_to_compressed(
     Returns (offsets int32[n_major+1], minor_sorted, values_sorted, perm)
     where ``perm`` maps sorted position -> original edge index.
     """
+    # Native C++ counting sort when available (gunrock_tpu/_native —
+    # the reference's from_coo hot path, formats/csr.hxx:81-140).
+    if major.shape[0] >= (1 << 16):
+        from gunrock_tpu import _native
+
+        n_minor = int(minor.max()) + 1 if minor.size else 1
+        out = (
+            _native.coo_to_compressed(major, minor, values, n_major, n_minor)
+            if _native.available()
+            else None
+        )
+        if out is not None:
+            offsets, minor_out, vals_out, perm = out
+            dtype = (
+                np.int32 if offsets[-1] <= np.iinfo(np.int32).max else np.int64
+            )
+            return offsets.astype(dtype), minor_out, vals_out, perm
+
     # np.lexsort is a stable sort; keys are (least significant first).
     perm = np.lexsort((minor, major))
     major_sorted = major[perm]

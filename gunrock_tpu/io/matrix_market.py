@@ -29,6 +29,34 @@ class MatrixMarketError(ValueError):
     pass
 
 
+def _load_native(path):
+    """Fast path through the C++ parser (gunrock_tpu/_native); None when
+    the native library is unavailable (falls back to numpy parsing)."""
+    from gunrock_tpu import _native
+
+    if not _native.available():
+        return None
+    try:
+        parsed = _native.parse_mtx(path)
+    except ValueError as e:
+        raise MatrixMarketError(str(e)) from e
+    if parsed is None:
+        return None
+    n_rows, n_cols, rows, cols, vals, symmetric, pattern = parsed
+    properties = GraphProperties(
+        directed=not symmetric,
+        weighted=not pattern,
+        symmetric=symmetric,
+    )
+    return properties, Coo(
+        n_rows=n_rows,
+        n_cols=n_cols,
+        row_indices=rows,
+        col_indices=cols,
+        values=vals,
+    )
+
+
 def _open(path: Path):
     if str(path).endswith(".gz"):
         return gzip.open(path, "rt")
@@ -42,6 +70,10 @@ def load_matrix_market(path: str | Path):
     ``(graph_properties_t, coo host matrix)`` (matrix_market.hxx:104-255).
     """
     path = Path(path)
+    if not str(path).endswith(".gz"):
+        native = _load_native(path)
+        if native is not None:
+            return native
     with _open(path) as f:
         banner = f.readline()
         if not banner.startswith("%%MatrixMarket"):
