@@ -1,0 +1,174 @@
+"""Benchmark harness (role of reference benchmarks/ NVBench executables).
+
+One executable per algorithm in the reference (benchmarks/bfs_bench.cu);
+here one harness benchmarks any subset on a graph file or a synthetic
+suite, with warmup, multiple timed runs, workload-derived MTEPS, and
+JSON-lines output (the measurement contract of BASELINE.md).
+
+Usage:
+    python benchmarks/run.py --algorithms bfs,sssp,pr --market graph.mtx
+    python benchmarks/run.py --algorithms bfs --rmat 18 --edge_factor 16
+    python benchmarks/run.py --all --rmat 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+ALGORITHMS = [
+    "bfs", "sssp", "pr", "bc", "color", "kcore", "tc", "spmv", "hits",
+    "mst", "ppr", "spgemm",
+]
+
+
+def build_graph_from_args(ns):
+    if ns.market:
+        from gunrock_tpu.io import load_graph_file
+
+        g, _ = load_graph_file(ns.market)
+        return g, ns.market
+    from gunrock_tpu.io.generators import rmat_graph
+
+    g = rmat_graph(scale=ns.rmat, edge_factor=ns.edge_factor, seed=ns.seed)
+    return g, f"rmat{ns.rmat}_ef{ns.edge_factor}"
+
+
+def bench_one(algo: str, graph, ns):
+    """Returns (times_ms list, edges_visited, extra dict)."""
+    import jax
+
+    from gunrock_tpu import algorithms as A
+    from gunrock_tpu.framework.benchmark import (
+        dense_workload,
+        frontier_workload,
+        reached_from_distances,
+    )
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    opt = Options(load_balance=LoadBalance.parse(ns.load_balance))
+    rng = np.random.default_rng(0)
+    deg = np.diff(np.asarray(graph.row_offsets))
+    srcs = np.argsort(-deg)[: ns.num_runs].tolist()
+    times, edges, extra = [], 0, {}
+
+    if algo in ("bfs", "sssp"):
+        mod = A.bfs if algo == "bfs" else A.sssp
+        res = None
+        for s in srcs:
+            res = mod.run(graph, int(s), options=opt)
+            times.append(res.elapsed_ms)
+        stats = frontier_workload(
+            graph, reached_from_distances(res.distances), res.search_depth
+        )
+        edges = stats.edges_visited
+        extra["search_depth"] = res.search_depth
+    elif algo == "pr":
+        for _ in range(ns.num_runs):
+            res = A.pr.run(graph, tol=1e-6, options=opt)
+            times.append(res.elapsed_ms)
+        edges = dense_workload(graph, res.iterations).edges_visited
+        extra["iterations"] = res.iterations
+    elif algo == "bc":
+        for s in srcs:
+            res = A.bc.run(graph, int(s), options=opt)
+            times.append(res.elapsed_ms)
+        edges = 2 * graph.n_edges
+    elif algo == "color":
+        for i in range(ns.num_runs):
+            res = A.color.run(graph, seed=i, options=opt)
+            times.append(res.elapsed_ms)
+        edges = graph.n_edges * int(res.iterations)
+        extra["colors"] = int(np.asarray(res.colors).max()) + 1
+    elif algo == "kcore":
+        for _ in range(ns.num_runs):
+            res = A.kcore.run(graph, options=opt)
+            times.append(res.elapsed_ms)
+        edges = graph.n_edges
+        extra["degeneracy"] = res.degeneracy
+    elif algo == "tc":
+        for _ in range(ns.num_runs):
+            res = A.tc.run(graph, options=opt)
+            times.append(res.elapsed_ms)
+        edges = graph.n_edges
+        extra["triangles"] = res.n_triangles
+    elif algo == "spmv":
+        x = rng.random(graph.n_vertices).astype(np.float32)
+        for _ in range(ns.num_runs):
+            res = A.spmv.run(graph, x, options=opt)
+            times.append(res.elapsed_ms)
+        edges = graph.n_edges
+    elif algo == "hits":
+        for _ in range(ns.num_runs):
+            res = A.hits.run(graph, max_iterations=20, options=opt)
+            times.append(res.elapsed_ms)
+        edges = 2 * graph.n_edges * int(res.iterations)
+    elif algo == "mst":
+        for _ in range(ns.num_runs):
+            res = A.mst.run(graph, options=opt)
+            times.append(res.elapsed_ms)
+        edges = graph.n_edges
+        extra["mst_weight"] = res.mst_weight
+    elif algo == "ppr":
+        for s in srcs:
+            res = A.ppr.run(graph, int(s), epsilon=1e-7, options=opt)
+            times.append(res.elapsed_ms)
+        edges = graph.n_edges
+    elif algo == "spgemm":
+        for _ in range(ns.num_runs):
+            res = A.spgemm.run(graph, graph, options=opt)
+            times.append(res.elapsed_ms)
+        edges = graph.n_edges
+        extra["c_nnz"] = res.nnz
+    else:
+        raise ValueError(algo)
+    return times, edges, extra
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--algorithms", default="", help="comma-separated subset")
+    p.add_argument("--all", action="store_true")
+    p.add_argument("-m", "--market", default="")
+    p.add_argument("--rmat", type=int, default=16)
+    p.add_argument("--edge_factor", type=int, default=16)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("-n", "--num_runs", type=int, default=3)
+    p.add_argument("--load_balance", default="xla_segment")
+    ns = p.parse_args(argv)
+
+    algos = ALGORITHMS if ns.all else [a for a in ns.algorithms.split(",") if a]
+    if not algos:
+        p.error("pass --algorithms or --all")
+    graph, dataset = build_graph_from_args(ns)
+
+    for algo in algos:
+        try:
+            times, edges, extra = bench_one(algo, graph, ns)
+        except Exception as e:  # noqa: BLE001 — keep benching other algos
+            print(json.dumps({"algorithm": algo, "error": str(e)[:200]}))
+            continue
+        avg = float(np.mean(times))
+        out = {
+            "algorithm": algo,
+            "dataset": dataset,
+            "num_vertices": graph.n_vertices,
+            "num_edges": graph.n_edges,
+            "avg_ms": round(avg, 3),
+            "min_ms": round(float(np.min(times)), 3),
+            "max_ms": round(float(np.max(times)), 3),
+            "num_runs": len(times),
+            "mteps": round(edges / avg / 1000.0, 2) if avg > 0 else 0.0,
+            "load_balance": ns.load_balance,
+            **extra,
+        }
+        print(json.dumps(out))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

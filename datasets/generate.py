@@ -1,0 +1,63 @@
+"""Synthetic dataset writer for the datasets/Makefile targets."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def write_mtx(path, coo, symmetric=False):
+    n = len(coo.row_indices)
+    with open(path, "w") as f:
+        sym = "symmetric" if symmetric else "general"
+        f.write(f"%%MatrixMarket matrix coordinate real {sym}\n")
+        f.write(f"{coo.n_rows} {coo.n_cols} {n}\n")
+        np.savetxt(
+            f,
+            np.column_stack(
+                [coo.row_indices + 1, coo.col_indices + 1, coo.values]
+            ),
+            fmt="%d %d %.6f",
+        )
+    print(f"wrote {path}: {coo.n_rows} vertices, {n} entries")
+
+
+def main(argv=None):
+    from gunrock_tpu.io.generators import grid2d_coo, rmat_coo, uniform_random_coo
+
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="kind", required=True)
+    r = sub.add_parser("rmat")
+    r.add_argument("--scale", type=int, required=True)
+    r.add_argument("--edge-factor", type=int, default=16)
+    r.add_argument("--undirected", action="store_true")
+    g = sub.add_parser("grid")
+    g.add_argument("--side", type=int, required=True)
+    u = sub.add_parser("uniform")
+    u.add_argument("--n", type=int, required=True)
+    u.add_argument("--avg-degree", type=int, default=8)
+    for s in (r, g, u):
+        s.add_argument("-o", "--output", required=True)
+        s.add_argument("--seed", type=int, default=0)
+    ns = p.parse_args(argv)
+
+    if ns.kind == "rmat":
+        coo = rmat_coo(
+            ns.scale, ns.edge_factor, seed=ns.seed, undirected=ns.undirected
+        )
+        write_mtx(ns.output, coo)
+    elif ns.kind == "grid":
+        coo = grid2d_coo(ns.side, weighted=True, seed=ns.seed)
+        write_mtx(ns.output, coo)
+    else:
+        coo = uniform_random_coo(ns.n, ns.avg_degree, seed=ns.seed)
+        write_mtx(ns.output, coo)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,3 +43,21 @@ from gunrock_tpu.framework.frontier import DenseFrontier, QueueFrontier  # noqa:
 # high-level entry points for pygunrock-style usage
 # (reference python/src/gunrock/__init__.py).
 from gunrock_tpu import algorithms  # noqa: F401
+from gunrock_tpu.interop import (  # noqa: F401
+    bc_run,
+    bfs,
+    bfs_run,
+    color_run,
+    geo_run,
+    hits_run,
+    kcore_run,
+    mst_run,
+    ppr_run,
+    pr_run,
+    spgemm_run,
+    spmv_run,
+    sssp,
+    sssp_run,
+    tc_run,
+)
+from gunrock_tpu.ops.configs import Options  # noqa: F401

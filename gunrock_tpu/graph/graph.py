@@ -140,6 +140,45 @@ class Graph:
         found = (lo < end) & (self.col_indices[jnp.minimum(lo, self.n_edges - 1)] == v)
         return jnp.where(found, lo.astype(jnp.int32), jnp.int32(-1))
 
+    def get_intersection_count(self, u, v) -> jax.Array:
+        """Size of N(u) ∩ N(v) over sorted adjacency rows (role of
+        reference ``get_intersection_count``, graph/csr.hxx:116-173 — the
+        TC building block). Jit/vmap-safe: iterates the smaller row,
+        binary-searching the larger."""
+        du = self.get_number_of_neighbors(u)
+        dv = self.get_number_of_neighbors(v)
+        small = jnp.where(du <= dv, u, v)
+        big = jnp.where(du <= dv, v, u)
+        s_start = self.row_offsets[small]
+        s_end = self.row_offsets[small + 1]
+        b_start = self.row_offsets[big]
+        b_end = self.row_offsets[big + 1]
+
+        def body(state):
+            e, count = state
+            y = self.col_indices[e]
+            lo, hi = b_start, b_end
+
+            def sstep(_, lh):
+                lo, hi = lh
+                active = lo < hi
+                mid = (lo + hi) // 2
+                go_right = self.col_indices[jnp.minimum(mid, self.n_edges - 1)] < y
+                nlo = jnp.where(go_right, mid + 1, lo)
+                nhi = jnp.where(go_right, hi, mid)
+                return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+
+            lo, hi = jax.lax.fori_loop(0, 32, sstep, (lo, hi))
+            found = (lo < b_end) & (
+                self.col_indices[jnp.minimum(lo, self.n_edges - 1)] == y
+            )
+            return e + 1, count + found.astype(jnp.int32)
+
+        _, count = jax.lax.while_loop(
+            lambda s: s[0] < s_end, body, (s_start, jnp.int32(0))
+        )
+        return count
+
     # ------------------------------------------------------------------
     # Degree vectors & statistics (reference graph/graph.hxx:349-439)
     # ------------------------------------------------------------------

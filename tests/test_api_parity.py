@@ -1,0 +1,105 @@
+"""pygunrock-style API surface, device properties, workload counters,
+sort/search support algorithms, graph intersection accessor."""
+
+import numpy as np
+
+from tests.conftest import random_graph
+
+CHESAPEAKE = "/root/reference/datasets/chesapeake/chesapeake.mtx"
+
+
+def test_toplevel_sssp_bfs_fill_torch_tensors():
+    """Reference python/src/gunrock/bindings.cu:186-258 contract:
+    sssp/bfs(graph, src, distances, predecessors) fill the tensors and
+    return elapsed ms."""
+    import torch
+
+    import gunrock_tpu
+    from gunrock_tpu.io import load_graph_file
+
+    g, _ = load_graph_file(CHESAPEAKE)
+    V = g.n_vertices
+    dist = torch.zeros(V, dtype=torch.float32)
+    pred = torch.zeros(V, dtype=torch.int32)
+    ms = gunrock_tpu.sssp(g, 0, dist, pred)
+    assert ms >= 0
+    assert dist[0] == 0 and dist[6] == 1.0
+
+    bdist = torch.zeros(V, dtype=torch.int32)
+    gunrock_tpu.bfs(g, 0, bdist, None)
+    assert bdist[0] == 0 and int(bdist[1]) == 2
+
+    # numpy outputs work too
+    ndist = np.zeros(V, dtype=np.float32)
+    gunrock_tpu.sssp(g, 0, ndist)
+    assert ndist[0] == 0
+
+
+def test_run_wrappers_exist():
+    import gunrock_tpu
+
+    for name in (
+        "bfs_run", "sssp_run", "bc_run", "pr_run", "ppr_run", "tc_run",
+        "color_run", "kcore_run", "geo_run", "hits_run", "mst_run",
+        "spmv_run", "spgemm_run",
+    ):
+        assert callable(getattr(gunrock_tpu, name))
+
+
+def test_device_properties_and_launch_params():
+    from gunrock_tpu.device import get_device_properties, launch_params
+
+    props = get_device_properties()
+    assert props.num_devices >= 1
+    assert props.mxu_size == 128
+    lp = launch_params()
+    assert lp.window > 0 and lp.chunk > 0
+
+
+def test_workload_stats():
+    from gunrock_tpu.algorithms import bfs
+    from gunrock_tpu.framework.benchmark import (
+        frontier_workload,
+        reached_from_distances,
+    )
+    from gunrock_tpu.io import load_graph_file
+
+    g, _ = load_graph_file(CHESAPEAKE)
+    res = bfs.run(g, 0, warmup=False)
+    reached = reached_from_distances(res.distances)
+    stats = frontier_workload(g, reached, res.search_depth)
+    assert stats.vertices_visited == 39  # chesapeake is connected
+    assert stats.edges_visited == 340
+    assert stats.mteps(1.0) == 0.34
+
+
+def test_sort_and_search_support():
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.search import binary_search, bounded_binary_search
+    from gunrock_tpu.ops.sort import sort_keys, sort_pairs, stable_sort_by
+
+    keys = jnp.asarray([5, 3, 9, 1], jnp.int32)
+    vals = jnp.asarray([50, 30, 90, 10], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(sort_keys(keys)), [1, 3, 5, 9])
+    k, v = sort_pairs(keys, vals)
+    np.testing.assert_array_equal(np.asarray(v), [10, 30, 50, 90])
+    a, b, c = stable_sort_by(
+        jnp.asarray([1, 0, 1, 0]), jnp.asarray([2, 9, 1, 3]), vals, num_keys=2
+    )
+    np.testing.assert_array_equal(np.asarray(b), [3, 9, 1, 2])
+
+    arr = jnp.asarray([1, 3, 5, 7, 9], jnp.int32)
+    assert int(binary_search(arr, 5)) == 2
+    assert int(bounded_binary_search(arr, 5, jnp.int32(0), jnp.int32(5))) == 2
+
+
+def test_graph_intersection_count():
+    import networkx as nx
+
+    g, sp_mat = random_graph(None, n=30, p=0.2, symmetric=True, seed_offset=80)
+    G = nx.from_scipy_sparse_array(sp_mat)
+    for u, v in [(0, 1), (3, 7), (10, 20)]:
+        want = len(set(G.neighbors(u)) & set(G.neighbors(v)))
+        got = int(g.get_intersection_count(u, v))
+        assert got == want, (u, v, got, want)
