@@ -33,9 +33,11 @@ def main():
     # Sources: highest-degree vertices reach the giant component.
     sources = np.argsort(-deg)[:8].tolist()
 
-    fn = jax.jit(lambda g, s: bfs_kernel(g, s, compute_predecessors=False))
+    from gunrock_tpu.algorithms.bfs import bfs_kernel_do
+
+    fn = jax.jit(lambda g, s: bfs_kernel_do(g, s))
     # Warmup/compile.
-    dist, _, depth = jax.block_until_ready(fn(graph, 0))
+    dist, depth = jax.block_until_ready(fn(graph, 0))
 
     # Timed loop stays pure: no D2H reads or other executables between calls
     # (each would re-trigger per-call argument rebinding on the axon tunnel).
@@ -47,7 +49,7 @@ def main():
     avg_ms = (time.perf_counter() - t0) * 1e3 / len(sources)
 
     times_ms, mteps_all = [], []
-    for (dist, _, depth), src in zip(outs, sources):
+    for (dist, depth), src in zip(outs, sources):
         reached = np.asarray(dist) != int(UNREACHED)
         edges_visited = int(deg[reached].sum())
         times_ms.append(avg_ms)

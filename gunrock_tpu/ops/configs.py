@@ -98,6 +98,7 @@ class Options:
     ``options_t``)."""
 
     load_balance: LoadBalance = LoadBalance.XLA_SEGMENT
+    advance_direction: AdvanceDirection = AdvanceDirection.FORWARD
     filter_algorithm: FilterAlgorithm = FilterAlgorithm.BYPASS
     uniquify_algorithm: UniquifyAlgorithm = UniquifyAlgorithm.SCATTER
     enable_filter: bool = True

@@ -130,3 +130,45 @@ def test_bfs_chesapeake():
     check_bfs(g, 0)
     res = bfs.run(g, 0, warmup=False)
     assert res.search_depth <= 5  # chesapeake is tiny and dense
+
+
+def test_bfs_direction_optimized_matches_dense():
+    """The push/pull switching kernel (reference's declared
+    advance_direction_t::optimized) must agree with the dense kernel."""
+    import numpy as np
+
+    from gunrock_tpu.algorithms.bfs import bfs_kernel, bfs_kernel_do
+    from tests.conftest import random_graph
+
+    for i, (n, p) in enumerate([(97, 0.05), (200, 0.02)]):
+        g, _ = random_graph(None, n=n, p=p, seed_offset=140 + i)
+        d1, _, it1 = bfs_kernel(g, 0, compute_predecessors=False)
+        d2, it2 = bfs_kernel_do(g, 0, edge_budget=64)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        assert int(it1) == int(it2)
+
+
+def test_bfs_run_optimized_option():
+    import numpy as np
+
+    from gunrock_tpu.algorithms import bfs
+    from gunrock_tpu.ops.configs import AdvanceDirection, Options
+    from tests.conftest import random_graph
+
+    g, _ = random_graph(None, n=80, p=0.06, seed_offset=150)
+    plain = bfs.run(g, 0, warmup=False)
+    opt = bfs.run(
+        g, 0,
+        options=Options(advance_direction=AdvanceDirection.OPTIMIZED),
+        warmup=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.distances), np.asarray(opt.distances)
+    )
+    # predecessors must be *valid* (a vertex at depth d has a pred at d-1)
+    d = np.asarray(opt.distances)
+    p = np.asarray(opt.predecessors)
+    reached = d != np.iinfo(np.int32).max
+    for v in np.nonzero(reached)[0]:
+        if d[v] > 0:
+            assert p[v] >= 0 and d[p[v]] == d[v] - 1
