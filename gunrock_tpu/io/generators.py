@@ -40,6 +40,20 @@ def _dedup_coo(rows, cols, n, remove_self_loops=True):
     return rows.astype(np.int32), cols.astype(np.int32)
 
 
+def _symmetric_weights(rows, cols, seed: int) -> np.ndarray:
+    """Per-edge weights that are equal for (u,v) and (v,u): a hash of the
+    unordered pair. Required because ``build_graph`` aliases the CSC view
+    onto CSR storage for symmetric graphs (graph/build.py) — symmetric
+    structure implies symmetric weights."""
+    a = np.minimum(rows, cols).astype(np.uint64)
+    b = np.maximum(rows, cols).astype(np.uint64)
+    key = a * np.uint64(2654435761) ^ (b + np.uint64(0x9E3779B9)) ^ np.uint64(seed)
+    key = (key ^ (key >> np.uint64(16))) * np.uint64(0x45D9F3B)
+    key = (key ^ (key >> np.uint64(16))) * np.uint64(0x45D9F3B)
+    key = key ^ (key >> np.uint64(16))
+    return (key % np.uint64(1_000_000)).astype(np.float32) / 1e6 + 0.1
+
+
 def rmat_coo(
     scale: int,
     edge_factor: int = 16,
@@ -73,11 +87,12 @@ def rmat_coo(
     if undirected:
         rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
     rows, cols = _dedup_coo(rows, cols, n)
-    values = (
-        (rng.random(rows.size).astype(np.float32) + 0.1)
-        if weighted
-        else np.ones(rows.size, dtype=np.float32)
-    )
+    if not weighted:
+        values = np.ones(rows.size, dtype=np.float32)
+    elif undirected:
+        values = _symmetric_weights(rows, cols, seed)
+    else:
+        values = rng.random(rows.size).astype(np.float32) + 0.1
     return Coo(n_rows=n, n_cols=n, row_indices=rows, col_indices=cols, values=values)
 
 
@@ -110,9 +125,8 @@ def grid2d_coo(side: int, weighted: bool = False, seed: int = 0) -> Coo:
     rows = np.concatenate(srcs); cols = np.concatenate(dsts)
     rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
     rows, cols = _dedup_coo(rows, cols, n)
-    rng = np.random.default_rng(seed)
     values = (
-        (rng.random(rows.size).astype(np.float32) + 0.1)
+        _symmetric_weights(rows, cols, seed)
         if weighted
         else np.ones(rows.size, dtype=np.float32)
     )

@@ -43,10 +43,13 @@ def _load_native(path):
     if parsed is None:
         return None
     n_rows, n_cols, rows, cols, vals, symmetric, pattern = parsed
+    with open(path, "rb") as f:
+        banner = f.readline().decode(errors="replace").lower()
+    skew = "skew-symmetric" in banner
     properties = GraphProperties(
         directed=not symmetric,
         weighted=not pattern,
-        symmetric=symmetric,
+        symmetric=symmetric and not skew,
     )
     return properties, Coo(
         n_rows=n_rows,
@@ -122,10 +125,14 @@ def load_matrix_market(path: str | Path):
         rows = rows.astype(np.int32)
         cols = cols.astype(np.int32)
 
+    # skew-symmetric: structure is symmetric but weights negate across the
+    # diagonal — properties.symmetric must stay False so build_graph does
+    # NOT alias the CSC view onto CSR storage (weight symmetry is part of
+    # that aliasing contract, graph/build.py).
     properties = GraphProperties(
         directed=(symmetry == "general"),
         weighted=(field != "pattern"),
-        symmetric=(symmetry in ("symmetric", "skew-symmetric", "hermitian")),
+        symmetric=(symmetry in ("symmetric", "hermitian")),
     )
 
     if properties.symmetric and rows.size:
