@@ -177,3 +177,167 @@ def spmv(pg: PartitionedGraph, x: jax.Array, mesh):
 
     fn = jax.jit(_shard_map(spmd, mesh, in_specs=(P(axis), P()), out_specs=P()))
     return fn(pg, x)
+
+
+def kcore(pg: PartitionedGraph, mesh):
+    """Distributed k-core decomposition (flat peel loop; vertex state
+    replicated, degree decrements combined with psum). Returns
+    (k_cores int32[V], degeneracy)."""
+    V = pg.n_vertices
+    axis = mesh.axis_names[0]
+
+    def spmd(pg):
+        deg_local = jax.ops.segment_sum(
+            pg.edge_valid.astype(jnp.int32),
+            pg.edge_src,
+            num_segments=V,
+            indices_are_sorted=True,
+        )
+        deg = jax.lax.psum(deg_local, axis)
+
+        def cond(c):
+            k, deg, deleted, cores = c
+            return ~jnp.all(deleted)
+
+        def body(c):
+            k, deg, deleted, cores = c
+            peel = (~deleted) & (deg <= k)
+            any_peel = jnp.any(peel)
+            cores = jnp.where(peel, k, cores)
+            deleted = deleted | peel
+            dec_local = jax.ops.segment_sum(
+                (peel[pg.csc_rows] & pg.csc_valid).astype(jnp.int32),
+                pg.csc_dst,
+                num_segments=V,
+                indices_are_sorted=True,
+            )
+            deg = deg - jax.lax.psum(dec_local, axis)
+            k = jnp.where(any_peel, k, k + 1)
+            return k, deg, deleted, cores
+
+        k, _, _, cores = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.int32(1), deg, jnp.zeros(V, bool), jnp.zeros(V, jnp.int32)),
+        )
+        return cores, k
+
+    fn = jax.jit(_shard_map(spmd, mesh, in_specs=(P(axis),), out_specs=(P(), P())))
+    return fn(pg)
+
+
+def hits(pg: PartitionedGraph, mesh, max_iterations: int = 50):
+    """Distributed HITS (reference hits.hxx semantics). Returns
+    (auth f32[V], hub f32[V], iterations)."""
+    V = pg.n_vertices
+    axis = mesh.axis_names[0]
+
+    def spmd(pg):
+        auth0 = jnp.ones(V, jnp.float32)
+        hub0 = jnp.ones(V, jnp.float32)
+
+        def l2(x):
+            s = jnp.sum(x * x)
+            return jnp.where(s > 0, x / jnp.sqrt(s), x)
+
+        def cond(c):
+            it, auth, hub, done = c
+            return (~done) & (it < max_iterations)
+
+        def body(c):
+            it, auth, hub, _ = c
+            hub_local = jax.ops.segment_sum(
+                jnp.where(pg.edge_valid, auth[pg.edge_dst], 0.0),
+                pg.edge_src,
+                num_segments=V,
+                indices_are_sorted=True,
+            )
+            hub_n = l2(jax.lax.psum(hub_local, axis))
+            auth_local = jax.ops.segment_sum(
+                jnp.where(pg.csc_valid, hub[pg.csc_rows], 0.0),
+                pg.csc_dst,
+                num_segments=V,
+                indices_are_sorted=True,
+            )
+            auth_n = l2(jax.lax.psum(auth_local, axis))
+            done = jnp.all(auth_n == auth) | jnp.all(hub_n == hub)
+            return it + 1, auth_n, hub_n, done
+
+        it, auth, hub, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), auth0, hub0, jnp.bool_(False))
+        )
+        return auth, hub, it
+
+    fn = jax.jit(
+        _shard_map(spmd, mesh, in_specs=(P(axis),), out_specs=(P(), P(), P()))
+    )
+    return fn(pg)
+
+
+def tc(graph, mesh):
+    """Distributed triangle counting: the degree-ordered DAG's edges are
+    sharded across the mesh, each device runs the batched sorted-
+    membership count on its chunk, and per-vertex counts combine with one
+    psum. The DAG adjacency is replicated (compute scales with devices;
+    memory does not yet — an edge-partitioned adjacency exchange is the
+    next step). Returns (vertex counts int32[V], total)."""
+    import numpy as np
+
+    from gunrock_tpu.algorithms.tc import _search_steps, build_dag
+
+    V = graph.n_vertices
+    axis = mesh.axis_names[0]
+    n_dev = mesh.size
+    dag_offsets, dag_adj, edge_u, edge_v = build_dag(graph)
+    D = int(np.diff(dag_offsets).max()) if dag_adj.size else 1
+    steps = _search_steps(D)
+    E_dag = edge_u.shape[0]
+    per_dev = -(-max(E_dag, 1) // n_dev)
+    E_pad = per_dev * n_dev
+    pad = np.full(E_pad - E_dag, -1, dtype=np.int32)
+    eu = jnp.asarray(np.concatenate([edge_u, pad]))
+    ev = jnp.asarray(np.concatenate([edge_v, pad]))
+    offs = jnp.asarray(dag_offsets)
+    adj = jnp.asarray(dag_adj if dag_adj.size else np.zeros(1, np.int32))
+
+    def spmd(offs, adj, eu, ev):
+        valid_e = eu >= 0
+        us = jnp.where(valid_e, eu, 0)
+        vs = jnp.where(valid_e, ev, 0)
+        base = offs[us]
+        du = offs[us + 1] - base
+        j = jnp.arange(D, dtype=jnp.int32)[None, :]
+        valid_y = (j < du[:, None]) & valid_e[:, None]
+        y = adj[jnp.where(valid_y, base[:, None] + j, 0)]
+        lo = jnp.broadcast_to(offs[vs][:, None], y.shape)
+        hi0 = offs[vs + 1][:, None]
+        hi = jnp.broadcast_to(hi0, y.shape)
+
+        def sstep(_, lh):
+            lo, hi = lh
+            active = lo < hi
+            mid = (lo + hi) // 2
+            go_right = adj[jnp.minimum(mid, adj.shape[0] - 1)] < y
+            nlo = jnp.where(go_right, mid + 1, lo)
+            nhi = jnp.where(go_right, hi, mid)
+            return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+
+        lo, hi = jax.lax.fori_loop(0, steps, sstep, (lo, hi))
+        found = valid_y & (lo < hi0) & (
+            adj[jnp.minimum(lo, adj.shape[0] - 1)] == y
+        )
+        f32 = found.astype(jnp.int32)
+        per_edge = jnp.sum(f32, axis=1)
+        counts = jnp.zeros(V, jnp.int32)
+        counts = counts.at[jnp.where(found, y, V)].add(f32, mode="drop")
+        counts = counts.at[jnp.where(valid_e, us, V)].add(per_edge, mode="drop")
+        counts = counts.at[jnp.where(valid_e, vs, V)].add(per_edge, mode="drop")
+        return jax.lax.psum(counts, axis)
+
+    fn = jax.jit(
+        _shard_map(
+            spmd, mesh, in_specs=(P(), P(), P(axis), P(axis)), out_specs=P()
+        )
+    )
+    counts = fn(offs, adj, eu, ev)
+    return counts, int(jnp.sum(counts))

@@ -104,3 +104,49 @@ def test_graft_entry_multichip():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_distributed_kcore(setup, mesh):
+    import networkx as nx
+
+    from gunrock_tpu.parallel import algorithms as dalg
+
+    g, sp_mat, _ = setup
+    from gunrock_tpu.parallel.partition import partition_graph
+
+    gs, sp_s = random_graph(None, n=60, p=0.12, symmetric=True, seed_offset=15)
+    pgs = partition_graph(gs, 8, mesh)
+    cores, k = dalg.kcore(pgs, mesh)
+    G = nx.from_scipy_sparse_array(sp_s)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.core_number(G)
+    got = np.asarray(cores)
+    for v in range(60):
+        assert got[v] == max(want[v], 1)
+
+
+def test_distributed_hits(setup, mesh):
+    from gunrock_tpu.algorithms import hits as shits
+    from gunrock_tpu.parallel import algorithms as dalg
+
+    g, _, pg = setup
+    want = shits.run(g, max_iterations=20, warmup=False)
+    auth, hub, it = dalg.hits(pg, mesh, max_iterations=20)
+    np.testing.assert_allclose(np.asarray(auth), np.asarray(want.auth), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hub), np.asarray(want.hub), atol=1e-5)
+
+
+def test_distributed_tc(mesh):
+    import networkx as nx
+
+    from gunrock_tpu.parallel import algorithms as dalg
+
+    g, sp_mat = random_graph(None, n=64, p=0.15, symmetric=True, seed_offset=16)
+    counts, total = dalg.tc(g, mesh)
+    G = nx.from_scipy_sparse_array(sp_mat)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.triangles(G)
+    got = np.asarray(counts)
+    for v in range(64):
+        assert got[v] == want[v]
+    assert total == 3 * (sum(want.values()) // 3)
