@@ -59,6 +59,22 @@ def spmv_pull_kernel(graph: Graph, x: jax.Array) -> jax.Array:
     return y_t  # == A^T.x; for symmetric graphs equals A.x
 
 
+def spmm_kernel(graph: Graph, X, layout=None, interpret: bool | None = None):
+    """Y = A.X for dense X[V, K] via the MXU bucketed SpMM Pallas kernel
+    (ops/pallas/spmm.py) — masks amortize over the K columns, ~50x the
+    per-vector cost of SpMV at K=128 on chip. Requires a concrete graph
+    (layout built host-side) unless ``layout`` is given."""
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import layout_for_graph
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+    if layout is None:
+        layout = layout_for_graph(graph, window=2048, chunk=256)
+    if interpret is None:
+        interpret = use_interpret()
+    return bucketed_spmm(layout, jnp.asarray(X, jnp.float32), interpret=interpret)
+
+
 def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) -> Result:
     """Role of reference ``spmv::run`` (spmv.hxx:139-170)."""
     options = options or Options()

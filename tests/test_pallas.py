@@ -39,3 +39,36 @@ def test_pallas_spmv_empty_rows_and_isolated():
     x = np.random.default_rng(2).random(150).astype(np.float32)
     y = pspmv.spmv(g, x, window=128, chunk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_spmm_interpret_matches_scipy():
+    from gunrock_tpu.algorithms.spmv import spmm_kernel
+    from gunrock_tpu.ops.pallas.layout import layout_for_graph
+
+    g, A = random_graph(None, n=300, p=0.05, weighted=True, seed_offset=63)
+    X = np.random.default_rng(2).random((300, 8)).astype(np.float32)
+    layout = layout_for_graph(g, window=128, chunk=256)
+    Y = np.asarray(spmm_kernel(g, X, layout=layout, interpret=True))
+    # two-pass bf16 split: ~f32 accurate
+    np.testing.assert_allclose(Y, A @ X, rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_semiring_min_plus_interpret():
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.semiring import _BIG, bucketed_semiring_spmv, pull_layout
+
+    g, A = random_graph(None, n=200, p=0.06, weighted=True, seed_offset=64)
+    layout = pull_layout(g, window=128, chunk=256, pad_value=_BIG)
+    x = np.random.default_rng(3).random(200).astype(np.float32)
+    y = np.asarray(
+        bucketed_semiring_spmv(layout, jnp.asarray(x), "min_plus", interpret=True)
+    )
+    # oracle: y[v] = min over in-edges (u,v) of w + x[u]
+    D = A.toarray()
+    want = np.full(200, np.inf, np.float32)
+    for v in range(200):
+        us = np.nonzero(D[:, v])[0]
+        if us.size:
+            want[v] = (D[us, v] + x[us]).min()
+    np.testing.assert_allclose(y, want, rtol=1e-5)
