@@ -137,3 +137,15 @@ def test_mst_forest_on_disconnected():
     assert abs(res.mst_weight - (1 + 2 + 4 + 5)) < 1e-5
     with pytest.raises(RuntimeError):
         mst.run(gph, require_connected=True, warmup=False)
+
+
+def test_bc_all_sources_spmm_matches_vmapped():
+    """Batched-SpMM BC (MXU path) vs the vmapped reference path."""
+    from gunrock_tpu.algorithms import bc
+
+    g, _ = random_graph(None, n=50, p=0.12, symmetric=True, seed_offset=22)
+    want = bc.run_all_sources(g, chunk_size=10, warmup=False)
+    got = bc.run_all_sources_spmm(g, chunk_size=16)
+    np.testing.assert_allclose(
+        np.asarray(got.bc_values), np.asarray(want.bc_values), atol=1e-3
+    )
