@@ -163,6 +163,58 @@ def bfs_kernel_do(
     return dist, it
 
 
+def msbfs_kernel(
+    graph: Graph,
+    sources,  # int32[K]
+    pull_layout=None,
+    max_iterations: int | None = None,
+    interpret: bool | None = None,
+):
+    """Multi-source BFS via the MXU SpMM kernel: K searches share every
+    one-hot mask (the strongest form of the reference's batch operator —
+    batch/batch.hxx std::thread fan-out -> a matmul K axis). Returns
+    (distances int32[V, K], depth)."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+    V = graph.n_vertices
+    K = sources.shape[0]
+    max_it = V if max_iterations is None else max_iterations
+    if interpret is None:
+        interpret = use_interpret()
+    if pull_layout is None:
+        W, C = (128, 256) if interpret else (2048, 256)
+        pull_layout = build_bucketed_layout(
+            np.asarray(graph.col_indices),
+            np.asarray(graph.edge_src),
+            np.ones(graph.n_edges, np.float32),  # unit weights: hop counts
+            V,
+            window=W,
+            chunk=C,
+        )
+
+    cols = jnp.arange(K)
+    dist0 = jnp.full((V, K), UNREACHED, jnp.int32).at[sources, cols].set(0)
+    front0 = jnp.zeros((V, K), jnp.float32).at[sources, cols].set(1.0)
+
+    def cond(c):
+        it, front, dist = c
+        return jnp.any(front > 0) & (it < max_it)
+
+    def body(c):
+        it, front, dist = c
+        reached = bucketed_spmm(pull_layout, front, interpret=interpret) > 0.5
+        new = reached & (dist == UNREACHED)
+        dist = jnp.where(new, it + 1, dist)
+        return it + 1, new.astype(jnp.float32), dist
+
+    it, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
+    return dist, it
+
+
 def bfs_kernel(
     graph: Graph,
     single_source,

@@ -172,3 +172,19 @@ def test_bfs_run_optimized_option():
     for v in np.nonzero(reached)[0]:
         if d[v] > 0:
             assert p[v] >= 0 and d[p[v]] == d[v] - 1
+
+
+def test_msbfs_matches_single_source():
+    """Multi-source SpMM BFS agrees with per-source BFS."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gunrock_tpu.algorithms.bfs import bfs_kernel, msbfs_kernel
+    from tests.conftest import random_graph
+
+    g, _ = random_graph(None, n=120, p=0.04, seed_offset=160)
+    sources = jnp.asarray([0, 5, 17, 44], jnp.int32)
+    dist, depth = msbfs_kernel(g, sources)
+    for k, s in enumerate([0, 5, 17, 44]):
+        want, _, _ = bfs_kernel(g, s, compute_predecessors=False)
+        np.testing.assert_array_equal(np.asarray(dist[:, k]), np.asarray(want))
