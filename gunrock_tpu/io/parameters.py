@@ -20,6 +20,7 @@ import sys
 import numpy as np
 
 from gunrock_tpu.ops.configs import (
+    AdvanceDirection,
     FilterAlgorithm,
     LoadBalance,
     Options,
@@ -60,6 +61,8 @@ def build_parser(algorithm: str, extra_args=None) -> argparse.ArgumentParser:
     p.add_argument("--advance_load_balance", default="xla_segment",
                    help="advance strategy (thread_mapped, block_mapped, "
                    "merge_path, xla_segment, pallas_merge_path)")
+    p.add_argument("--advance_direction", default="forward",
+                   help="advance direction (forward, backward, optimized)")
     p.add_argument("--filter_algorithm", default="bypass",
                    help="filter algorithm (remove, predicated, compact, bypass)")
     p.add_argument("--enable_filter", action="store_true")
@@ -108,6 +111,7 @@ def parse(algorithm: str, argv=None, extra_args=None) -> Parameters:
     ns = parser.parse_args(argv)
     options = Options(
         load_balance=LoadBalance.parse(ns.advance_load_balance),
+        advance_direction=AdvanceDirection(ns.advance_direction),
         filter_algorithm=FilterAlgorithm.parse(ns.filter_algorithm),
         uniquify_algorithm=UniquifyAlgorithm(ns.uniquify_algorithm)
         if ns.uniquify_algorithm in [u.value for u in UniquifyAlgorithm]
