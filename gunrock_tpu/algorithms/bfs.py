@@ -308,11 +308,12 @@ def run(
         raise ValueError(
             f"source {single_source} out of range [0, {graph.n_vertices})"
         )
-    from gunrock_tpu.ops.configs import AdvanceDirection
+    from gunrock_tpu.ops.configs import AdvanceDirection, default_options
 
+    if options is None:
+        options = default_options()
     use_do = (
-        options is not None
-        and getattr(options, "advance_direction", None) == AdvanceDirection.OPTIMIZED
+        getattr(options, "advance_direction", None) == AdvanceDirection.OPTIMIZED
     )
     if use_do:
         import time

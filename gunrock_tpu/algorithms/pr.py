@@ -144,9 +144,11 @@ def run(
     if options is not None and options.max_iterations:
         max_it = options.max_iterations
 
-    from gunrock_tpu.ops.configs import LoadBalance
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
 
-    if options is not None and options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+    if options is None:
+        options = default_options()
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
         import time
 
         from gunrock_tpu.ops.pallas.semiring import pull_layout

@@ -125,16 +125,39 @@ def sssp_kernel_do(
     single_source,
     max_iterations: int | None = None,
     edge_budget: int | None = None,
+    layout=None,
+    interpret: bool | None = None,
 ):
     """Direction-optimizing SSSP: sparse push relaxations for small
     frontiers (the dominant regime on long-diameter road networks), dense
-    min-plus pull otherwise. Returns (distances, depth)."""
+    min-plus pull otherwise. When a Pallas ``layout`` is given the dense
+    branch routes through the bucketed min-plus kernel (the fastest
+    on-chip combination). Returns (distances, depth)."""
     V = graph.n_vertices
     E = graph.n_edges
     max_it = V if max_iterations is None else max_iterations
     if edge_budget is None:
         edge_budget = max(4096, E // 64)
     deg = jnp.diff(graph.row_offsets)
+    if layout is not None:
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.semiring import _BIG, bucketed_semiring_spmv
+
+        if interpret is None:
+            interpret = use_interpret()
+
+        def dense_step(front, dist):
+            x = jnp.where(front, dist, _BIG)
+            relaxed = bucketed_semiring_spmv(
+                layout, x, "min_plus", interpret=interpret
+            )
+            improved = relaxed < dist
+            return improved, jnp.minimum(dist, relaxed)
+
+    else:
+
+        def dense_step(front, dist):
+            return sssp_step(graph, front, dist)
 
     dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
     front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
@@ -157,7 +180,7 @@ def sssp_kernel_do(
 
         def pull(args):
             front, dist = args
-            return sssp_step(graph, front, dist)
+            return dense_step(front, dist)
 
         front, dist = jax.lax.cond(use_push, push, pull, (front, dist))
         return it + 1, front, dist
@@ -266,15 +289,19 @@ def run(
         raise ValueError(
             f"source {single_source} out of range [0, {graph.n_vertices})"
         )
-    from gunrock_tpu.ops.configs import AdvanceDirection, LoadBalance
+    from gunrock_tpu.ops.configs import AdvanceDirection, LoadBalance, default_options
 
-    if (
-        options is not None
-        and getattr(options, "advance_direction", None) == AdvanceDirection.OPTIMIZED
-    ):
+    if options is None:
+        options = default_options()
+    if getattr(options, "advance_direction", None) == AdvanceDirection.OPTIMIZED:
         import time
 
-        fn = jax.jit(lambda g, s: sssp_kernel_do(g, s))
+        layout = None
+        if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+            from gunrock_tpu.ops.pallas.semiring import _BIG, pull_layout
+
+            layout = pull_layout(graph, pad_value=_BIG)
+        fn = jax.jit(lambda g, s: sssp_kernel_do(g, s, layout=layout))
         if warmup:
             jax.block_until_ready(fn(graph, single_source))
         t0 = time.perf_counter()
