@@ -47,18 +47,10 @@ def _l2_normalize(x):
 
 def hits_step(graph: Graph, auth, hub):
     """One HITS iteration (pure). Returns (auth_next, hub_next)."""
-    hub_next = jax.ops.segment_sum(
-        auth[graph.col_indices],
-        graph.edge_src,
-        num_segments=graph.n_vertices,
-        indices_are_sorted=True,
-    )
-    auth_next = jax.ops.segment_sum(
-        hub[graph.csc_rows],
-        graph.csc_dst,
-        num_segments=graph.n_vertices,
-        indices_are_sorted=True,
-    )
+    from gunrock_tpu.ops.segment import seg_sum_sorted
+
+    hub_next = seg_sum_sorted(auth[graph.col_indices], graph.row_offsets)
+    auth_next = seg_sum_sorted(hub[graph.csc_rows], graph.csc_offsets)
     return _l2_normalize(auth_next), _l2_normalize(hub_next)
 
 

@@ -42,7 +42,6 @@ def kcore_kernel(graph: Graph):
     """Pure k-core. Returns (k_cores int32[V], degeneracy)."""
     V = graph.n_vertices
     deg0 = graph.out_degrees().astype(jnp.int32)
-    max_deg = jnp.max(deg0)
 
     def cond(carry):
         k, deg, deleted, cores = carry
@@ -56,13 +55,9 @@ def kcore_kernel(graph: Graph):
         deleted = deleted | peel
         # Each deleted vertex decrements every out-neighbor's degree once
         # per connecting edge (kcore.hxx:158-166).
-        dec = jax.ops.segment_sum(
-            peel[graph.csc_rows].astype(jnp.int32),
-            graph.csc_dst,
-            num_segments=V,
-            indices_are_sorted=True,
-        )
-        deg = deg - dec
+        from gunrock_tpu.ops.segment import seg_count_sorted
+
+        deg = deg - seg_count_sorted(peel[graph.csc_rows], graph.csc_offsets)
         k = jnp.where(any_peel, k, k + 1)
         return k, deg, deleted, cores
 
@@ -76,7 +71,6 @@ def kcore_kernel(graph: Graph):
             jnp.zeros(V, dtype=jnp.int32),
         ),
     )
-    del max_deg
     return cores, k
 
 

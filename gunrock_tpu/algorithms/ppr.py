@@ -55,7 +55,6 @@ def ppr_kernel(
     _2a1a = (2 * alpha) / (1 + alpha)
     _1a1a = (1 - alpha) / (1 + alpha)
     deg = jnp.diff(graph.row_offsets).astype(jnp.float32)
-    in_thresh = jnp.diff(graph.csc_offsets).astype(jnp.float32) * epsilon
 
     p0 = jnp.zeros(V, jnp.float32)
     r0 = jnp.zeros(V, jnp.float32).at[seed].set(1.0)
@@ -88,7 +87,6 @@ def ppr_kernel(
     it, _, p, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), front0, p0, r0, r0)
     )
-    del in_thresh
     return p, it
 
 

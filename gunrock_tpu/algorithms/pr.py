@@ -59,14 +59,11 @@ def pr_step(graph: Graph, p, iweights, alpha: float):
     plast = p
     dsum = jnp.sum(jnp.where(iweights == 0.0, alpha * plast, 0.0))
     base = (1.0 - alpha + dsum) / graph.n_vertices
+    from gunrock_tpu.ops.segment import seg_sum_sorted
+
     src = graph.csc_rows
     contrib = plast[src] * iweights[src] * graph.csc_values
-    p = base + jax.ops.segment_sum(
-        contrib,
-        graph.csc_dst,
-        num_segments=graph.n_vertices,
-        indices_are_sorted=True,
-    )
+    p = base + seg_sum_sorted(contrib, graph.csc_offsets)
     err = jnp.max(jnp.abs(p - plast))
     return p, err
 

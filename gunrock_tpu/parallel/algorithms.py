@@ -32,14 +32,6 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
-def _seg(reduce):
-    return {
-        "min": jax.ops.segment_min,
-        "max": jax.ops.segment_max,
-        "sum": jax.ops.segment_sum,
-    }[reduce]
-
-
 def bfs(pg: PartitionedGraph, src: int, mesh, max_iterations: int | None = None):
     """Distributed BFS. Returns (distances int32[V], depth) replicated."""
     V = pg.n_vertices
