@@ -110,9 +110,16 @@ def run(
     B: Graph,
     options: Options | None = None,
     warmup: bool = True,
+    max_expansion: int = 50_000_000,
 ) -> Result:
     """Role of reference ``spgemm::run`` (spgemm.hxx:287-315): C = A.B over
-    the CSR views of two graphs."""
+    the CSR views of two graphs.
+
+    ESC materializes every partial product, so the expansion size is
+    sum over A-edges of deg_B(col) — on power-law graphs this can dwarf
+    nnz(A)+nnz(B). ``max_expansion`` guards against accidental
+    hundred-GB launches; raise it explicitly for big multiplies
+    (row-blocked streaming SpGEMM is the planned next step)."""
     del options
     a_offsets = np.asarray(A.row_offsets)
     a_col = np.asarray(A.col_indices)
@@ -123,6 +130,11 @@ def run(
     exp_offsets = np.zeros(A.n_edges + 1, dtype=np.int32)
     np.cumsum(exp_counts, out=exp_offsets[1:])
     total = int(exp_offsets[-1])
+    if total > max_expansion:
+        raise ValueError(
+            f"SpGEMM expansion {total} exceeds max_expansion={max_expansion}; "
+            "pass a larger max_expansion to proceed"
+        )
     if total == 0:
         z = jnp.zeros(0)
         return Result(

@@ -153,17 +153,22 @@ def advance(
     ident = reduce_identity(values.dtype, reduce)
     masked = jnp.where(active, values, ident)
 
-    reducer = _SEGMENT_REDUCERS[reduce]
-    reduced = reducer(
-        masked, seg, num_segments=graph.n_vertices, indices_are_sorted=True
+    offsets = (
+        graph.csc_offsets
+        if direction == AdvanceDirection.FORWARD
+        else graph.row_offsets
     )
-    touched = (
-        jax.ops.segment_max(
-            active.astype(jnp.int32),
-            seg,
-            num_segments=graph.n_vertices,
-            indices_are_sorted=True,
+    if reduce == "sum":
+        # sorted segments: cumsum difference beats the scatter lowering
+        from gunrock_tpu.ops.segment import seg_sum_sorted
+
+        reduced = seg_sum_sorted(masked, offsets)
+    else:
+        reducer = _SEGMENT_REDUCERS[reduce]
+        reduced = reducer(
+            masked, seg, num_segments=graph.n_vertices, indices_are_sorted=True
         )
-        > 0
-    )
+    from gunrock_tpu.ops.segment import seg_count_sorted
+
+    touched = seg_count_sorted(active, offsets) > 0
     return reduced, touched
