@@ -189,6 +189,83 @@ def sssp_kernel_do(
     return dist, it
 
 
+def sssp_kernel_delta(
+    graph: Graph,
+    single_source,
+    delta: float | None = None,
+    max_iterations: int | None = None,
+    edge_budget: int | None = None,
+):
+    """Bucketed (delta-stepping style) SSSP: each round relaxes only the
+    improved vertices whose tentative distance falls in the current
+    bucket ``[0, (k+1)*delta)``; when the bucket settles, k advances.
+    The Davidson/delta-stepping idea the reference stubs as the
+    ``bucketing`` load balancer (advance/bucketing.hxx "wip") — here it
+    bounds the number of BSP rounds on long-diameter weighted graphs
+    while every relaxation stays a sparse push. Exact distances (no
+    light/heavy approximation: re-improved vertices simply re-enter).
+
+    Returns (distances f32[V], rounds)."""
+    import numpy as np
+
+    V = graph.n_vertices
+    E = graph.n_edges
+    max_it = (4 * V) if max_iterations is None else max_iterations
+    if edge_budget is None:
+        edge_budget = max(4096, E // 64)
+    if delta is None:
+        # mean weight * a small multiple: buckets hold a few waves each
+        # (traced mean keeps this jit-safe; delta is a runtime scalar)
+        delta = jnp.mean(graph.values) * 4.0
+    deg = jnp.diff(graph.row_offsets)
+
+    dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
+    imp0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
+
+    def cond(c):
+        it, k, improved, dist = c
+        return jnp.any(improved) & (it < max_it)
+
+    def body(c):
+        it, k, improved, dist = c
+        thresh = (k + 1.0) * delta
+        front = improved & (dist < thresh)
+        have = jnp.any(front)
+        out_edges = jnp.sum(jnp.where(front, deg, 0))
+        n_front = jnp.sum(front.astype(jnp.int32))
+        fits = (out_edges < jnp.int32(edge_budget)) & (
+            n_front < jnp.int32(edge_budget)
+        )
+
+        def relax_push(args):
+            front, improved, dist = args
+            new_imp, dist = sssp_push_step(graph, front, dist, edge_budget)
+            return improved & ~front | new_imp, dist
+
+        def relax_dense(args):
+            front, improved, dist = args
+            new_imp, dist = sssp_step(graph, front, dist)
+            return improved & ~front | new_imp, dist
+
+        def relax(args):
+            return jax.lax.cond(fits, relax_push, relax_dense, args)
+
+        def advance_bucket(args):
+            front, improved, dist = args
+            return improved, dist
+
+        improved, dist = jax.lax.cond(
+            have, relax, advance_bucket, (front, improved, dist)
+        )
+        k = jnp.where(have, k, k + 1.0)
+        return it + 1, k, improved, dist
+
+    it, _, _, dist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.float32(0.0), imp0, dist0)
+    )
+    return dist, it
+
+
 def sssp_kernel_pallas(
     graph: Graph,
     single_source,
@@ -293,6 +370,21 @@ def run(
 
     if options is None:
         options = default_options()
+    if options.load_balance == LoadBalance.BUCKETING:
+        import time
+
+        fn = jax.jit(lambda g, s: sssp_kernel_delta(g, s))
+        if warmup:
+            jax.block_until_ready(fn(graph, single_source))
+        t0 = time.perf_counter()
+        dist, it = jax.block_until_ready(fn(graph, single_source))
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        return Result(
+            distances=dist,
+            predecessors=recover_predecessors(graph, dist),
+            search_depth=int(it),
+            elapsed_ms=elapsed_ms,
+        )
     if getattr(options, "advance_direction", None) == AdvanceDirection.OPTIMIZED:
         import time
 

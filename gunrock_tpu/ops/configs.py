@@ -23,6 +23,8 @@ import enum
 class LoadBalance(enum.Enum):
     XLA_SEGMENT = "xla_segment"  # default: gather + sorted segment reduce
     PALLAS_MERGE_PATH = "pallas_merge_path"  # Pallas fixed-work tiles
+    BUCKETING = "bucketing"  # delta-stepping buckets (Davidson SSSP —
+    # the strategy the reference stubs at advance/bucketing.hxx)
     # Aliases accepted for CLI parity with the reference flag values
     # (io/parameters.hxx:244-291):
     THREAD_MAPPED = "thread_mapped"
@@ -39,6 +41,7 @@ class LoadBalance(enum.Enum):
             "merge_path_v2": LoadBalance.PALLAS_MERGE_PATH,
             "xla_segment": LoadBalance.XLA_SEGMENT,
             "pallas_merge_path": LoadBalance.PALLAS_MERGE_PATH,
+            "bucketing": LoadBalance.BUCKETING,
         }
         if name not in aliases:
             raise ValueError(f"unknown load balance strategy {name!r}")

@@ -188,3 +188,27 @@ def test_msbfs_matches_single_source():
     for k, s in enumerate([0, 5, 17, 44]):
         want, _, _ = bfs_kernel(g, s, compute_predecessors=False)
         np.testing.assert_array_equal(np.asarray(dist[:, k]), np.asarray(want))
+
+
+def test_sssp_delta_stepping_matches_dense():
+    """Bucketed (delta-stepping) SSSP — the reference's stubbed
+    'bucketing' strategy — must produce exact distances."""
+    import numpy as np
+
+    from gunrock_tpu.algorithms import sssp
+    from gunrock_tpu.algorithms.sssp import sssp_kernel, sssp_kernel_delta
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+    from tests.conftest import random_graph
+
+    g, _ = random_graph(None, n=150, p=0.04, weighted=True, seed_offset=180)
+    d1, _ = sssp_kernel(g, 2)
+    d2, _ = sssp_kernel_delta(g, 2, edge_budget=128)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-5, equal_nan=True
+    )
+    res = sssp.run(
+        g, 2, options=Options(load_balance=LoadBalance.BUCKETING), warmup=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.distances), np.asarray(d1), rtol=1e-5, equal_nan=True
+    )
