@@ -87,6 +87,67 @@ def color_kernel(graph: Graph, seed: int = 0, max_iterations: int | None = None)
     return colors, it
 
 
+def color_kernel_pallas(
+    graph: Graph,
+    seed: int = 0,
+    max_iterations: int | None = None,
+    layout=None,
+    interpret: bool | None = None,
+):
+    """Coloring with the max-times Pallas semiring: the two neighbor
+    scans become bucketed windowed-one-hot max reductions over a
+    self-loop-free push layout. Same independent-set argument (unique
+    permutation randoms; a rand-0 vertex is invisible to neighbors' max,
+    which only strengthens their colormax — properness holds)."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv
+
+    V = graph.n_vertices
+    max_it = V if max_iterations is None else max_iterations
+    if interpret is None:
+        interpret = use_interpret()
+    if layout is None:
+        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+
+        src = np.asarray(graph.edge_src)
+        dst = np.asarray(graph.col_indices)
+        keep = src != dst  # drop self loops (color.hxx:126-130)
+        W, C = (128, 256) if interpret else (2048, 256)
+        layout = build_bucketed_layout(
+            src[keep], dst[keep], np.ones(int(keep.sum()), np.float32),
+            V, window=W, chunk=C,
+        )
+    randoms = jax.random.permutation(jax.random.PRNGKey(seed), V).astype(jnp.int32)
+    randf = randoms.astype(jnp.float32)
+    big = jnp.float32(V + 1)
+    colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
+
+    def cond(c):
+        it, colors = c
+        return jnp.any(colors == INVALID_COLOR) & (it < max_it)
+
+    def body(c):
+        it, colors = c
+        uncolored = colors == INVALID_COLOR
+        x_max = jnp.where(uncolored, randf, 0.0)
+        nbr_max = bucketed_semiring_spmv(layout, x_max, "max_times", interpret=interpret)
+        x_inv = jnp.where(uncolored, big - randf, 0.0)
+        inv_max = bucketed_semiring_spmv(layout, x_inv, "max_times", interpret=interpret)
+        has_nbr = inv_max > 0
+        nbr_min = big - inv_max
+        colormax = uncolored & (randf > nbr_max)
+        colormin = uncolored & has_nbr & (randf < nbr_min) & ~colormax
+        color = it * 2
+        colors = jnp.where(colormax, color, colors)
+        colors = jnp.where(colormin, color + 1, colors)
+        return it + 1, colors
+
+    it, colors = jax.lax.while_loop(cond, body, (jnp.int32(0), colors0))
+    return colors, it
+
+
 def run(
     graph: Graph,
     seed: int = 0,
@@ -94,8 +155,32 @@ def run(
     warmup: bool = True,
 ) -> Result:
     """Role of reference ``color::run`` (color.hxx:167-186)."""
-    del options
-    fn = jax.jit(lambda g: color_kernel(g, seed=seed))
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
+
+    if options is None:
+        options = default_options()
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+        import numpy as np
+
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+
+        interpret = use_interpret()
+        src = np.asarray(graph.edge_src)
+        dst = np.asarray(graph.col_indices)
+        keep = src != dst
+        W, C = (128, 256) if interpret else (2048, 256)
+        layout = build_bucketed_layout(
+            src[keep], dst[keep], np.ones(int(keep.sum()), np.float32),
+            graph.n_vertices, window=W, chunk=C,
+        )
+        fn = jax.jit(
+            lambda g: color_kernel_pallas(
+                g, seed=seed, layout=layout, interpret=interpret
+            )
+        )
+    else:
+        fn = jax.jit(lambda g: color_kernel(g, seed=seed))
     if warmup:
         jax.block_until_ready(fn(graph))
     t0 = time.perf_counter()

@@ -125,3 +125,20 @@ def test_tc_matches_networkx():
     got = np.asarray(res.vertex_triangles_count)
     for v in range(64):
         assert got[v] == want[v], (v, got[v], want[v])
+
+
+def test_color_pallas_is_proper():
+    """The max-times semiring coloring path also yields a proper coloring."""
+    from gunrock_tpu.algorithms import color
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    g, sp_mat = random_graph(None, n=70, p=0.1, symmetric=True, seed_offset=14)
+    res = color.run(
+        g, options=Options(load_balance=LoadBalance.PALLAS_MERGE_PATH),
+        warmup=False,
+    )
+    colors = np.asarray(res.colors)
+    assert (colors >= 0).all()
+    coo = sp_mat.tocoo()
+    off = coo.row != coo.col
+    assert (colors[coo.row[off]] != colors[coo.col[off]]).all()
