@@ -53,7 +53,10 @@ def bench_one(algo: str, graph, ns):
     )
     from gunrock_tpu.ops.configs import LoadBalance, Options
 
-    opt = Options(load_balance=LoadBalance.parse(ns.load_balance))
+    if ns.load_balance == "default":
+        opt = None  # run() picks the backend-tuned defaults
+    else:
+        opt = Options(load_balance=LoadBalance.parse(ns.load_balance))
     rng = np.random.default_rng(0)
     deg = np.diff(np.asarray(graph.row_offsets))
     srcs = np.argsort(-deg)[: ns.num_runs].tolist()
@@ -141,7 +144,8 @@ def main(argv=None):
     p.add_argument("--edge_factor", type=int, default=16)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("-n", "--num_runs", type=int, default=3)
-    p.add_argument("--load_balance", default="xla_segment")
+    p.add_argument("--load_balance", default="default",
+                   help="xla_segment | pallas_merge_path | bucketing | default")
     ns = p.parse_args(argv)
 
     algos = ALGORITHMS if ns.all else [a for a in ns.algorithms.split(",") if a]

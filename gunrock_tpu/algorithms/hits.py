@@ -78,6 +78,60 @@ def hits_kernel(graph: Graph, max_iterations: int = 50):
     return auth, hub, it
 
 
+def hits_kernel_pallas(
+    graph: Graph,
+    max_iterations: int = 50,
+    push_layout=None,
+    pull_layout=None,
+    interpret: bool | None = None,
+):
+    """HITS with the plus-times Pallas semiring: both accumulations are
+    bucketed windowed-one-hot sums over unit-weight layouts (HITS sums
+    raw scores; edge weights are not used, hits.hxx:138-150)."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv
+
+    V = graph.n_vertices
+    if interpret is None:
+        interpret = use_interpret()
+    if push_layout is None or pull_layout is None:
+        ones = np.ones(graph.n_edges, np.float32)
+        W, C = (128, 256) if interpret else (2048, 256)
+        push_layout = build_bucketed_layout(
+            np.asarray(graph.edge_src), np.asarray(graph.col_indices), ones,
+            V, window=W, chunk=C,
+        )
+        pull_layout = build_bucketed_layout(
+            np.asarray(graph.col_indices), np.asarray(graph.edge_src), ones,
+            V, window=W, chunk=C,
+        )
+    auth0 = jnp.ones(V, dtype=jnp.float32)
+    hub0 = jnp.ones(V, dtype=jnp.float32)
+
+    def cond(carry):
+        it, auth, hub, done = carry
+        return (~done) & (it < max_iterations)
+
+    def body(carry):
+        it, auth, hub, _ = carry
+        hub_n = _l2_normalize(
+            bucketed_semiring_spmv(push_layout, auth, "plus_times", interpret=interpret)
+        )
+        auth_n = _l2_normalize(
+            bucketed_semiring_spmv(pull_layout, hub, "plus_times", interpret=interpret)
+        )
+        done = jnp.all(auth_n == auth) | jnp.all(hub_n == hub)
+        return it + 1, auth_n, hub_n, done
+
+    it, auth, hub, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), auth0, hub0, jnp.bool_(False))
+    )
+    return auth, hub, it
+
+
 def run(
     graph: Graph,
     max_iterations: int = 50,
@@ -85,8 +139,35 @@ def run(
     warmup: bool = True,
 ) -> Result:
     """Role of reference ``hits::run`` (hits.hxx:215-240)."""
-    del options
-    fn = jax.jit(lambda g: hits_kernel(g, max_iterations))
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
+
+    if options is None:
+        options = default_options()
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+        import numpy as np
+
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+
+        interpret = use_interpret()
+        ones = np.ones(graph.n_edges, np.float32)
+        W, C = (128, 256) if interpret else (2048, 256)
+        ps_ = build_bucketed_layout(
+            np.asarray(graph.edge_src), np.asarray(graph.col_indices), ones,
+            graph.n_vertices, window=W, chunk=C,
+        )
+        pl_ = build_bucketed_layout(
+            np.asarray(graph.col_indices), np.asarray(graph.edge_src), ones,
+            graph.n_vertices, window=W, chunk=C,
+        )
+        fn = jax.jit(
+            lambda g: hits_kernel_pallas(
+                g, max_iterations, push_layout=ps_, pull_layout=pl_,
+                interpret=interpret,
+            )
+        )
+    else:
+        fn = jax.jit(lambda g: hits_kernel(g, max_iterations))
     if warmup:
         jax.block_until_ready(fn(graph))
     t0 = time.perf_counter()

@@ -142,3 +142,18 @@ def test_color_pallas_is_proper():
     coo = sp_mat.tocoo()
     off = coo.row != coo.col
     assert (colors[coo.row[off]] != colors[coo.col[off]]).all()
+
+
+def test_hits_pallas_matches_xla():
+    from gunrock_tpu.algorithms import hits
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    g, _ = random_graph(None, n=60, p=0.1, weighted=False, seed_offset=13)
+    a = hits.run(g, max_iterations=15, options=Options(), warmup=False)
+    b = hits.run(
+        g, max_iterations=15,
+        options=Options(load_balance=LoadBalance.PALLAS_MERGE_PATH),
+        warmup=False,
+    )
+    np.testing.assert_allclose(np.asarray(a.auth), np.asarray(b.auth), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.hub), np.asarray(b.hub), atol=1e-5)
