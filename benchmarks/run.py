@@ -146,11 +146,40 @@ def main(argv=None):
     p.add_argument("-n", "--num_runs", type=int, default=3)
     p.add_argument("--load_balance", default="default",
                    help="xla_segment | pallas_merge_path | bucketing | default")
+    p.add_argument("--isolate", dest="isolate", action="store_true", default=True,
+                   help="one subprocess per algorithm (default)")
+    p.add_argument("--no-isolate", dest="isolate", action="store_false")
     ns = p.parse_args(argv)
 
     algos = ALGORITHMS if ns.all else [a for a in ns.algorithms.split(",") if a]
     if not algos:
         p.error("pass --algorithms or --all")
+
+    if ns.isolate and len(algos) > 1:
+        # One subprocess per algorithm: running many Pallas executables in
+        # one process can fault the tunneled TPU (observed UNAVAILABLE
+        # device errors mid-sweep); isolation keeps each measurement clean.
+        import subprocess
+
+        base = [sys.executable, os.path.abspath(__file__), "--no-isolate",
+                "-n", str(ns.num_runs), "--load_balance", ns.load_balance,
+                "--seed", str(ns.seed)]
+        if ns.market:
+            base += ["--market", ns.market]
+        else:
+            base += ["--rmat", str(ns.rmat), "--edge_factor", str(ns.edge_factor)]
+        for algo in algos:
+            r = subprocess.run(
+                base + ["--algorithms", algo], capture_output=True, text=True,
+                timeout=1800,
+            )
+            out = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+            print("\n".join(out) if out else json.dumps(
+                {"algorithm": algo, "error": (r.stderr or "no output")[-200:]}
+            ))
+            sys.stdout.flush()
+        return
+
     graph, dataset = build_graph_from_args(ns)
 
     for algo in algos:
