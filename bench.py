@@ -57,30 +57,35 @@ def main():
 
     # Batched multi-source BFS throughput (all sources in one SpMM-backed
     # search — the batch-operator workload; reported as a secondary key).
-    from gunrock_tpu.algorithms.bfs import msbfs_kernel
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    # Never let this sink the headline: tunnel hiccups get reported as 0.
+    batch_mteps, batch_ms = 0.0, 0.0
+    try:
+        from gunrock_tpu.algorithms.bfs import msbfs_kernel
+        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
 
-    K = 32
-    batch_srcs = np.argsort(-deg)[:K].astype(np.int32)
-    layout = build_bucketed_layout(
-        np.asarray(graph.col_indices), np.asarray(graph.edge_src),
-        np.ones(graph.n_edges, np.float32), graph.n_vertices,
-        window=2048, chunk=256,
-    )
-    import jax.numpy as jnp
+        K = 32
+        batch_srcs = np.argsort(-deg)[:K].astype(np.int32)
+        layout = build_bucketed_layout(
+            np.asarray(graph.col_indices), np.asarray(graph.edge_src),
+            np.ones(graph.n_edges, np.float32), graph.n_vertices,
+            window=2048, chunk=256,
+        )
+        import jax.numpy as jnp
 
-    bfn = jax.jit(
-        lambda g, ss: msbfs_kernel(g, ss, pull_layout=layout, interpret=False)
-    )
-    jax.block_until_ready(bfn(graph, jnp.asarray(batch_srcs)))
-    t0 = time.perf_counter()
-    bdist, _ = jax.block_until_ready(
-        bfn(graph, jnp.asarray((batch_srcs + 1) % graph.n_vertices))
-    )
-    batch_ms = (time.perf_counter() - t0) * 1e3
-    breached = np.asarray(bdist) != int(UNREACHED)
-    bedges = int(sum(deg[breached[:, k]].sum() for k in range(K)))
-    batch_mteps = bedges / batch_ms / 1000.0
+        bfn = jax.jit(
+            lambda g, ss: msbfs_kernel(g, ss, pull_layout=layout, interpret=False)
+        )
+        jax.block_until_ready(bfn(graph, jnp.asarray(batch_srcs)))
+        t0 = time.perf_counter()
+        bdist, _ = jax.block_until_ready(
+            bfn(graph, jnp.asarray((batch_srcs + 1) % graph.n_vertices))
+        )
+        batch_ms = (time.perf_counter() - t0) * 1e3
+        breached = np.asarray(bdist) != int(UNREACHED)
+        bedges = int(sum(deg[breached[:, k]].sum() for k in range(K)))
+        batch_mteps = bedges / batch_ms / 1000.0
+    except Exception:
+        pass
 
     value = float(np.mean(mteps_all))
     result = {

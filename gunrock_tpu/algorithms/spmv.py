@@ -77,7 +77,9 @@ def spmm_kernel(graph: Graph, X, layout=None, interpret: bool | None = None):
 
 def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) -> Result:
     """Role of reference ``spmv::run`` (spmv.hxx:139-170)."""
-    options = options or Options()
+    from gunrock_tpu.ops.configs import default_options
+
+    options = options or default_options()
     x = jnp.asarray(x, dtype=jnp.float32)
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
         from gunrock_tpu.ops.pallas import spmv as pallas_spmv
