@@ -82,9 +82,16 @@ def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) ->
     options = options or default_options()
     x = jnp.asarray(x, dtype=jnp.float32)
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
-        from gunrock_tpu.ops.pallas import spmv as pallas_spmv
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import layout_for_graph
+        from gunrock_tpu.ops.pallas.spmv import bucketed_spmv
 
-        fn = jax.jit(lambda g, xv: pallas_spmv.spmv(g, xv))
+        # layout built host-side before tracing (concrete graph required)
+        layout = layout_for_graph(graph, window=2048, chunk=256)
+        interp = use_interpret()
+        fn = jax.jit(
+            lambda g, xv: bucketed_spmv(layout, xv, interpret=interp)
+        )
     else:
         fn = jax.jit(spmv_kernel)
     if warmup:

@@ -72,3 +72,17 @@ def test_pallas_semiring_min_plus_interpret():
         if us.size:
             want[v] = (D[us, v] + x[us]).min()
     np.testing.assert_allclose(y, want, rtol=1e-5)
+
+
+def test_spmv_run_pallas_option():
+    """spmv.run with the Pallas strategy (interpret on CPU) matches XLA."""
+    from gunrock_tpu.algorithms import spmv
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    g, A = random_graph(None, n=200, p=0.05, weighted=True, seed_offset=65)
+    x = np.random.default_rng(5).random(200).astype(np.float32)
+    r = spmv.run(
+        g, x, options=Options(load_balance=LoadBalance.PALLAS_MERGE_PATH),
+        warmup=False,
+    )
+    np.testing.assert_allclose(np.asarray(r.y), A @ x, rtol=1e-3, atol=1e-4)
