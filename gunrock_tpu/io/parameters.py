@@ -58,11 +58,13 @@ def build_parser(algorithm: str, extra_args=None) -> argparse.ArgumentParser:
     p.add_argument("-f", "--json_file", default="", help="JSON output file")
     p.add_argument("-t", "--tag", default="",
                    help="comma-separated tags for the JSON output")
-    p.add_argument("--advance_load_balance", default="xla_segment",
+    p.add_argument("--advance_load_balance", default="default",
                    help="advance strategy (thread_mapped, block_mapped, "
-                   "merge_path, xla_segment, pallas_merge_path)")
-    p.add_argument("--advance_direction", default="forward",
-                   help="advance direction (forward, backward, optimized)")
+                   "merge_path, xla_segment, pallas_merge_path, bucketing; "
+                   "'default' picks the backend-tuned strategy)")
+    p.add_argument("--advance_direction", default="default",
+                   help="advance direction (forward, backward, optimized; "
+                   "'default' picks per backend)")
     p.add_argument("--filter_algorithm", default="bypass",
                    help="filter algorithm (remove, predicated, compact, bypass)")
     p.add_argument("--enable_filter", action="store_true")
@@ -109,9 +111,16 @@ def parse_tag_string(tag_str: str) -> list[str]:
 def parse(algorithm: str, argv=None, extra_args=None) -> Parameters:
     parser = build_parser(algorithm, extra_args)
     ns = parser.parse_args(argv)
+    from gunrock_tpu.ops.configs import default_options
+
+    auto = default_options()
     options = Options(
-        load_balance=LoadBalance.parse(ns.advance_load_balance),
-        advance_direction=AdvanceDirection(ns.advance_direction),
+        load_balance=auto.load_balance
+        if ns.advance_load_balance == "default"
+        else LoadBalance.parse(ns.advance_load_balance),
+        advance_direction=auto.advance_direction
+        if ns.advance_direction == "default"
+        else AdvanceDirection(ns.advance_direction),
         filter_algorithm=FilterAlgorithm.parse(ns.filter_algorithm),
         uniquify_algorithm=UniquifyAlgorithm(ns.uniquify_algorithm)
         if ns.uniquify_algorithm in [u.value for u in UniquifyAlgorithm]
