@@ -14,7 +14,7 @@ for a fixed number of outer iterations (geo.hxx:392-402). Invalid
 coordinates are NaN (the float invalid sentinel, util/type_limits.hxx).
 
 TPU redesign: the per-vertex serial neighbor scans become per-edge masks +
-segmented sums in CSR order (cumsum differences); all unlabeled vertices
+exact segmented sums in CSR order; all unlabeled vertices
 run the Weiszfeld loop in lockstep inside a ``fori_loop`` with per-vertex
 done-masking; the outer loop is a ``lax.while_loop``.
 """
@@ -76,9 +76,11 @@ def midpoint(lat1, lon1, lat2, lon2):
     return _degrees(mlat), _degrees(mlon)
 
 
-def _seg_sum(vals, offsets):
-    ce = jnp.concatenate([jnp.zeros(1, vals.dtype), jnp.cumsum(vals)])
-    return ce[offsets[1:]] - ce[offsets[:-1]]
+def _seg_sum(vals, seg, n):
+    """Exact per-segment sums via scatter (NOT the cumsum difference:
+    coordinate sums build ~1e8-magnitude prefixes over millions of edges,
+    whose f32 ulp is degrees-scale — unacceptable for geolocation)."""
+    return jax.ops.segment_sum(vals, seg, num_segments=n, indices_are_sorted=True)
 
 
 def geo_kernel(
@@ -101,7 +103,7 @@ def geo_kernel(
         it, lat, lon = c
         labeled = ~jnp.isnan(lat)
         nb_ok = labeled[dst]
-        n_valid = _seg_sum(nb_ok.astype(jnp.int32), offs)
+        n_valid = _seg_sum(nb_ok.astype(jnp.int32), src, V)
         unl = ~labeled
 
         # first/second valid neighbor per vertex (for the 1- and 2-cases):
@@ -116,8 +118,8 @@ def geo_kernel(
         mid_lat, mid_lon = midpoint(n1_lat, n1_lon, n2_lat, n2_lon)
 
         # mean of valid neighbors (start of the spatial median)
-        sum_lat = _seg_sum(jnp.where(nb_ok, lat[dst], 0.0), offs)
-        sum_lon = _seg_sum(jnp.where(nb_ok, lon[dst], 0.0), offs)
+        sum_lat = _seg_sum(jnp.where(nb_ok, lat[dst], 0.0), src, V)
+        sum_lon = _seg_sum(jnp.where(nb_ok, lon[dst], 0.0), src, V)
         denom = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
         y_lat, y_lon = sum_lat / denom, sum_lon / denom
 
@@ -127,11 +129,11 @@ def geo_kernel(
             y_lat, y_lon, out_lat, out_lon, done = s
             d = haversine(lat[dst], lon[dst], y_lat[src], y_lon[src])
             dinv = jnp.where(nb_ok & (d != 0), 1.0 / jnp.maximum(d, 1e-30), 0.0)
-            nonzeros = _seg_sum((nb_ok & (d != 0)).astype(jnp.int32), offs)
-            dinvs = _seg_sum(dinv, offs)
+            nonzeros = _seg_sum((nb_ok & (d != 0)).astype(jnp.int32), src, V)
+            dinvs = _seg_sum(dinv, src, V)
             dsafe = jnp.maximum(dinvs, 1e-30)
-            t_lat = _seg_sum(dinv * jnp.where(nb_ok, lat[dst], 0.0), offs) / dsafe
-            t_lon = _seg_sum(dinv * jnp.where(nb_ok, lon[dst], 0.0), offs) / dsafe
+            t_lat = _seg_sum(dinv * jnp.where(nb_ok, lat[dst], 0.0), src, V) / dsafe
+            t_lon = _seg_sum(dinv * jnp.where(nb_ok, lon[dst], 0.0), src, V) / dsafe
             num_zeros = n_valid - nonzeros
             all_zero = num_zeros == n_valid
             r_lat = (t_lat - y_lat) * dinvs

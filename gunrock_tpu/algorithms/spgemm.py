@@ -89,19 +89,19 @@ def spgemm_kernel(
         ]
     )
     n_runs = jnp.sum(first.astype(jnp.int32))
-    ce = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(v_s)])
-    # per-slot run value = ce[end + 1] - ce[run start]; the run start index
-    # propagates forward as a running max of start markers
-    start_of_run = jnp.where(first, jnp.arange(total, dtype=jnp.int32), 0)
-    start_prop = jax.lax.cummax(start_of_run)
-    seg_val = ce[jnp.arange(1, total + 1)] - ce[start_prop]
-    # compact: keep slots that are run ends
+    # run values via a per-run segment sum (NOT a global cumsum difference:
+    # a single f32 prefix over millions of products loses ~1e-1 absolute
+    # precision at the tail). Run ids are sorted; the compacted output
+    # position of a run IS its id, so the sums land in place.
+    run = jnp.cumsum(first.astype(jnp.int32)) - 1
+    vals = jax.ops.segment_sum(
+        v_s, run, num_segments=total, indices_are_sorted=True
+    )
+    # compact row/col of each run end into its run-id slot
     is_end = jnp.concatenate([first[1:], jnp.ones(1, bool)])
-    pos = jnp.cumsum(is_end.astype(jnp.int32)) - 1
-    out_idx = jnp.where(is_end, pos, total)
+    out_idx = jnp.where(is_end, run, total)
     rows = jnp.full(total, -1, jnp.int32).at[out_idx].set(i_s, mode="drop")
     cols = jnp.full(total, -1, jnp.int32).at[out_idx].set(j_s, mode="drop")
-    vals = jnp.zeros(total, jnp.float32).at[out_idx].set(seg_val, mode="drop")
     return rows, cols, vals, n_runs
 
 

@@ -17,7 +17,14 @@ import jax.numpy as jnp
 def seg_sum_sorted(values: jax.Array, offsets: jax.Array) -> jax.Array:
     """Per-segment sums of ``values`` split by ``offsets`` (int32[S+1]).
 
-    ``values`` must be ordered by segment (CSR/CSC edge order)."""
+    ``values`` must be ordered by segment (CSR/CSC edge order).
+
+    Precision note: the global f32 prefix carries the *total* magnitude;
+    per-segment results inherit ~ulp(total) absolute error. Fine for
+    normalized quantities (ranks, probabilities, int counts); for sums of
+    large-magnitude floats (coordinates, raw products) use
+    ``jax.ops.segment_sum`` (exact per-segment accumulation) instead —
+    see algorithms/geo.py and spgemm.py."""
     ce = jnp.concatenate(
         [jnp.zeros(1, values.dtype), jnp.cumsum(values)]
     )
