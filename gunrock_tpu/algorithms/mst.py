@@ -56,6 +56,12 @@ def mst_kernel(graph: Graph, max_rounds: int | None = None):
     """Pure Borůvka. Returns (mst_weight, mst_edge_mask bool[E],
     n_components)."""
     V, E = graph.n_vertices, graph.n_edges
+    if E == 0:
+        return (
+            jnp.float32(0.0),
+            jnp.zeros(0, dtype=bool),
+            jnp.int32(V),
+        )
     src = graph.edge_src
     dst = graph.col_indices
     w = graph.values

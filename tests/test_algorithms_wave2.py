@@ -149,3 +149,28 @@ def test_bc_all_sources_spmm_matches_vmapped():
     np.testing.assert_allclose(
         np.asarray(got.bc_values), np.asarray(want.bc_values), atol=1e-3
     )
+
+
+def test_edge_cases_single_vertex_no_edges():
+    """Every algorithm must handle V=1, E=0 without crashing."""
+    from gunrock_tpu.algorithms import (
+        bfs, color, hits, kcore, mst, ppr, pr, spmv, sssp, tc,
+    )
+    from gunrock_tpu.graph import build_graph_from_arrays
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    g = build_graph_from_arrays(
+        1, np.array([0, 0], np.int32), np.array([], np.int32),
+        properties=GraphProperties(directed=False, symmetric=True),
+    )
+    assert int(bfs.run(g, 0, warmup=False).distances[0]) == 0
+    assert float(sssp.run(g, 0, warmup=False).distances[0]) == 0.0
+    assert abs(float(pr.run(g, warmup=False).p[0]) - 1.0) < 0.2
+    assert int(kcore.run(g, warmup=False).k_cores[0]) == 1
+    assert int(color.run(g, warmup=False).colors[0]) >= 0
+    assert tc.run(g, warmup=False).n_triangles == 0
+    r = mst.run(g, warmup=False)
+    assert r.mst_weight == 0.0 and r.n_components == 1
+    hits.run(g, max_iterations=3, warmup=False)
+    spmv.run(g, np.ones(1, np.float32), warmup=False)
+    ppr.run(g, 0, warmup=False)
