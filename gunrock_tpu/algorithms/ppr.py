@@ -109,20 +109,105 @@ def run(
     return Result(p=p, iterations=int(it), elapsed_ms=elapsed_ms)
 
 
+def ppr_batch_kernel_spmm(
+    graph: Graph,
+    seeds,  # int32[K]
+    alpha: float = 0.15,
+    epsilon: float = 1e-6,
+    max_iterations: int | None = None,
+    layout=None,
+    interpret: bool | None = None,
+):
+    """K-seed PPR with the batch axis on the SpMM K dimension: every push
+    wave for all seeds is one [V, K] bucketed SpMM, so the windowed
+    one-hot masks amortize across the whole seed batch (the same recast
+    as msbfs/bc_batch). Returns (p f32[V, K], iterations)."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+    V = graph.n_vertices
+    K = seeds.shape[0]
+    max_it = (2 * V) if max_iterations is None else max_iterations
+    _2a1a = (2 * alpha) / (1 + alpha)
+    _1a1a = (1 - alpha) / (1 + alpha)
+    deg = jnp.diff(graph.row_offsets).astype(jnp.float32)
+    if interpret is None:
+        interpret = use_interpret()
+    if layout is None:
+        W, C = (128, 256) if interpret else (2048, 256)
+        layout = build_bucketed_layout(
+            np.asarray(graph.col_indices), np.asarray(graph.edge_src),
+            np.ones(graph.n_edges, np.float32), V, window=W, chunk=C,
+        )
+
+    cols = jnp.arange(K)
+    p0 = jnp.zeros((V, K), jnp.float32)
+    r0 = jnp.zeros((V, K), jnp.float32).at[seeds, cols].set(1.0)
+    front0 = jnp.zeros((V, K), bool).at[seeds, cols].set(True)
+
+    def cond(c):
+        it, front, p, r, rp = c
+        return jnp.any(front) & (it < max_it)
+
+    def body(c):
+        it, front, p, r, rp = c
+        p = jnp.where(front, p + _2a1a * r, p)
+        rp = jnp.where(front, 0.0, rp)
+        x = jnp.where(front, _1a1a * r / jnp.maximum(deg, 1.0)[:, None], 0.0)
+        upd = bucketed_spmm(layout, x, interpret=interpret)
+        thresh = (deg * epsilon)[:, None]
+        new_rp = rp + upd
+        new_front = (rp < thresh) & (new_rp >= thresh)
+        return it + 1, new_front, p, new_rp, new_rp
+
+    it, _, p, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), front0, p0, r0, r0)
+    )
+    return p, it
+
+
 def run_batch(
     graph: Graph,
     seeds,
     alpha: float = 0.15,
     epsilon: float = 1e-6,
     warmup: bool = True,
+    use_spmm: bool | None = None,
 ):
     """Multi-seed PPR (role of reference ``ppr::run_batch``,
-    ppr.hxx:217-238): vmap over the seed axis. Returns (p[n_seeds, V],
-    elapsed_ms)."""
+    ppr.hxx:217-238). By default the seed batch rides the SpMM K axis on
+    TPU (masks amortize across seeds); ``use_spmm=False`` falls back to
+    vmap over the scalar kernel. Returns (p[n_seeds, V], elapsed_ms)."""
     seeds = jnp.asarray(seeds, dtype=jnp.int32)
-    fn = jax.jit(
-        lambda g, ss: jax.vmap(lambda s: ppr_kernel(g, s, alpha, epsilon)[0])(ss)
-    )
+    if use_spmm is None:
+        import jax as _jax
+
+        use_spmm = _jax.default_backend() not in ("cpu", "gpu")
+    if use_spmm:
+        import numpy as np
+
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+
+        interpret = use_interpret()
+        W, C = (128, 256) if interpret else (2048, 256)
+        layout = build_bucketed_layout(
+            np.asarray(graph.col_indices), np.asarray(graph.edge_src),
+            np.ones(graph.n_edges, np.float32), graph.n_vertices,
+            window=W, chunk=C,
+        )
+        fn = jax.jit(
+            lambda g, ss: ppr_batch_kernel_spmm(
+                g, ss, alpha, epsilon, layout=layout, interpret=interpret
+            )[0].T
+        )
+    else:
+        fn = jax.jit(
+            lambda g, ss: jax.vmap(lambda s: ppr_kernel(g, s, alpha, epsilon)[0])(ss)
+        )
     if warmup:
         jax.block_until_ready(fn(graph, seeds))
     t0 = time.perf_counter()

@@ -174,3 +174,12 @@ def test_edge_cases_single_vertex_no_edges():
     hits.run(g, max_iterations=3, warmup=False)
     spmv.run(g, np.ones(1, np.float32), warmup=False)
     ppr.run(g, 0, warmup=False)
+
+
+def test_ppr_batch_spmm_matches_vmap():
+    from gunrock_tpu.algorithms import ppr
+
+    g, _ = random_graph(None, n=100, p=0.08, symmetric=True, seed_offset=200)
+    p1, _ = ppr.run_batch(g, [0, 5, 9], epsilon=1e-6, warmup=False, use_spmm=False)
+    p2, _ = ppr.run_batch(g, [0, 5, 9], epsilon=1e-6, warmup=False, use_spmm=True)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)
