@@ -1,0 +1,56 @@
+"""Tools: metrics merge, points generator, dataset writer."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+
+
+def test_collect_metrics_merge(tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    import collect_metrics
+
+    runs = []
+    for i, times in enumerate([[10.0, 11.0, 1000.0], [10.5, 9.5]]):
+        p = tmp_path / f"r{i}.json"
+        p.write_text(json.dumps({
+            "primitive": "bfs", "graph_file": "g.mtx",
+            "process_times": times, "edges_visited": 1000,
+        }))
+        runs.append(str(p))
+    merged = collect_metrics.merge(runs)
+    assert len(merged) == 1
+    m = merged[0]
+    # the 1000ms outlier is 2-sigma filtered
+    assert m["num_times"] == 4
+    assert 9 < m["avg_process_time"] < 12
+    assert m["avg_mteps"] > 0
+
+
+def test_points_generator(tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    import points
+
+    pts = points.generate_stars(50, 50, 10, seed=1)
+    assert pts.shape[1] == 2
+    assert len(np.unique(pts, axis=0)) == len(pts)
+    assert (pts >= 0).all() and (pts < 50).all()
+
+
+def test_dataset_generate_roundtrip(tmp_path):
+    """generate.py writes a valid .mtx that the loader round-trips."""
+    out = tmp_path / "g.mtx"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "datasets" / "generate.py"),
+         "rmat", "--scale", "8", "--edge-factor", "4", "-o", str(out)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-300:]
+    from gunrock_tpu.io import load_graph_file
+
+    g, props = load_graph_file(out)
+    assert g.n_vertices == 256 and g.n_edges > 0
