@@ -22,12 +22,18 @@ import numpy as np
 
 def filter_outliers(times: list[float], n_sigma: float = 2.0) -> list[float]:
     """Drop entries more than n_sigma stddevs from the mean (the
-    reference's 2-sigma filter)."""
+    reference's 2-sigma filter), iterated to a fixpoint — a single pass
+    cannot reject a dominant outlier in a small sample because it
+    inflates the stddev it is tested against."""
     a = np.asarray(times, dtype=float)
-    if a.size < 3:
-        return list(a)
-    keep = np.abs(a - a.mean()) <= n_sigma * (a.std() or 1.0)
-    return list(a[keep])
+    for _ in range(3):
+        if a.size < 3:
+            break
+        keep = np.abs(a - a.mean()) < n_sigma * (a.std() or 1.0)
+        if keep.all():
+            break
+        a = a[keep]
+    return list(a)
 
 
 def merge(paths: list[str]) -> list[dict]:
