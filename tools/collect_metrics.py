@@ -21,19 +21,19 @@ import numpy as np
 
 
 def filter_outliers(times: list[float], n_sigma: float = 2.0) -> list[float]:
-    """Drop entries more than n_sigma stddevs from the mean (the
-    reference's 2-sigma filter), iterated to a fixpoint — a single pass
-    cannot reject a dominant outlier in a small sample because it
-    inflates the stddev it is tested against."""
+    """Drop entries more than ~n_sigma sigmas from the center (the
+    reference's 2-sigma filter role). Uses the median/MAD robust estimate:
+    a plain mean/std test can never reject anything from n <= 5 samples
+    (max deviation is bounded by sigma*sqrt(n-1)), which is exactly the
+    --num_runs regime this tool merges."""
     a = np.asarray(times, dtype=float)
-    for _ in range(3):
-        if a.size < 3:
-            break
-        keep = np.abs(a - a.mean()) < n_sigma * (a.std() or 1.0)
-        if keep.all():
-            break
-        a = a[keep]
-    return list(a)
+    if a.size < 3:
+        return list(a)
+    med = np.median(a)
+    mad = np.median(np.abs(a - med))
+    sigma = 1.4826 * mad if mad > 0 else (a.std() or 1.0)
+    keep = np.abs(a - med) <= n_sigma * sigma
+    return list(a[keep])
 
 
 def merge(paths: list[str]) -> list[dict]:
