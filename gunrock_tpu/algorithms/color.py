@@ -32,6 +32,7 @@ INVALID_COLOR = jnp.int32(-1)
 @dataclasses.dataclass
 class Param:
     seed: int = 0
+    ordering: str = "random"  # "random" (reference parity) | "degree" (JP-LDF)
 
 
 @dataclasses.dataclass
@@ -39,6 +40,27 @@ class Result:
     colors: jax.Array  # int32[V]
     iterations: int
     elapsed_ms: float
+
+
+def make_priorities(graph: Graph, seed: int, ordering: str = "random"):
+    """Unique per-vertex priorities. "random" = a permutation of [0, V)
+    (the reference's uniform randoms, color.hxx:67). "degree" =
+    Jones-Plassmann largest-degree-first: priorities are the ranks of a
+    stable sort by (degree, tiebreak) — high-degree vertices win their
+    neighborhoods early, which empirically cuts colors and rounds on
+    power-law graphs. Unique integers < V stay exact in f32 up to 2^24."""
+    V = graph.n_vertices
+    perm = jax.random.permutation(jax.random.PRNGKey(seed), V).astype(jnp.int32)
+    if ordering == "random":
+        return perm
+    if ordering == "degree":
+        deg = jnp.diff(graph.row_offsets)
+        # rank by (deg, perm): vertex with rank r gets priority r
+        order = jnp.lexsort((perm, deg))  # ascending; highest deg = rank V-1
+        return jnp.zeros(V, jnp.int32).at[order].set(
+            jnp.arange(V, dtype=jnp.int32)
+        )
+    raise ValueError(f"unknown ordering {ordering!r}")
 
 
 def color_step(graph: Graph, colors, randoms, iteration):
@@ -68,11 +90,12 @@ def color_step(graph: Graph, colors, randoms, iteration):
     return colors
 
 
-def color_kernel(graph: Graph, seed: int = 0, max_iterations: int | None = None):
+def color_kernel(graph: Graph, seed: int = 0, max_iterations: int | None = None,
+                 ordering: str = "random"):
     """Pure coloring. Returns (colors, iterations)."""
     V = graph.n_vertices
     max_it = V if max_iterations is None else max_iterations
-    randoms = jax.random.permutation(jax.random.PRNGKey(seed), V).astype(jnp.int32)
+    randoms = make_priorities(graph, seed, ordering)
     colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
 
     def cond(carry):
@@ -93,6 +116,7 @@ def color_kernel_pallas(
     max_iterations: int | None = None,
     layout=None,
     interpret: bool | None = None,
+    ordering: str = "random",
 ):
     """Coloring with the max-times Pallas semiring: the two neighbor
     scans become bucketed windowed-one-hot max reductions over a
@@ -119,7 +143,7 @@ def color_kernel_pallas(
             src[keep], dst[keep], np.ones(int(keep.sum()), np.float32),
             V, window=W, chunk=C,
         )
-    randoms = jax.random.permutation(jax.random.PRNGKey(seed), V).astype(jnp.int32)
+    randoms = make_priorities(graph, seed, ordering)
     randf = randoms.astype(jnp.float32)
     big = jnp.float32(V + 1)
     colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
@@ -153,6 +177,7 @@ def run(
     seed: int = 0,
     options: Options | None = None,
     warmup: bool = True,
+    ordering: str = "random",
 ) -> Result:
     """Role of reference ``color::run`` (color.hxx:167-186)."""
     from gunrock_tpu.ops.configs import LoadBalance, default_options
@@ -176,11 +201,12 @@ def run(
         )
         fn = jax.jit(
             lambda g: color_kernel_pallas(
-                g, seed=seed, layout=layout, interpret=interpret
+                g, seed=seed, layout=layout, interpret=interpret,
+                ordering=ordering,
             )
         )
     else:
-        fn = jax.jit(lambda g: color_kernel(g, seed=seed))
+        fn = jax.jit(lambda g: color_kernel(g, seed=seed, ordering=ordering))
     if warmup:
         jax.block_until_ready(fn(graph))
     t0 = time.perf_counter()

@@ -157,3 +157,16 @@ def test_hits_pallas_matches_xla():
     )
     np.testing.assert_allclose(np.asarray(a.auth), np.asarray(b.auth), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.hub), np.asarray(b.hub), atol=1e-5)
+
+
+def test_color_degree_ordering_proper():
+    """JP largest-degree-first ordering also yields a proper coloring."""
+    from gunrock_tpu.algorithms import color
+
+    g, sp_mat = random_graph(None, n=70, p=0.1, symmetric=True, seed_offset=14)
+    res = color.run(g, warmup=False, ordering="degree")
+    colors = np.asarray(res.colors)
+    assert (colors >= 0).all()
+    coo = sp_mat.tocoo()
+    off = coo.row != coo.col
+    assert (colors[coo.row[off]] != colors[coo.col[off]]).all()
