@@ -53,9 +53,20 @@ inline int64_t parse_int(const char*& p, const char* end) {
 
 inline double parse_float(const char*& p, const char* end) {
   p = skip_ws(p, end);
-  char* q = nullptr;
-  double v = strtod(p, &q);
-  p = q;
+  // The mmap'd buffer is not NUL-terminated; strtod on `p` could read past
+  // the mapping when the file ends exactly at a page boundary. Copy the
+  // token into a bounded NUL-terminated buffer first.
+  char buf[64];
+  int n = 0;
+  const char* q = p;
+  while (q < end && n < 63 && *q != ' ' && *q != '\t' && *q != '\r' &&
+         *q != '\n') {
+    buf[n++] = *q++;
+  }
+  buf[n] = '\0';
+  char* e = buf;
+  double v = strtod(buf, &e);
+  p += (e - buf);
   return v;
 }
 
@@ -101,9 +112,11 @@ void* gr_mtx_parse(const char* path, int64_t* n_rows, int64_t* n_cols,
   std::string banner(p, line_end);
   for (auto& c : banner) c = (char)tolower((unsigned char)c);
   bool is_pattern = banner.find("pattern") != std::string::npos;
-  bool is_sym = banner.find("symmetric") != std::string::npos ||
-                banner.find("hermitian") != std::string::npos;
   bool is_skew = banner.find("skew-symmetric") != std::string::npos;
+  // Reference parity (mmio mm_is_symmetric excludes skew): skew-symmetric
+  // is treated as general/directed with NO mirror expansion.
+  bool is_sym = !is_skew && (banner.find("symmetric") != std::string::npos ||
+                             banner.find("hermitian") != std::string::npos);
   if (banner.find("coordinate") == std::string::npos) {
     munmap((void*)base, (size_t)st.st_size);
     set_err(err, errlen, "only coordinate matrices supported");
@@ -144,7 +157,7 @@ void* gr_mtx_parse(const char* path, int64_t* n_rows, int64_t* n_cols,
     if (is_sym && r != c) {
       data->rows.push_back(c);
       data->cols.push_back(r);
-      data->vals.push_back(is_skew ? -v : v);
+      data->vals.push_back(v);
     }
   }
   munmap((void*)base, (size_t)st.st_size);

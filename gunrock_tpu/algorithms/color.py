@@ -120,9 +120,10 @@ def color_kernel_pallas(
 ):
     """Coloring with the max-times Pallas semiring: the two neighbor
     scans become bucketed windowed-one-hot max reductions over a
-    self-loop-free push layout. Same independent-set argument (unique
-    permutation randoms; a rand-0 vertex is invisible to neighbors' max,
-    which only strengthens their colormax — properness holds)."""
+    self-loop-free push layout. Priorities are fed shifted by +1 so the
+    semiring identity 0 always means "no uncolored neighbor": without the
+    shift a priority-0 vertex with no uncolored neighbors can never pass
+    the strict colormax compare (0 > 0) and the loop spins to max_it."""
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
@@ -144,8 +145,10 @@ def color_kernel_pallas(
             V, window=W, chunk=C,
         )
     randoms = make_priorities(graph, seed, ordering)
-    randf = randoms.astype(jnp.float32)
-    big = jnp.float32(V + 1)
+    # +1 shift: uncolored vertices present priorities in [1, V], so the
+    # max-times identity 0 is unambiguous "no uncolored neighbor".
+    randf = randoms.astype(jnp.float32) + 1.0
+    big = jnp.float32(V + 2)
     colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
 
     def cond(c):

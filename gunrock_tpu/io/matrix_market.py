@@ -43,13 +43,12 @@ def _load_native(path):
     if parsed is None:
         return None
     n_rows, n_cols, rows, cols, vals, symmetric, pattern = parsed
-    with open(path, "rb") as f:
-        banner = f.readline().decode(errors="replace").lower()
-    skew = "skew-symmetric" in banner
+    # Native parser already excludes skew-symmetric from `symmetric`
+    # (reference mmio parity: skew = general/directed, no expansion).
     properties = GraphProperties(
         directed=not symmetric,
         weighted=not pattern,
-        symmetric=symmetric and not skew,
+        symmetric=bool(symmetric),
     )
     return properties, Coo(
         n_rows=n_rows,
@@ -125,12 +124,13 @@ def load_matrix_market(path: str | Path):
         rows = rows.astype(np.int32)
         cols = cols.astype(np.int32)
 
-    # skew-symmetric: structure is symmetric but weights negate across the
-    # diagonal — properties.symmetric must stay False so build_graph does
-    # NOT alias the CSC view onto CSR storage (weight symmetry is part of
-    # that aliasing contract, graph/build.py).
+    # skew-symmetric: reference parity (mmio mm_is_symmetric excludes skew)
+    # — treated as general/directed, no mirror expansion. This also keeps
+    # properties.symmetric False so build_graph does NOT alias the CSC view
+    # onto CSR storage (weight symmetry is part of that aliasing contract,
+    # graph/build.py).
     properties = GraphProperties(
-        directed=(symmetry == "general"),
+        directed=(symmetry in ("general", "skew-symmetric")),
         weighted=(field != "pattern"),
         symmetric=(symmetry in ("symmetric", "hermitian")),
     )
@@ -139,12 +139,11 @@ def load_matrix_market(path: str | Path):
         # Explicitly duplicate off-diagonal entries (reference
         # matrix_market.hxx:203-246).
         off_diag = rows != cols
-        r2 = np.concatenate([rows, cols[off_diag]])
-        c2 = np.concatenate([cols, rows[off_diag]])
-        v2 = np.concatenate(
-            [vals, (-vals if symmetry == "skew-symmetric" else vals)[off_diag]]
+        rows, cols, vals = (
+            np.concatenate([rows, cols[off_diag]]),
+            np.concatenate([cols, rows[off_diag]]),
+            np.concatenate([vals, vals[off_diag]]),
         )
-        rows, cols, vals = r2, c2, v2
 
     coo = Coo(
         n_rows=n_rows,

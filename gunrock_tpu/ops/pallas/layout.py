@@ -14,6 +14,7 @@ materialized as a data layout instead of a runtime search.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from functools import partial
 
 import jax
@@ -23,7 +24,8 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["row_local", "col_local", "values", "chunk_rb", "chunk_cb"],
+    data_fields=["row_local", "col_local", "values", "chunk_rb", "chunk_cb",
+                 "rb_occupied"],
     meta_fields=["window", "chunk", "n_chunks", "n_row_blocks", "n_col_blocks", "n_vertices"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +35,7 @@ class BucketedEdges:
     values: jax.Array  # float32[n_chunks * chunk] — 0 for padding
     chunk_rb: jax.Array  # int32[n_chunks] — row block of each chunk
     chunk_cb: jax.Array  # int32[n_chunks] — col block of each chunk
+    rb_occupied: jax.Array  # bool[n_row_blocks] — row window touched by >=1 chunk; untouched windows are never written by the kernel and must be post-masked to the semiring identity
     window: int
     chunk: int
     n_chunks: int
@@ -87,12 +90,15 @@ def build_bucketed_layout(
     vals_out[dest] = values
     chunk_rb = np.repeat((uniq // n_cb).astype(np.int32), chunks_per_bucket)
     chunk_cb = np.repeat((uniq % n_cb).astype(np.int32), chunks_per_bucket)
+    rb_occupied = np.zeros(n_rb, dtype=bool)
+    rb_occupied[(uniq // n_cb).astype(np.int64)] = True
     return BucketedEdges(
         row_local=jnp.asarray(row_local),
         col_local=jnp.asarray(col_local),
         values=jnp.asarray(vals_out),
         chunk_rb=jnp.asarray(chunk_rb),
         chunk_cb=jnp.asarray(chunk_cb),
+        rb_occupied=jnp.asarray(rb_occupied),
         window=window,
         chunk=chunk,
         n_chunks=n_chunks,
@@ -100,6 +106,38 @@ def build_bucketed_layout(
         n_col_blocks=n_cb,
         n_vertices=n_vertices,
     )
+
+
+# Per-graph layout cache. Keyed on the id() of an anchor array owned by the
+# graph, but validated through a weakref so (a) a recycled id() after GC can
+# never alias a different graph's layout and (b) entries are evicted when
+# their graph dies — the cache cannot grow without bound.
+_GRAPH_LAYOUT_CACHE: dict = {}
+
+
+def _evictor(cache_key):
+    def evict(_ref):
+        _GRAPH_LAYOUT_CACHE.pop(cache_key, None)
+
+    return evict
+
+
+def cached_layout(anchor: jax.Array, build_fn, key):
+    """Memoize ``build_fn()`` per (anchor array identity, key).
+
+    ``anchor`` should be an array owned by the graph (e.g. col_indices);
+    the entry lives exactly as long as the array does."""
+    cache_key = id(anchor)
+    ent = _GRAPH_LAYOUT_CACHE.get(cache_key)
+    if ent is not None and ent[0]() is not anchor:
+        ent = None  # id() was recycled for a different array
+    if ent is None:
+        ent = (weakref.ref(anchor, _evictor(cache_key)), {})
+        _GRAPH_LAYOUT_CACHE[cache_key] = ent
+    layouts = ent[1]
+    if key not in layouts:
+        layouts[key] = build_fn()
+    return layouts[key]
 
 
 def layout_for_graph(graph, window: int = 512, chunk: int = 1024) -> BucketedEdges:

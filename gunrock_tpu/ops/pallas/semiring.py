@@ -113,25 +113,24 @@ def bucketed_semiring_spmv(
         grid_spec=grid_spec,
         interpret=interpret,
     )(layout.chunk_rb, layout.chunk_cb, x2, row2, col2, val2)
+    # Row windows no chunk maps to are never written by the kernel —
+    # replace their (uninitialized) contents with the semiring identity.
+    y2 = jnp.where(layout.rb_occupied[:, None, None], y2, ident)
     y = y2.reshape(-1)[:V]
     if semiring == "min_plus":
         y = jnp.where(y >= _BIG, jnp.inf, y)
     return y
 
 
-# layout caches for the pull (transposed) orientation used by SSSP/PR
-_PULL_CACHE: dict = {}
-
-
 def pull_layout(graph, window: int = 2048, chunk: int = 256, pad_value: float = 0.0):
     """Bucketed layout of the TRANSPOSED edge set (rows=dst, cols=src):
-    pull advance — y[dst] = reduce over in-edges of f(x[src], w)."""
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    pull advance — y[dst] = reduce over in-edges of f(x[src], w).
+    Cached per graph (weakref-validated, dies with the graph)."""
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
 
-    key = (id(graph.col_indices), window, chunk, pad_value, "pull")
-    layout = _PULL_CACHE.get(key)
-    if layout is None:
-        layout = build_bucketed_layout(
+    return cached_layout(
+        graph.col_indices,
+        lambda: build_bucketed_layout(
             np.asarray(graph.col_indices),  # rows = destinations
             np.asarray(graph.edge_src),  # cols = sources
             np.asarray(graph.values),
@@ -139,6 +138,6 @@ def pull_layout(graph, window: int = 2048, chunk: int = 256, pad_value: float = 
             window=window,
             chunk=chunk,
             pad_value=pad_value,
-        )
-        _PULL_CACHE[key] = layout
-    return layout
+        ),
+        ("pull", window, chunk, pad_value),
+    )

@@ -93,4 +93,6 @@ def bucketed_spmm(layout: BucketedEdges, x: jax.Array, interpret: bool = False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(layout.chunk_rb, layout.chunk_cb, xh3, xl3, row2, col2, val2)
+    # Row windows no chunk maps to are never written — zero them out.
+    y3 = jnp.where(layout.rb_occupied[:, None, None], y3, 0.0)
     return y3.reshape(-1, K)[:V]

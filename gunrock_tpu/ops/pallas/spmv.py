@@ -25,10 +25,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gunrock_tpu.ops.pallas.layout import BucketedEdges, layout_for_graph
-
-# layout cache keyed by id(graph arrays) — graphs are immutable pytrees
-_LAYOUT_CACHE: dict = {}
+from gunrock_tpu.ops.pallas.layout import (
+    BucketedEdges,
+    cached_layout,
+    layout_for_graph,
+)
 
 
 def _kernel(rb_ref, cb_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
@@ -88,6 +89,8 @@ def bucketed_spmv(layout: BucketedEdges, x: jax.Array, interpret: bool = False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(layout.chunk_rb, layout.chunk_cb, x2, row2, col2, val2)
+    # Row windows no chunk maps to are never written — zero them out.
+    y2 = jnp.where(layout.rb_occupied[:, None, None], y2, 0.0)
     return y2.reshape(-1)[:V]
 
 
@@ -95,9 +98,9 @@ def spmv(graph, x, window: int = 2048, chunk: int = 256, interpret: bool = False
     """y = A.x via the Pallas bucketed kernel (layout cached per graph)."""
     if graph.n_edges == 0:
         return jnp.zeros(graph.n_vertices, jnp.float32)
-    key = (id(graph.col_indices), window, chunk)
-    layout = _LAYOUT_CACHE.get(key)
-    if layout is None:
-        layout = layout_for_graph(graph, window=window, chunk=chunk)
-        _LAYOUT_CACHE[key] = layout
+    layout = cached_layout(
+        graph.col_indices,
+        lambda: layout_for_graph(graph, window=window, chunk=chunk),
+        ("push", window, chunk),
+    )
     return bucketed_spmv(layout, jnp.asarray(x, jnp.float32), interpret=interpret)

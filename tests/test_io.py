@@ -70,3 +70,85 @@ def test_chesapeake():
     assert props.symmetric
     assert coo.n_rows == 39
     assert coo.nnz == 340
+
+
+def _write_skew(tmp_path):
+    content = """%%MatrixMarket matrix coordinate real skew-symmetric
+4 4 2
+2 1 1.5
+4 3 -2.0
+"""
+    p = tmp_path / "skew.mtx"
+    p.write_text(content)
+    return p
+
+
+def test_skew_symmetric_no_expansion_native(tmp_path):
+    """Reference parity (mmio mm_is_symmetric excludes skew): skew files
+    are general/directed with NO mirror expansion — native path."""
+    from gunrock_tpu import _native
+
+    if not _native.available():
+        pytest.skip("native lib unavailable")
+    props, coo = load_matrix_market(_write_skew(tmp_path))
+    assert props.directed and not props.symmetric
+    assert coo.nnz == 2
+    np.testing.assert_allclose(np.sort(coo.values), [-2.0, 1.5])
+
+
+def test_skew_symmetric_no_expansion_python(tmp_path, monkeypatch):
+    """Same semantics through the pure-Python fallback parser."""
+    import gunrock_tpu.io.matrix_market as mm
+
+    monkeypatch.setattr(mm, "_load_native", lambda path: None)
+    props, coo = mm.load_matrix_market(_write_skew(tmp_path))
+    assert props.directed and not props.symmetric
+    assert coo.nnz == 2
+    np.testing.assert_allclose(np.sort(coo.values), [-2.0, 1.5])
+
+
+def test_native_python_parser_agreement(tmp_path):
+    """Native and Python parsers must return identical edges/properties
+    on general, symmetric, and skew-symmetric inputs."""
+    import gunrock_tpu.io.matrix_market as mm
+    from gunrock_tpu import _native
+
+    if not _native.available():
+        pytest.skip("native lib unavailable")
+    files = {
+        "gen.mtx": "%%MatrixMarket matrix coordinate real general\n3 3 2\n1 2 1.0\n3 1 2.0\n",
+        "sym.mtx": "%%MatrixMarket matrix coordinate real symmetric\n3 3 2\n2 1 1.0\n3 3 5.0\n",
+        "skew.mtx": "%%MatrixMarket matrix coordinate real skew-symmetric\n3 3 1\n2 1 1.0\n",
+    }
+    for name, content in files.items():
+        p = tmp_path / name
+        p.write_text(content)
+        props_n, coo_n = mm.load_matrix_market(p)
+
+        real_native = mm._load_native
+        try:
+            mm._load_native = lambda path: None
+            props_p, coo_p = mm.load_matrix_market(p)
+        finally:
+            mm._load_native = real_native
+        assert (props_n.directed, props_n.symmetric, props_n.weighted) == (
+            props_p.directed, props_p.symmetric, props_p.weighted), name
+        order_n = np.lexsort((coo_n.col_indices, coo_n.row_indices))
+        order_p = np.lexsort((coo_p.col_indices, coo_p.row_indices))
+        np.testing.assert_array_equal(
+            coo_n.row_indices[order_n], coo_p.row_indices[order_p], err_msg=name)
+        np.testing.assert_array_equal(
+            coo_n.col_indices[order_n], coo_p.col_indices[order_p], err_msg=name)
+        np.testing.assert_allclose(
+            coo_n.values[order_n], coo_p.values[order_p], err_msg=name)
+
+
+def test_mtx_eof_no_trailing_newline(tmp_path):
+    """A float value flush at EOF with no trailing newline must parse
+    (native parser reads the mmap'd tail with a bounded buffer)."""
+    p = tmp_path / "eof.mtx"
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n2 2 2\n1 2 1.25\n2 1 3.75")
+    props, coo = load_matrix_market(p)
+    assert coo.nnz == 2
+    np.testing.assert_allclose(np.sort(coo.values), [1.25, 3.75])

@@ -86,3 +86,101 @@ def test_spmv_run_pallas_option():
         warmup=False,
     )
     np.testing.assert_allclose(np.asarray(r.y), A @ x, rtol=1e-3, atol=1e-4)
+
+
+def test_semiring_unoccupied_row_windows():
+    """Row windows no chunk maps to (e.g. trailing isolated vertices) must
+    return the semiring identity, not uninitialized memory."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.semiring import _BIG, bucketed_semiring_spmv
+
+    # 300 vertices, all edges inside [0, 64): row windows 1..2 are empty
+    V, W = 300, 128
+    rows = np.array([1, 2, 3, 10], np.int64)
+    cols = np.array([0, 1, 0, 5], np.int64)
+    vals = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    x = np.arange(V, dtype=np.float32) + 1.0
+
+    lay = build_bucketed_layout(rows, cols, vals, V, window=W, chunk=128)
+    y = np.asarray(bucketed_semiring_spmv(lay, jnp.asarray(x), "plus_times", interpret=True))
+    assert (y[128:] == 0.0).all(), "unoccupied plus_times windows must be 0"
+
+    lay_mp = build_bucketed_layout(rows, cols, vals, V, window=W, chunk=128,
+                                   pad_value=_BIG)
+    y = np.asarray(bucketed_semiring_spmv(lay_mp, jnp.asarray(x), "min_plus", interpret=True))
+    assert np.isinf(y[128:]).all(), "unoccupied min_plus windows must be +inf"
+
+
+def test_spmm_unoccupied_row_windows():
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+    V, W = 300, 128
+    rows = np.array([1, 2], np.int64)
+    cols = np.array([0, 1], np.int64)
+    vals = np.array([1.0, 2.0], np.float32)
+    lay = build_bucketed_layout(rows, cols, vals, V, window=W, chunk=128)
+    X = np.ones((V, 8), np.float32)
+    Y = np.asarray(bucketed_spmm(lay, jnp.asarray(X), interpret=True))
+    assert (Y[128:] == 0.0).all()
+
+
+def test_color_pallas_isolated_and_priority_zero():
+    """A priority-0 vertex with no uncolored neighbors (e.g. isolated)
+    must still get colored (regression: the loop used to spin to max_it
+    and return INVALID_COLOR)."""
+    import scipy.sparse as sp
+
+    from gunrock_tpu.algorithms import color
+    from gunrock_tpu.formats import Coo, coo_to_csr
+    from gunrock_tpu.graph import build_graph
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    # 8-vertex graph: a path 0-1-2-3 (symmetric), vertices 4..7 isolated
+    rows = np.array([0, 1, 1, 2, 2, 3], np.int32)
+    cols = np.array([1, 0, 2, 1, 3, 2], np.int32)
+    g = build_graph(
+        coo_to_csr(Coo(n_rows=8, n_cols=8, row_indices=rows, col_indices=cols,
+                       values=np.ones(6, np.float32))),
+        GraphProperties(directed=False, weighted=False, symmetric=True),
+    )
+    for seed in range(4):
+        for ordering in ("random", "degree"):
+            colors, it = color.color_kernel_pallas(
+                g, seed=seed, interpret=True, ordering=ordering,
+                max_iterations=32,
+            )
+            colors = np.asarray(colors)
+            assert (colors >= 0).all(), (seed, ordering, colors)
+            # proper coloring on the path edges
+            assert (colors[rows] != colors[cols]).all(), (seed, ordering)
+
+
+def test_cached_layout_weakref_eviction():
+    """Layout cache entries die with their anchor array and a recycled
+    id() cannot serve a stale layout."""
+    import gc
+
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas import layout as L
+
+    a = jnp.arange(64, dtype=jnp.int32)
+    built = []
+
+    def build():
+        built.append(1)
+        return "layout-A"
+
+    assert L.cached_layout(a, build, ("k",)) == "layout-A"
+    assert L.cached_layout(a, build, ("k",)) == "layout-A"
+    assert len(built) == 1
+    key = id(a)
+    assert key in L._GRAPH_LAYOUT_CACHE
+    del a
+    gc.collect()
+    assert key not in L._GRAPH_LAYOUT_CACHE, "entry must die with its array"
