@@ -88,13 +88,21 @@ def main():
         pass
 
     value = float(np.mean(mteps_all))
+    # Baseline: the reference repo publishes no numbers and cannot run here
+    # (CUDA-only, no GPU, zero egress — BASELINE.md "Published numbers").
+    # The pinned baseline is therefore this framework's round-1 measurement
+    # of the SAME workload under the SAME contract (BASELINE.md "Round 1
+    # measured results": 43.55 MTEPS, rmat18 ef16, dir-opt BFS, 8 runs) —
+    # a real, falsifiable progress ratio.
+    ROUND1_BASELINE_MTEPS = 43.55
     result = {
         "batch_mteps_k32": round(batch_mteps, 2),
         "batch_ms_k32": round(batch_ms, 3),
         "metric": f"bfs_mteps_rmat{scale}_ef{ef}",
         "value": round(value, 2),
         "unit": "MTEPS",
-        "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
+        "vs_baseline": round(value / ROUND1_BASELINE_MTEPS, 3),
+        "baseline_source": "round-1 self-baseline 43.55 MTEPS (BASELINE.md)",
         "avg_ms": round(float(np.mean(times_ms)), 3),
         "n_vertices": graph.n_vertices,
         "n_edges": graph.n_edges,

@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--algorithm", default="pagerank",
                    choices=["bfs", "sssp", "pagerank", "spmv"])
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--scheme", default="sharded", choices=["sharded"],
+                   help="vertex-sharded state + boundary exchange (memory 1/n)")
+    p.add_argument("--halo", default="auto", choices=["auto", "on", "off"],
+                   help="boundary exchange mode for the sharded scheme")
     ns = p.parse_args(argv)
 
     if ns.cpu:
@@ -47,9 +51,8 @@ def main(argv=None):
     import numpy as np
 
     from gunrock_tpu.io.generators import rmat_graph
-    from gunrock_tpu.parallel import algorithms as dalg
+    from gunrock_tpu.parallel import sharded
     from gunrock_tpu.parallel.mesh import make_mesh
-    from gunrock_tpu.parallel.partition import partition_graph
 
     graph = rmat_graph(scale=ns.rmat, edge_factor=ns.edge_factor, seed=1)
     E = graph.n_edges
@@ -59,16 +62,20 @@ def main(argv=None):
     base_rate = None
     for n in sizes:
         mesh = make_mesh(n)
-        pg = partition_graph(graph, n, mesh)
-        if ns.algorithm == "pagerank":
-            fn = lambda: dalg.pagerank(pg, mesh, max_iterations=20, tol=0.0)
-        elif ns.algorithm == "bfs":
-            fn = lambda: dalg.bfs(pg, 0, mesh)
-        elif ns.algorithm == "sssp":
-            fn = lambda: dalg.sssp(pg, 0, mesh)
-        else:
-            x = jax.numpy.ones(graph.n_vertices)
-            fn = lambda: dalg.spmv(pg, x, mesh)
+        coll_bytes = 0
+        if ns.scheme == "sharded":
+            use_halo = None if ns.halo == "auto" else (ns.halo == "on")
+            pg = sharded.partition_sharded(graph, n, mesh, use_halo=use_halo)
+            coll_bytes = sharded.collective_bytes_per_exchange(pg)
+            if ns.algorithm == "pagerank":
+                fn = lambda: sharded.pagerank(pg, mesh, max_iterations=20, tol=0.0)
+            elif ns.algorithm == "bfs":
+                fn = lambda: sharded.bfs(pg, 0, mesh)
+            elif ns.algorithm == "sssp":
+                fn = lambda: sharded.sssp(pg, 0, mesh)
+            else:
+                x = jax.numpy.ones(graph.n_vertices)
+                fn = lambda: sharded.spmv(pg, x, mesh)
         out = jax.block_until_ready(fn())  # compile + warm
         np.asarray(jax.tree_util.tree_leaves(out)[0])
         t0 = time.perf_counter()
@@ -90,6 +97,9 @@ def main(argv=None):
                     "speedup": round(rate / base_rate, 2),
                     "efficiency": round(eff, 3),
                     "ms_per_run": round(dt * 1e3, 2),
+                    "scheme": ns.scheme,
+                    "collective_bytes_per_iter": coll_bytes,
+                    "state_bytes_per_device": 4 * pg.v_per_shard,
                 }
             )
         )

@@ -64,7 +64,13 @@ def make_priorities(graph: Graph, seed: int, ordering: str = "random"):
 
 
 def color_step(graph: Graph, colors, randoms, iteration):
-    """One coloring round (pure). Two new colors: 2*it and 2*it + 1."""
+    """One coloring round (pure). Two new colors: 2*it and 2*it + 1.
+
+    On directed graphs the neighbor scans cover BOTH out- and in-edges:
+    an edge (u, v) seen only from u's side lets u and v color the same
+    round with the same color (the reference scans out-edges only,
+    color.hxx:116-140, and is silently improper on directed inputs —
+    deviation: we color the underlying undirected graph)."""
     V = graph.n_vertices
     uncolored = colors == INVALID_COLOR
     src, dst = graph.edge_src, graph.col_indices
@@ -81,6 +87,23 @@ def color_step(graph: Graph, colors, randoms, iteration):
         num_segments=V,
         indices_are_sorted=True,
     )
+    if not graph.properties.symmetric:
+        crow, cdst = graph.csc_rows, graph.csc_dst
+        rel_in = uncolored[crow] & (crow != cdst)
+        nbr_max = jnp.maximum(
+            nbr_max,
+            jax.ops.segment_max(
+                jnp.where(rel_in, randoms[crow], -1), cdst,
+                num_segments=V, indices_are_sorted=True,
+            ),
+        )
+        nbr_min = jnp.minimum(
+            nbr_min,
+            jax.ops.segment_min(
+                jnp.where(rel_in, randoms[crow], big), cdst,
+                num_segments=V, indices_are_sorted=True,
+            ),
+        )
     has_nbr = nbr_max >= 0
     colormax = uncolored & (randoms > nbr_max)
     colormin = uncolored & has_nbr & (randoms < nbr_min) & ~colormax
@@ -110,6 +133,33 @@ def color_kernel(graph: Graph, seed: int = 0, max_iterations: int | None = None,
     return colors, it
 
 
+def _color_layout(graph: Graph, interpret: bool):
+    """Self-loop-free push layout for the Pallas coloring scans; directed
+    graphs get the symmetrized (undirected) edge set so properness holds
+    on the underlying undirected graph."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+
+    W, C = (128, 256) if interpret else (2048, 256)
+
+    def build():
+        src = np.asarray(graph.edge_src)
+        dst = np.asarray(graph.col_indices)
+        if not graph.properties.symmetric:
+            src, dst = (
+                np.concatenate([src, dst]),
+                np.concatenate([dst, src]),
+            )
+        keep = src != dst  # drop self loops (color.hxx:126-130)
+        return build_bucketed_layout(
+            src[keep], dst[keep], np.ones(int(keep.sum()), np.float32),
+            graph.n_vertices, window=W, chunk=C,
+        )
+
+    return cached_layout(graph.col_indices, build, ("color_sym", W, C))
+
+
 def color_kernel_pallas(
     graph: Graph,
     seed: int = 0,
@@ -134,16 +184,7 @@ def color_kernel_pallas(
     if interpret is None:
         interpret = use_interpret()
     if layout is None:
-        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
-
-        src = np.asarray(graph.edge_src)
-        dst = np.asarray(graph.col_indices)
-        keep = src != dst  # drop self loops (color.hxx:126-130)
-        W, C = (128, 256) if interpret else (2048, 256)
-        layout = build_bucketed_layout(
-            src[keep], dst[keep], np.ones(int(keep.sum()), np.float32),
-            V, window=W, chunk=C,
-        )
+        layout = _color_layout(graph, interpret)
     randoms = make_priorities(graph, seed, ordering)
     # +1 shift: uncolored vertices present priorities in [1, V], so the
     # max-times identity 0 is unambiguous "no uncolored neighbor".
@@ -188,20 +229,10 @@ def run(
     if options is None:
         options = default_options()
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
-        import numpy as np
-
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
 
         interpret = use_interpret()
-        src = np.asarray(graph.edge_src)
-        dst = np.asarray(graph.col_indices)
-        keep = src != dst
-        W, C = (128, 256) if interpret else (2048, 256)
-        layout = build_bucketed_layout(
-            src[keep], dst[keep], np.ones(int(keep.sum()), np.float32),
-            graph.n_vertices, window=W, chunk=C,
-        )
+        layout = _color_layout(graph, interpret)
         fn = jax.jit(
             lambda g: color_kernel_pallas(
                 g, seed=seed, layout=layout, interpret=interpret,

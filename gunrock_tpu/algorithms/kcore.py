@@ -8,10 +8,17 @@ vertex is deleted (kcore.hxx:139-202). The reference's iteration count at
 convergence is the graph's degeneracy.
 
 TPU redesign: one flat ``lax.while_loop`` carrying ``(k, degrees, deleted,
-k_cores)``: each step peels the current-k set via a dense mask and one
-segmented sum (neighbor degree decrements); when nothing peels, k
-advances. Deterministic, and the nested reference loop flattens without
-host round trips.
+k_cores)``. Three round-count/cost optimizations over the naive flattening:
+
+1. **k-jump** — when a round peels nothing, k jumps directly to the
+   minimum remaining residual degree (the classic bucket skip) instead of
+   incrementing by 1, so empty k levels cost zero rounds.
+2. **cond-guarded edge pass** — the O(E) neighbor-decrement only runs in
+   rounds that peeled something (``lax.cond`` inside ``while_loop``
+   genuinely skips the untaken branch on TPU).
+3. **Pallas decrement** — the decrement is a plus_times semiring advance
+   over a unit-weight layout (the bucketed MXU/VPU kernel) instead of an
+   E-wide gather + segmented count, when options select the Pallas path.
 """
 
 from __future__ import annotations
@@ -24,6 +31,8 @@ import jax.numpy as jnp
 
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
+
+_BIG_DEG = jnp.int32(2**30)
 
 
 @dataclasses.dataclass
@@ -38,10 +47,21 @@ class Result:
     elapsed_ms: float
 
 
-def kcore_kernel(graph: Graph):
-    """Pure k-core. Returns (k_cores int32[V], degeneracy)."""
+def kcore_kernel(graph: Graph, decrement_fn=None):
+    """Pure k-core. Returns (k_cores int32[V], degeneracy).
+
+    ``decrement_fn(peel_mask) -> int32[V]`` computes, for every vertex,
+    the number of edges connecting it to peeled vertices; defaults to the
+    XLA gather + sorted segmented count."""
     V = graph.n_vertices
     deg0 = graph.out_degrees().astype(jnp.int32)
+
+    if decrement_fn is None:
+
+        def decrement_fn(peel):
+            from gunrock_tpu.ops.segment import seg_count_sorted
+
+            return seg_count_sorted(peel[graph.csc_rows], graph.csc_offsets)
 
     def cond(carry):
         k, deg, deleted, cores = carry
@@ -53,12 +73,19 @@ def kcore_kernel(graph: Graph):
         any_peel = jnp.any(peel)
         cores = jnp.where(peel, k, cores)
         deleted = deleted | peel
-        # Each deleted vertex decrements every out-neighbor's degree once
-        # per connecting edge (kcore.hxx:158-166).
-        from gunrock_tpu.ops.segment import seg_count_sorted
-
-        deg = deg - seg_count_sorted(peel[graph.csc_rows], graph.csc_offsets)
-        k = jnp.where(any_peel, k, k + 1)
+        # Each peeled vertex decrements every neighbor's residual degree
+        # once per connecting edge (kcore.hxx:158-166). Skipped entirely
+        # in no-peel rounds (branch genuinely not executed under XLA).
+        deg = jax.lax.cond(
+            any_peel,
+            lambda d: d - decrement_fn(peel),
+            lambda d: d,
+            deg,
+        )
+        # k-jump: if nothing peeled, every remaining vertex has residual
+        # degree > k — jump straight to the smallest one.
+        min_remaining = jnp.min(jnp.where(deleted, _BIG_DEG, deg))
+        k = jnp.where(any_peel, k, jnp.maximum(k + 1, min_remaining))
         return k, deg, deleted, cores
 
     k, _, _, cores = jax.lax.while_loop(
@@ -71,13 +98,47 @@ def kcore_kernel(graph: Graph):
             jnp.zeros(V, dtype=jnp.int32),
         ),
     )
-    return cores, k
+    return cores, jnp.max(cores)
 
 
 def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Result:
     """Role of reference ``kcore::run`` (kcore.hxx:221-244)."""
-    del options
-    fn = jax.jit(kcore_kernel)
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
+
+    if options is None:
+        options = default_options()
+    decrement_fn = None
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
+        import numpy as np
+
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+        from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv
+
+        interpret = use_interpret()
+        W = 128 if interpret else 2048
+        # unit-weight pull layout: count peeled in-neighbors per vertex
+        layout = cached_layout(
+            graph.col_indices,
+            lambda: build_bucketed_layout(
+                np.asarray(graph.col_indices),
+                np.asarray(graph.edge_src),
+                np.ones(graph.n_edges, np.float32),
+                graph.n_vertices,
+                window=W,
+                chunk=256,
+            ),
+            ("kcore_unit_pull", W, 256),
+        )
+
+        def decrement_fn(peel):
+            cnt = bucketed_semiring_spmv(
+                layout, peel.astype(jnp.float32), "plus_times",
+                interpret=interpret,
+            )
+            return jnp.round(cnt).astype(jnp.int32)
+
+    fn = jax.jit(lambda g: kcore_kernel(g, decrement_fn))
     if warmup:
         jax.block_until_ready(fn(graph))
     t0 = time.perf_counter()

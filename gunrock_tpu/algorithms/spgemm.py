@@ -20,6 +20,7 @@ XLA's strengths (static shapes, vectorized sort, segmented sums):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 
 import jax
@@ -105,35 +106,194 @@ def spgemm_kernel(
     return rows, cols, vals, n_runs
 
 
+def _block_kernel(
+    a_row,  # int32[Ea + pad] A edge rows (global, padded once)
+    a_col,
+    a_val,
+    b_offsets,
+    b_col,
+    b_val,
+    off,  # int32[n_edges_pad+1] — per-block expansion offsets, rebased to 0
+    edge_start,  # int32 scalar: first A edge of this block
+    n_products,  # int32 scalar: actual products in this block
+    total: int,  # static: product capacity of one block
+    n_rows: int = 0,
+):
+    """One streamed ESC block: a row-aligned slice of the global product
+    expansion. Fixed shapes — one executable serves every block (role of
+    reference spgemm.hxx:124-250's per-row upper-bound loop, restructured
+    as fixed-budget streaming)."""
+    n_edges_pad = off.shape[0] - 1
+    actual = jnp.minimum(n_products, total)
+    ar = jax.lax.dynamic_slice(a_row, (edge_start,), (n_edges_pad,))
+    ac = jax.lax.dynamic_slice(a_col, (edge_start,), (n_edges_pad,))
+    av = jax.lax.dynamic_slice(a_val, (edge_start,), (n_edges_pad,))
+
+    t = jnp.arange(total, dtype=jnp.int32)
+    valid = t < actual
+    a_id = jnp.clip(
+        jnp.searchsorted(off, t, side="right").astype(jnp.int32) - 1,
+        0,
+        n_edges_pad - 1,
+    )
+    k = ac[a_id]
+    within = t - off[a_id]
+    b_e = jnp.clip(b_offsets[k] + within, 0, b_col.shape[0] - 1)
+    sent = jnp.int32(n_rows)
+    i = jnp.where(valid, ar[a_id], sent)
+    j = jnp.where(valid, b_col[b_e], jnp.int32(2**30))
+    v = jnp.where(valid, av[a_id] * b_val[b_e], 0.0)
+
+    i_s, j_s, v_s = jax.lax.sort((i, j, v), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (i_s[1:] != i_s[:-1]) | (j_s[1:] != j_s[:-1])]
+    )
+    run_valid = first & (i_s < sent)
+    n_runs = jnp.sum(run_valid.astype(jnp.int32))
+    run = jnp.cumsum(first.astype(jnp.int32)) - 1
+    vals = jax.ops.segment_sum(v_s, run, num_segments=total, indices_are_sorted=True)
+    is_end = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    out_idx = jnp.where(is_end & (i_s < sent), run, total)
+    rows = jnp.full(total, -1, jnp.int32).at[out_idx].set(i_s, mode="drop")
+    cols = jnp.full(total, -1, jnp.int32).at[out_idx].set(j_s, mode="drop")
+    checksum = jnp.sum(vals)
+    return rows, cols, vals, n_runs, checksum
+
+
+def _run_streaming(
+    A: Graph,
+    a_offsets: np.ndarray,
+    exp_offsets: np.ndarray,  # int64[Ea+1]
+    b_offsets_h: np.ndarray,
+    B: Graph,
+    budget: int,
+    count_only: bool,
+    warmup: bool,
+) -> Result:
+    """Row-blocked streaming ESC: C rows from different blocks are
+    disjoint, so per-block contraction is globally exact. One fixed-shape
+    executable serves every normal block; rows whose own expansion
+    exceeds the budget get a (rare) oversized executable. In
+    ``count_only`` mode the Result carries nnz and a value checksum (in
+    ``values[0]``) with no device->host result transfer."""
+    del warmup  # first block doubles as compile warmup
+    exp_row = exp_offsets[a_offsets]  # int64[V+1]
+    blocks = _plan_blocks(exp_row, budget)
+    n_rows = A.n_vertices
+
+    def next_pow2(x):
+        return 1 << (int(x) - 1).bit_length()
+
+    # pad the device edge arrays once so dynamic_slice never clamps
+    max_edges = max(a_offsets[r1] - a_offsets[r0] for r0, r1 in blocks)
+    n_edges_pad = next_pow2(max(int(max_edges), 8))
+    pad = jnp.zeros(n_edges_pad, jnp.int32)
+    ar_g = jnp.concatenate([A.edge_src, pad])
+    ac_g = jnp.concatenate([A.col_indices, pad])
+    av_g = jnp.concatenate([A.values, pad.astype(jnp.float32)])
+
+    fns = {}
+
+    def get_fn(total):
+        if total not in fns:
+            fns[total] = jax.jit(
+                functools.partial(_block_kernel, total=total, n_rows=n_rows)
+            )
+        return fns[total]
+
+    t0 = time.perf_counter()
+    out_rows, out_cols, out_vals = [], [], []
+    nnz = 0
+    checksum = 0.0
+    for r0, r1 in blocks:
+        e0, e1 = int(a_offsets[r0]), int(a_offsets[r1])
+        n_products = int(exp_row[r1] - exp_row[r0])
+        total = budget if n_products <= budget else next_pow2(n_products)
+        off = (exp_offsets[e0 : e1 + 1] - exp_offsets[e0]).astype(np.int32)
+        off = np.concatenate(
+            [off, np.full(n_edges_pad - (e1 - e0), off[-1], np.int32)]
+        )
+        rows, cols, vals, n_runs, csum = get_fn(total)(
+            ar_g, ac_g, av_g,
+            B.row_offsets, B.col_indices, B.values,
+            jnp.asarray(off), jnp.int32(e0), jnp.int32(n_products),
+        )
+        nnz += int(n_runs)
+        checksum += float(csum)
+        if not count_only:
+            k = int(n_runs)
+            out_rows.append(np.asarray(rows)[:k])
+            out_cols.append(np.asarray(cols)[:k])
+            out_vals.append(np.asarray(vals)[:k])
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    if count_only:
+        e = jnp.zeros(0)
+        return Result(
+            row_indices=e.astype(jnp.int32),
+            col_indices=e.astype(jnp.int32),
+            values=jnp.asarray([checksum], jnp.float32),
+            nnz=nnz,
+            elapsed_ms=elapsed_ms,
+        )
+    return Result(
+        row_indices=jnp.asarray(np.concatenate(out_rows)),
+        col_indices=jnp.asarray(np.concatenate(out_cols)),
+        values=jnp.asarray(np.concatenate(out_vals)),
+        nnz=nnz,
+        elapsed_ms=elapsed_ms,
+    )
+
+
+def _plan_blocks(exp_row_offsets: np.ndarray, budget: int):
+    """Greedy row-aligned block plan: consecutive A-row ranges whose
+    expansion fits the product budget. A single row larger than the budget
+    gets its own (oversized) block. Returns list of (row_start, row_end)."""
+    n_rows = exp_row_offsets.shape[0] - 1
+    blocks = []
+    r = 0
+    while r < n_rows:
+        limit = exp_row_offsets[r] + budget
+        # last row end with cumulative expansion <= limit
+        e = int(np.searchsorted(exp_row_offsets, limit, side="right")) - 1
+        if e <= r:
+            e = r + 1  # oversized single row
+        blocks.append((r, min(e, n_rows)))
+        r = min(e, n_rows)
+    return blocks
+
+
 def run(
     A: Graph,
     B: Graph,
     options: Options | None = None,
     warmup: bool = True,
-    max_expansion: int = 50_000_000,
+    block_products: int = 8_000_000,
+    count_only: bool = False,
 ) -> Result:
     """Role of reference ``spgemm::run`` (spgemm.hxx:287-315): C = A.B over
     the CSR views of two graphs.
 
-    ESC materializes every partial product, so the expansion size is
-    sum over A-edges of deg_B(col) — on power-law graphs this can dwarf
-    nnz(A)+nnz(B). ``max_expansion`` guards against accidental
-    hundred-GB launches; raise it explicitly for big multiplies
-    (row-blocked streaming SpGEMM is the planned next step)."""
+    ESC materializes partial products; when the full expansion exceeds
+    ``block_products`` the multiply streams row-aligned blocks through a
+    single fixed-shape executable (C rows from different blocks are
+    disjoint, so per-block contraction is exact). ``count_only=True``
+    skips all device->host result transfers and returns only nnz and a
+    value checksum — the structure-analysis mode for products too large
+    to materialize."""
     del options
     a_offsets = np.asarray(A.row_offsets)
     a_col = np.asarray(A.col_indices)
     b_offsets_h = np.asarray(B.row_offsets)
     deg_b = np.diff(b_offsets_h)
     # host-side expansion offsets (static shape contract)
-    exp_counts = deg_b[a_col]
-    exp_offsets = np.zeros(A.n_edges + 1, dtype=np.int32)
+    exp_counts = deg_b[a_col].astype(np.int64)
+    exp_offsets = np.zeros(A.n_edges + 1, dtype=np.int64)
     np.cumsum(exp_counts, out=exp_offsets[1:])
     total = int(exp_offsets[-1])
-    if total > max_expansion:
-        raise ValueError(
-            f"SpGEMM expansion {total} exceeds max_expansion={max_expansion}; "
-            "pass a larger max_expansion to proceed"
+    if total > block_products:
+        return _run_streaming(
+            A, a_offsets, exp_offsets, b_offsets_h, B,
+            block_products, count_only, warmup,
         )
     if total == 0:
         z = jnp.zeros(0)

@@ -56,7 +56,22 @@ def build_dag(graph: Graph):
     offsets = np.asarray(graph.row_offsets)
     cols = np.asarray(graph.col_indices)
     src = np.asarray(graph.edge_src)
-    deg = np.diff(offsets)
+    if not graph.properties.symmetric:
+        # Triangles live on the underlying undirected graph: symmetrize
+        # and dedupe directed inputs (self-loops dropped by orientation).
+        import scipy.sparse as sp
+
+        V = graph.n_vertices
+        A = sp.csr_matrix(
+            (np.ones(src.shape[0], np.int8), (src, cols)), shape=(V, V)
+        )
+        A = A.maximum(A.T).tocoo()
+        src = A.row.astype(np.int64)
+        cols = A.col.astype(np.int64)
+        deg = np.zeros(V, np.int64)
+        np.add.at(deg, src, 1)
+    else:
+        deg = np.diff(offsets)
     # rank(u) < rank(v) iff (deg[u], u) < (deg[v], v)
     keep = (deg[src] < deg[cols]) | ((deg[src] == deg[cols]) & (src < cols))
     edge_u = src[keep].astype(np.int32)
@@ -66,6 +81,23 @@ def build_dag(graph: Graph):
     dag_offsets = np.zeros(graph.n_vertices + 1, dtype=np.int32)
     np.cumsum(dag_deg, out=dag_offsets[1:])
     return dag_offsets, edge_v.copy(), edge_u, edge_v
+
+
+def _undirected_degrees(graph: Graph):
+    """Degrees of the (symmetrized) simple graph — the rank key build_dag
+    orients by."""
+    src = np.asarray(graph.edge_src)
+    cols = np.asarray(graph.col_indices)
+    if not graph.properties.symmetric:
+        import scipy.sparse as sp
+
+        V = graph.n_vertices
+        A = sp.csr_matrix(
+            (np.ones(src.shape[0], np.int8), (src, cols)), shape=(V, V)
+        )
+        A = A.maximum(A.T)
+        return np.diff(A.indptr).astype(np.int64)
+    return np.diff(np.asarray(graph.row_offsets)).astype(np.int64)
 
 
 def _search_steps(max_len: int) -> int:
@@ -136,18 +168,109 @@ def tc_kernel(
     return counts
 
 
+def build_wedges(dag_offsets, dag_adj, edge_u, edge_v, rank_deg):
+    """Host wedge enumeration (numpy): every triangle appears exactly
+    once as a wedge {x, y} from some u with x, y in N+(u) — emitted
+    ORIENTED by the DAG's (degree, id) rank so the pair matches the
+    stored direction of its closing edge. Returns (wv, ww, wu) int32."""
+    dag_deg = np.diff(dag_offsets).astype(np.int64)
+    r = np.arange(edge_u.size, dtype=np.int64) - dag_offsets[edge_u]
+    cnt = dag_deg[edge_u] - r - 1
+    woff = np.zeros(edge_u.size + 1, np.int64)
+    np.cumsum(cnt, out=woff[1:])
+    total = int(woff[-1])
+    t = np.arange(total, dtype=np.int64)
+    a_id = np.searchsorted(woff, t, side="right") - 1
+    within = t - woff[a_id]
+    wu = edge_u[a_id]
+    x = edge_v[a_id].astype(np.int64)
+    y = dag_adj[dag_offsets[wu] + r[a_id] + 1 + within].astype(np.int64)
+    # orient by (deg, id) rank — the build_dag orientation rule
+    x_first = (rank_deg[x] < rank_deg[y]) | (
+        (rank_deg[x] == rank_deg[y]) & (x < y)
+    )
+    wv = np.where(x_first, x, y)
+    ww = np.where(x_first, y, x)
+    return wv.astype(np.int32), ww.astype(np.int32), wu.astype(np.int32)
+
+
+def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
+    """Sort-merge join TC: wedges vs DAG edges as one device sort.
+
+    The membership probes of ``tc_kernel`` are serialized gathers on TPU
+    (~0.1 Gelem/s); here the whole join is a single ``lax.sort`` of the
+    concatenated (edge, wedge) key streams — a run of equal (a, b) keys
+    starts with the (unique) DAG edge iff the wedge closes a triangle.
+    No per-probe gathers; one N log N sort + two linear passes.
+    Role of reference csr.hxx:116-173 ``get_intersection_count``."""
+    E = eu.shape[0]
+    Wn = wv.shape[0]
+    N = E + Wn
+    a = jnp.concatenate([eu, wv])
+    b = jnp.concatenate([ev, ww])
+    is_edge = jnp.concatenate(
+        [jnp.ones(E, jnp.int32), jnp.zeros(Wn, jnp.int32)]
+    )
+    u_pay = jnp.concatenate([jnp.zeros(E, jnp.int32), wu])
+    a_s, b_s, _, e_s, u_s = jax.lax.sort(
+        (a, b, 1 - is_edge, is_edge, u_pay), num_keys=3
+    )
+    idx = jnp.arange(N, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [
+            jnp.ones(1, bool),
+            (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]),
+        ]
+    )
+    start_pos = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    match = (e_s[start_pos] == 1) & (e_s == 0)
+    m32 = match.astype(jnp.int32)
+    counts = jnp.zeros(V, dtype=jnp.int32)
+    counts = counts.at[jnp.where(match, u_s, V)].add(m32, mode="drop")
+    counts = counts.at[jnp.where(match, a_s, V)].add(m32, mode="drop")
+    counts = counts.at[jnp.where(match, b_s, V)].add(m32, mode="drop")
+    return counts
+
+
 def run(
     graph: Graph,
     reduce_all_triangles: bool = True,
     options: Options | None = None,
     warmup: bool = True,
+    method: str = "sortjoin",
+    max_wedges: int = 200_000_000,
 ) -> Result:
     """Role of reference ``tc::run`` (tc.hxx:143-170).
 
-    Expects an undirected (symmetric) edge set, like the reference.
-    """
+    ``method='sortjoin'`` (default) runs the device sort-merge join;
+    ``'probe'`` keeps the batched binary-search kernel (wedge sets above
+    ``max_wedges`` also fall back to it — bounded memory)."""
     del options
     dag_offsets, dag_adj, edge_u, edge_v = build_dag(graph)
+    if method == "sortjoin":
+        deg = np.diff(dag_offsets).astype(np.int64)
+        n_wedges = int((deg * (deg - 1) // 2).sum())
+        if 0 < n_wedges <= max_wedges:
+            wv, ww, wu = build_wedges(
+                dag_offsets, dag_adj, edge_u, edge_v,
+                _undirected_degrees(graph),
+            )
+            args = tuple(
+                jnp.asarray(x) for x in (edge_u, edge_v, wv, ww, wu)
+            )
+            fn = jax.jit(lambda *a: tc_kernel_sortjoin(graph.n_vertices, *a))
+            if warmup:
+                jax.block_until_ready(fn(*args))
+            t0 = time.perf_counter()
+            counts = jax.block_until_ready(fn(*args))
+            elapsed_ms = (time.perf_counter() - t0) * 1e3
+            total = int(jnp.sum(counts)) if reduce_all_triangles else 0
+            return Result(
+                vertex_triangles_count=counts,
+                total_triangles_count=total,
+                n_triangles=total // 3,
+                elapsed_ms=elapsed_ms,
+            )
     D = int(np.diff(dag_offsets).max()) if dag_adj.size else 1
     # bound chunk memory to ~2^22 lanes
     chunk = int(max(128, min((1 << 22) // max(D, 1), 1 << 15)))

@@ -78,12 +78,17 @@ def spgemm(graph_a, graph_b) -> np.ndarray:
 
 
 def tc(graph) -> np.ndarray:
-    """Per-vertex triangle membership counts (undirected simple graph)."""
-    A = (_to_scipy(graph) != 0).astype(np.int64).toarray()
-    np.fill_diagonal(A, 0)
-    A = np.maximum(A, A.T)
-    A3 = A @ A @ A
-    return (np.diag(A3) // 2).astype(np.int32)
+    """Per-vertex triangle membership counts (undirected simple graph).
+    Sparse throughout: diag(A^3) = rowsum(A^2 .* A^T) — the dense cube is
+    O(V^3) and unusable beyond toy graphs."""
+    import scipy.sparse as sp
+
+    A = (_to_scipy(graph) != 0).astype(np.int64).tocsr()
+    A.setdiag(0)
+    A.eliminate_zeros()
+    A = A.maximum(A.T).tocsr()
+    diag_a3 = np.asarray((A @ A).multiply(A.T).sum(axis=1)).ravel()
+    return (diag_a3 // 2).astype(np.int32)
 
 
 def kcore(graph) -> np.ndarray:

@@ -179,6 +179,51 @@ class Graph:
         )
         return count
 
+    def intersect_neighbors(self, u, v, on_intersection, init):
+        """Visitor form of :meth:`get_intersection_count` (role of the
+        reference's ``on_intersection`` lambda, graph/csr.hxx:116-173):
+        folds the pure function ``on_intersection(acc, vertex) -> acc``
+        over every vertex of N(u) ∩ N(v), starting from ``init``.
+        Jit-safe; the per-triangle side effects of the reference become a
+        functional reduction."""
+        du = self.get_number_of_neighbors(u)
+        dv = self.get_number_of_neighbors(v)
+        small = jnp.where(du <= dv, u, v)
+        big = jnp.where(du <= dv, v, u)
+        s_start = self.row_offsets[small]
+        s_end = self.row_offsets[small + 1]
+        b_start = self.row_offsets[big]
+        b_end = self.row_offsets[big + 1]
+
+        def body(state):
+            e, acc = state
+            y = self.col_indices[e]
+            lo, hi = b_start, b_end
+
+            def sstep(_, lh):
+                lo, hi = lh
+                active = lo < hi
+                mid = (lo + hi) // 2
+                go_right = self.col_indices[jnp.minimum(mid, self.n_edges - 1)] < y
+                nlo = jnp.where(go_right, mid + 1, lo)
+                nhi = jnp.where(go_right, hi, mid)
+                return jnp.where(active, nlo, lo), jnp.where(active, nhi, hi)
+
+            lo, hi = jax.lax.fori_loop(0, 32, sstep, (lo, hi))
+            found = (lo < b_end) & (
+                self.col_indices[jnp.minimum(lo, self.n_edges - 1)] == y
+            )
+            new_acc = on_intersection(acc, y)
+            acc = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(found, n, o), new_acc, acc
+            )
+            return e + 1, acc
+
+        _, acc = jax.lax.while_loop(
+            lambda s: s[0] < s_end, body, (s_start, init)
+        )
+        return acc
+
     # ------------------------------------------------------------------
     # Degree vectors & statistics (reference graph/graph.hxx:349-439)
     # ------------------------------------------------------------------

@@ -21,6 +21,35 @@ from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
 
+def as_device_array(x):
+    """Zero-copy-where-possible import of an external tensor (role of the
+    reference's ``data_ptr()``/``__cuda_array_interface__`` reads,
+    bindings.cu:65-82). Torch CPU tensors and numpy arrays enter jax via
+    DLPack — no copy on the CPU backend, a single H2D transfer on TPU.
+    The reference's zero-copy is only free because producer and consumer
+    share one GPU address space; across host->TPU a transfer is inherent,
+    so the contract here is "at most one copy, none when colocated"."""
+    try:
+        import torch
+
+        if isinstance(x, torch.Tensor):
+            import jax.numpy as jnp
+
+            return jnp.from_dlpack(x.contiguous())
+    except (ImportError, TypeError):
+        pass
+    if isinstance(x, np.ndarray) and x.flags.c_contiguous:
+        try:
+            import jax.numpy as jnp
+
+            return jnp.from_dlpack(x)
+        except (TypeError, RuntimeError, BufferError):
+            pass
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def _fill(tensor, values) -> None:
     """Copy device results into a caller-provided tensor in place."""
     if tensor is None:

@@ -106,9 +106,12 @@ def advance(
       direction: FORWARD reduces by destination over out-edges of frontier
         vertices; BACKWARD reduces by source over out-edges whose
         *destination* is in the frontier (pull).
-      load_balance: strategy; XLA_SEGMENT is the vectorized default.
-        PALLAS_MERGE_PATH lowers the reduction to the Pallas kernel when
-        available (falls back to XLA_SEGMENT otherwise).
+      load_balance: strategy. The generic-callable form of ``edge_op``
+        always runs the XLA_SEGMENT path (an arbitrary Python lambda
+        cannot be staged into the Pallas kernel); declarative semiring
+        advances dispatch on this flag in :func:`advance_semiring` — the
+        operator-level runtime dispatch of the reference
+        (advance.hxx:247-275 ``execute_runtime``).
 
     Returns:
       ``(reduced int/float[V], touched bool[V])`` — per-vertex reduced
@@ -117,7 +120,12 @@ def advance(
       reference semantics where ``op(...)==false`` writes the invalid
       sentinel, advance/advance.hxx:17-38).
     """
-    del load_balance  # Pallas path plugs in here (ops/pallas); XLA default.
+    if isinstance(edge_op, str):
+        raise TypeError(
+            "declarative semiring advance: call advance_semiring(graph, x, "
+            f"semiring={edge_op!r}, ...) — it carries the x operand and "
+            "runtime-dispatches between the XLA and Pallas paths"
+        )
 
     if direction == AdvanceDirection.FORWARD:
         # CSC slot order: sorted by destination.
@@ -172,3 +180,122 @@ def advance(
 
     touched = seg_count_sorted(active, offsets) > 0
     return reduced, touched
+
+
+# Semiring combine/identities for the declarative advance form.
+_SEMIRING_IDENT = {"plus_times": 0.0, "min_plus": jnp.inf, "max_times": 0.0}
+
+
+def advance_semiring(
+    graph: Graph,
+    x: jax.Array,
+    semiring: str,
+    frontier: jax.Array | None = None,
+    direction: AdvanceDirection = AdvanceDirection.FORWARD,
+    load_balance: LoadBalance = LoadBalance.XLA_SEGMENT,
+    window: int = 2048,
+    chunk: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Declarative advance: per-vertex semiring reduction over edges.
+
+    - FORWARD (push): ``y[dst] = reduce over in-edges (src,dst) with src
+      active of combine(w, x[src])``
+    - BACKWARD (pull): ``y[src] = reduce over out-edges (src,dst) with dst
+      active of combine(w, x[dst])``
+
+    This is the operator-level *runtime dispatch* of the reference
+    (``operators/advance/advance.hxx:247-275`` ``execute_runtime``): the
+    ``load_balance`` flag picks the XLA segmented-reduction path or the
+    Pallas bucketed MXU kernel at call time, so every algorithm written
+    against this operator inherits both strategies. Frontier masking is
+    expressed through the x operand (inactive vertices carry the gather
+    identity), which the semiring absorbs exactly.
+
+    Returns the reduced ``float32[V]``; for ``min_plus`` vertices with no
+    active in/out edge hold ``+inf``, for plus/max ``0``.
+    """
+    if semiring not in _SEMIRING_IDENT:
+        raise ValueError(f"unknown semiring {semiring!r}")
+    x = jnp.asarray(x, jnp.float32)
+    if frontier is not None:
+        gather_ident = jnp.float32(
+            3.0e38 if semiring == "min_plus" else 0.0
+        )
+        x = jnp.where(frontier, x, gather_ident)
+
+    if load_balance == LoadBalance.PALLAS_MERGE_PATH:
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+        from gunrock_tpu.ops.pallas.semiring import _BIG, bucketed_semiring_spmv
+
+        if interpret is None:
+            interpret = use_interpret()
+        pad = _BIG if semiring == "min_plus" else 0.0
+        if direction == AdvanceDirection.FORWARD:
+            # rows = destinations (CSC orientation of the same edges)
+            import numpy as np
+
+            layout = cached_layout(
+                graph.col_indices,
+                lambda: build_bucketed_layout(
+                    np.asarray(graph.col_indices),
+                    np.asarray(graph.edge_src),
+                    np.asarray(graph.values),
+                    graph.n_vertices,
+                    window=window,
+                    chunk=chunk,
+                    pad_value=pad,
+                ),
+                ("pull", window, chunk, pad),
+            )
+        elif direction == AdvanceDirection.BACKWARD:
+            import numpy as np
+
+            layout = cached_layout(
+                graph.col_indices,
+                lambda: build_bucketed_layout(
+                    np.asarray(graph.edge_src),
+                    np.asarray(graph.col_indices),
+                    np.asarray(graph.values),
+                    graph.n_vertices,
+                    window=window,
+                    chunk=chunk,
+                    pad_value=pad,
+                ),
+                ("push", window, chunk, pad),
+            )
+        else:
+            raise ValueError(f"advance_semiring does not dispatch {direction}")
+        return bucketed_semiring_spmv(layout, x, semiring, interpret=interpret)
+
+    # XLA segmented path.
+    if direction == AdvanceDirection.FORWARD:
+        vals = x[graph.csc_rows]
+        w = graph.csc_values
+        seg = graph.csc_dst
+        offsets = graph.csc_offsets
+    elif direction == AdvanceDirection.BACKWARD:
+        vals = x[graph.col_indices]
+        w = graph.values
+        seg = graph.edge_src
+        offsets = graph.row_offsets
+    else:
+        raise ValueError(f"advance_semiring does not dispatch {direction}")
+
+    if semiring == "min_plus":
+        msg = jnp.minimum(w + vals, 3.0e38)
+        reduced = jax.ops.segment_min(
+            msg, seg, num_segments=graph.n_vertices, indices_are_sorted=True
+        )
+        # >= _BIG means "no active edge" (empty segments reduce to f32 max)
+        return jnp.where(reduced >= 3.0e38, jnp.inf, reduced)
+    msg = w * vals
+    if semiring == "plus_times":
+        from gunrock_tpu.ops.segment import seg_sum_sorted
+
+        return seg_sum_sorted(msg, offsets)
+    reduced = jax.ops.segment_max(
+        msg, seg, num_segments=graph.n_vertices, indices_are_sorted=True
+    )
+    return jnp.maximum(reduced, 0.0)  # identity 0 for empty segments

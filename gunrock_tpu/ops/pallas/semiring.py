@@ -2,11 +2,26 @@
 
 One bucketed windowed one-hot kernel, parameterized by semiring, is the
 whole load-balanced advance family (the role the reference spreads across
-thread_mapped/block_mapped/merge_path kernels + per-algorithm atomics):
+thread_mapped/block_mapped/merge_path kernels + per-algorithm atomics,
+reference operators/advance/merge_path_v2.hxx:75-244):
 
 - ``plus_times``  y[r] = sum_e  val_e * x[col_e]   — SpMV, PageRank spread
 - ``min_plus``    y[r] = min_e (val_e + x[col_e])  — SSSP relaxation
 - ``max_times``   y[r] = max_e  val_e * x[col_e]   — reachability (BFS)
+
+v2 kernel — two-level one-hot decomposition. A window index w in [0, W)
+splits as (hi, lo) = (w // 128, w % 128):
+
+- gather x[col]: the hi level is a bf16 one-hot matmul
+  ``onehot(col_hi) [C, W/128] @ x [W/128, 128]`` that rides the MXU
+  (two-pass hi+lo bf16 split of x keeps ~f32 accuracy); the lo level is a
+  single 128-lane VPU select. This replaces the C x W VPU compare+select
+  of v1 with C x W MXU MACs + C x 144 VPU ops — ~15x less VPU work.
+- scatter for ``plus_times`` mirrors it: lo-level one-hot expand of the
+  messages to [C, 128], then ``onehot(row_hi)^T [W/128, C] @ msgs`` on
+  the MXU.
+- scatter for min/max cannot ride the MXU (min is not a matmul); it stays
+  a VPU one-hot select+reduce, done per 128-lane sub-block.
 
 Padding slots carry the reduction identity so they vanish; accumulation
 across chunks of the same row window happens in VMEM.
@@ -34,13 +49,167 @@ _SEMIRINGS = {
 }
 
 
-def _make_kernel(semiring: str):
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_kernel_v3(semiring: str):
+    """Sub-block streaming kernel: every intermediate stays [C, 128].
+
+    The v1 kernel materializes [C, W] compare/select/reduce tensors
+    (2 MB each at C=256, W=2048) — VMEM-bandwidth-bound. v3 statically
+    unrolls over the S = W/128 sub-blocks: per step a [C]-wide compare on
+    the hi bits and a [C, 128] masked select, so the working set fits in
+    vector registers. Same ALU count, ~16x less VMEM traffic."""
     ident, _ = _SEMIRINGS[semiring]
 
     def kernel(rb_ref, cb_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
         i = pl.program_id(0)
         C = row_ref.shape[-1]
-        W = x_ref.shape[-1]
+        S = x_ref.shape[-2]  # W // 128
+        first_visit = jnp.logical_or(
+            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+        )
+
+        @pl.when(first_visit)
+        def _():
+            y_ref[...] = jnp.full_like(y_ref, ident)
+
+        col = col_ref[0, 0, :]
+        row = row_ref[0, 0, :]
+        val = val_ref[0, 0, :]
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
+        col_hi = col // 128
+        col_lo = col - col_hi * 128
+        row_hi = row // 128
+        row_lo = row - row_hi * 128
+
+        # ---- gather: per sub-block broadcast-select, [C, 128] tiles ----
+        x = x_ref[0]  # [S, 128]
+        if S == 1:
+            rows = jnp.broadcast_to(x[0][None, :], (C, 128))
+        else:
+            # NB: reshape the int32 THEN compare — Mosaic cannot insert a
+            # minor dim on 1-bit (bool) vectors.
+            col_hi2 = col_hi[:, None]
+            rows = jnp.zeros((C, 128), jnp.float32)
+            for s in range(S):
+                rows = rows + jnp.where(col_hi2 == s, x[s][None, :], 0.0)
+        xg = jnp.sum(jnp.where(col_lo[:, None] == lo_iota, rows, 0.0), axis=1)
+
+        if semiring == "min_plus":
+            msg = jnp.minimum(val + xg, _BIG)
+        else:
+            msg = val * xg
+
+        # ---- scatter: lo one-hot once, then per sub-block masked reduce ----
+        lo_scat = jnp.where(row_lo[:, None] == lo_iota, msg[:, None], ident)
+        if semiring == "plus_times":
+            red, comb = jnp.sum, None
+        elif semiring == "min_plus":
+            red, comb = jnp.min, jnp.minimum
+        else:
+            red, comb = jnp.max, jnp.maximum
+        row_hi2 = row_hi[:, None]
+        parts = []
+        for s in range(S):
+            sel = (
+                lo_scat
+                if S == 1
+                else jnp.where(row_hi2 == s, lo_scat, ident)
+            )
+            parts.append(red(sel, axis=0))
+        y_new = parts[0][None, :] if S == 1 else jnp.stack(parts, axis=0)
+        if semiring == "plus_times":
+            y_ref[0] = y_ref[0] + y_new
+        else:
+            y_ref[0] = comb(y_ref[0], y_new)
+
+    return kernel
+
+
+def _make_kernel_v2(semiring: str):
+    ident, _ = _SEMIRINGS[semiring]
+
+    def kernel(rb_ref, cb_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
+        i = pl.program_id(0)
+        C = row_ref.shape[-1]
+        S = x_ref.shape[-2]  # W // 128 sub-blocks
+        first_visit = jnp.logical_or(
+            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+        )
+
+        @pl.when(first_visit)
+        def _():
+            y_ref[...] = jnp.full_like(y_ref, ident)
+
+        col = col_ref[0, 0, :]
+        row = row_ref[0, 0, :]
+        val = val_ref[0, 0, :]
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1)
+
+        # ---- gather xg[c] = x[col[c]] : hi via MXU, lo via VPU select ----
+        x = x_ref[0]  # [S, 128] f32
+        if S == 1:
+            rows = jnp.broadcast_to(x[0][None, :], (C, 128))
+        else:
+            hi_iota = jax.lax.broadcasted_iota(jnp.int32, (C, S), 1)
+            hi_mask = ((col // 128)[:, None] == hi_iota).astype(jnp.bfloat16)
+            xh, xl = _split_bf16(x)
+            rows = jnp.dot(
+                hi_mask, xh, preferred_element_type=jnp.float32
+            ) + jnp.dot(hi_mask, xl, preferred_element_type=jnp.float32)
+        col_lo = col - (col // 128) * 128
+        xg = jnp.sum(jnp.where(col_lo[:, None] == lo_iota, rows, 0.0), axis=1)
+
+        # ---- message per semiring ----
+        if semiring == "min_plus":
+            msg = jnp.minimum(val + xg, _BIG)
+        else:
+            msg = val * xg
+
+        # ---- scatter-reduce into the y window ----
+        row_hi = row // 128
+        row_lo = row - row_hi * 128
+        if semiring == "plus_times":
+            lo_scat = jnp.where(row_lo[:, None] == lo_iota, msg[:, None], 0.0)
+            if S == 1:
+                y_ref[0] = y_ref[0] + jnp.sum(lo_scat, axis=0)[None, :]
+            else:
+                mh, ml = _split_bf16(lo_scat)
+                s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, C), 0)
+                hi_t = (row_hi[None, :] == s_iota).astype(jnp.bfloat16)
+                y_add = jnp.dot(
+                    hi_t, mh, preferred_element_type=jnp.float32
+                ) + jnp.dot(hi_t, ml, preferred_element_type=jnp.float32)
+                y_ref[0] = y_ref[0] + y_add
+        else:
+            # min/max: VPU one-hot select per 128-lane sub-block (static
+            # unroll over S keeps everything 2-D — no Mosaic reshapes).
+            comb = jnp.minimum if semiring == "min_plus" else jnp.maximum
+            red = jnp.min if semiring == "min_plus" else jnp.max
+            lo_scat = jnp.where(row_lo[:, None] == lo_iota, msg[:, None], ident)
+            parts = []
+            for s in range(S):
+                sel = jnp.where(row_hi[:, None] == s, lo_scat, ident)
+                parts.append(red(sel, axis=0))
+            y_new = parts[0][None, :] if S == 1 else jnp.stack(parts, axis=0)
+            y_ref[0] = comb(y_ref[0], y_new)
+
+    return kernel
+
+
+def _make_kernel_v1(semiring: str):
+    """Flat [C, W] one-hot kernel (original). Kept for A/B measurement."""
+    ident, _ = _SEMIRINGS[semiring]
+
+    def kernel(rb_ref, cb_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
+        i = pl.program_id(0)
+        C = row_ref.shape[-1]
+        S = x_ref.shape[-2]
+        W = S * 128
         first_visit = jnp.logical_or(
             i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
         )
@@ -53,45 +222,65 @@ def _make_kernel(semiring: str):
         col = col_ref[0, 0, :]
         row = row_ref[0, 0, :]
         val = val_ref[0, 0, :]
-        xg = jnp.sum(
-            jnp.where(col[:, None] == lanes, x_ref[0, 0, :][None, :], 0.0),
-            axis=1,
-        )
+        xf = x_ref[0].reshape(1, W)
+        xg = jnp.sum(jnp.where(col[:, None] == lanes, xf, 0.0), axis=1)
         if semiring == "min_plus":
             msg = jnp.minimum(val + xg, _BIG)
             scat = jnp.where(row[:, None] == lanes, msg[:, None], _BIG)
-            y_add = jnp.min(scat, axis=0)
-            y_ref[0, 0, :] = jnp.minimum(y_ref[0, 0, :], y_add)
+            y_add = jnp.min(scat, axis=0).reshape(S, 128)
+            y_ref[0] = jnp.minimum(y_ref[0], y_add)
         elif semiring == "max_times":
             msg = val * xg
             scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
-            y_add = jnp.max(scat, axis=0)
-            y_ref[0, 0, :] = jnp.maximum(y_ref[0, 0, :], y_add)
-        else:  # plus_times
+            y_add = jnp.max(scat, axis=0).reshape(S, 128)
+            y_ref[0] = jnp.maximum(y_ref[0], y_add)
+        else:
             msg = val * xg
             scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
-            y_add = jnp.sum(scat, axis=0)
-            y_ref[0, 0, :] = y_ref[0, 0, :] + y_add
+            y_add = jnp.sum(scat, axis=0).reshape(S, 128)
+            y_ref[0] = y_ref[0] + y_add
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+_KERNELS = {1: _make_kernel_v1, 2: _make_kernel_v2, 3: _make_kernel_v3}
+
+
+def _default_version() -> int:
+    """Measured on the v5e (scale-18 R-MAT, W=2048, C=256): v1 flat
+    28.5 ms, v2 MXU-two-level 55 ms, v3 subblock-streaming 56 ms — the
+    flat [C, W] kernel's single big vectorized select/reduce beats both
+    'improvements' (the MXU variants waste the array on 16-wide
+    contractions; the [1,1,W] lane-major blocks DMA better than
+    [S,128]). Negative results recorded in BASELINE.md round 2."""
+    import os
+
+    return int(os.environ.get("GUNROCK_SEMIRING_KERNEL", "1"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("semiring", "interpret", "version")
+)
 def bucketed_semiring_spmv(
     layout: BucketedEdges,
     x: jax.Array,
     semiring: str = "plus_times",
     interpret: bool = False,
+    version: int | None = None,
 ):
     """Generalized y = A (x) over the bucketed layout. For ``min_plus``
     the layout must be built with ``pad_value=inf`` (see
     ``layout_for_graph``); results >= _BIG mean 'no edge' (+inf)."""
+    if version is None:
+        version = _default_version()
     W, C = layout.window, layout.chunk
+    assert W % 128 == 0, "window must be a multiple of 128"
+    S = W // 128
     n_chunks = layout.n_chunks
     V = layout.n_vertices
     ident, _ = _SEMIRINGS[semiring]
     x_pad = jnp.full(layout.n_col_blocks * W, 0.0, jnp.float32).at[:V].set(x)
-    x2 = x_pad.reshape(layout.n_col_blocks, 1, W)
+    x3 = x_pad.reshape(layout.n_col_blocks, S, 128)
     row2 = layout.row_local.reshape(n_chunks, 1, C)
     col2 = layout.col_local.reshape(n_chunks, 1, C)
     val2 = layout.values.reshape(n_chunks, 1, C)
@@ -100,23 +289,23 @@ def bucketed_semiring_spmv(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 1, W), lambda i, rb, cb: (cb[i], 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda i, rb, cb: (cb[i], 0, 0)),
             pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
             pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
             pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, W), lambda i, rb, cb: (rb[i], 0, 0)),
+        out_specs=pl.BlockSpec((1, S, 128), lambda i, rb, cb: (rb[i], 0, 0)),
     )
-    y2 = pl.pallas_call(
-        _make_kernel(semiring),
-        out_shape=jax.ShapeDtypeStruct((layout.n_row_blocks, 1, W), jnp.float32),
+    y3 = pl.pallas_call(
+        _KERNELS[version](semiring),
+        out_shape=jax.ShapeDtypeStruct((layout.n_row_blocks, S, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(layout.chunk_rb, layout.chunk_cb, x2, row2, col2, val2)
+    )(layout.chunk_rb, layout.chunk_cb, x3, row2, col2, val2)
     # Row windows no chunk maps to are never written by the kernel —
     # replace their (uninitialized) contents with the semiring identity.
-    y2 = jnp.where(layout.rb_occupied[:, None, None], y2, ident)
-    y = y2.reshape(-1)[:V]
+    y3 = jnp.where(layout.rb_occupied[:, None, None], y3, ident)
+    y = y3.reshape(-1)[:V]
     if semiring == "min_plus":
         y = jnp.where(y >= _BIG, jnp.inf, y)
     return y

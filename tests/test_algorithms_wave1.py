@@ -170,3 +170,23 @@ def test_color_degree_ordering_proper():
     coo = sp_mat.tocoo()
     off = coo.row != coo.col
     assert (colors[coo.row[off]] != colors[coo.col[off]]).all()
+
+
+def test_kcore_pallas_path_matches_networkx():
+    """k-jump + cond-guarded Pallas decrement path (interpret mode)."""
+    import networkx as nx
+
+    from gunrock_tpu.algorithms import kcore
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    g, A = random_graph(None, n=120, p=0.08, symmetric=True, seed_offset=90)
+    res = kcore.run(
+        g, options=Options(load_balance=LoadBalance.PALLAS_MERGE_PATH),
+        warmup=False,
+    )
+    G = nx.from_scipy_sparse_array(A)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.core_number(G)
+    got = np.asarray(res.k_cores)
+    assert all(got[v] == want[v] for v in G.nodes)
+    assert res.degeneracy == max(want.values())

@@ -183,3 +183,25 @@ def test_ppr_batch_spmm_matches_vmap():
     p1, _ = ppr.run_batch(g, [0, 5, 9], epsilon=1e-6, warmup=False, use_spmm=False)
     p2, _ = ppr.run_batch(g, [0, 5, 9], epsilon=1e-6, warmup=False, use_spmm=True)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-5)
+
+
+def test_tc_sortjoin_matches_probe_and_networkx():
+    """The device sort-merge-join TC (round-2 kernel) must agree with the
+    batched binary-search kernel and networkx, on symmetric AND directed
+    (symmetrized-internally) inputs."""
+    import networkx as nx
+
+    from gunrock_tpu.algorithms import tc
+
+    for sym, so in [(True, 81), (False, 82)]:
+        g, A = random_graph(None, n=180, p=0.07, symmetric=sym, seed_offset=so)
+        r1 = tc.run(g, warmup=False, method="sortjoin")
+        r2 = tc.run(g, warmup=False, method="probe")
+        np.testing.assert_array_equal(
+            np.asarray(r1.vertex_triangles_count),
+            np.asarray(r2.vertex_triangles_count),
+        )
+        G = nx.from_scipy_sparse_array(A.maximum(A.T))
+        G.remove_edges_from(nx.selfloop_edges(G))
+        want = sum(nx.triangles(G).values()) // 3
+        assert r1.n_triangles == want, (sym, r1.n_triangles, want)

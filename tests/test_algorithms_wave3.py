@@ -133,3 +133,59 @@ def test_spgemm_squared_sample():
         for e in range(Cc.row_offsets[r], Cc.row_offsets[r + 1]):
             got[r, Cc.col_indices[e]] = Cc.values[e]
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_spgemm_streaming_matches_single_shot():
+    """Row-blocked streaming (tiny budget forces many blocks) must equal
+    the single-shot ESC result and scipy."""
+    import scipy.sparse as sp
+
+    from gunrock_tpu.algorithms import spgemm
+
+    ga, Aa = random_graph(None, n=120, p=0.08, weighted=True, seed_offset=70)
+    gb, Ab = random_graph(None, n=120, p=0.08, weighted=True, seed_offset=71)
+    want = (Aa @ Ab).tocoo()
+    res = spgemm.run(ga, gb, warmup=False, block_products=500)
+    got = sp.coo_matrix(
+        (np.asarray(res.values)[: res.nnz],
+         (np.asarray(res.row_indices)[: res.nnz],
+          np.asarray(res.col_indices)[: res.nnz])),
+        shape=(120, 120),
+    ).tocsr()
+    np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-4, atol=1e-5)
+
+    cnt = spgemm.run(ga, gb, warmup=False, block_products=500, count_only=True)
+    assert cnt.nnz == want.nnz
+    np.testing.assert_allclose(
+        float(cnt.values[0]), float(want.data.sum()), rtol=1e-3
+    )
+
+
+def test_spgemm_streaming_oversized_row():
+    """A hub row whose expansion alone exceeds the budget gets its own
+    oversized block and still contracts exactly."""
+    import scipy.sparse as sp
+
+    from gunrock_tpu.algorithms import spgemm
+    from gunrock_tpu.formats import Coo, coo_to_csr
+    from gunrock_tpu.graph import build_graph
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    n = 64
+    rng = np.random.default_rng(7)
+    # row 0 connects to everything (hub); plus random sparse rest
+    rows = np.concatenate([np.zeros(n, np.int32), rng.integers(1, n, 60).astype(np.int32)])
+    cols = np.concatenate([np.arange(n, dtype=np.int32), rng.integers(0, n, 60).astype(np.int32)])
+    vals = rng.random(rows.size).astype(np.float32)
+    coo = Coo(n_rows=n, n_cols=n, row_indices=rows, col_indices=cols, values=vals)
+    g = build_graph(coo_to_csr(coo), GraphProperties(directed=True, weighted=True, symmetric=False))
+    A = sp.csr_matrix((np.asarray(g.values), np.asarray(g.col_indices), np.asarray(g.row_offsets)), shape=(n, n))
+    want = (A @ A).tocoo()
+    res = spgemm.run(g, g, warmup=False, block_products=100)
+    got = sp.coo_matrix(
+        (np.asarray(res.values)[: res.nnz],
+         (np.asarray(res.row_indices)[: res.nnz],
+          np.asarray(res.col_indices)[: res.nnz])),
+        shape=(n, n),
+    ).tocsr()
+    np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-4, atol=1e-5)

@@ -103,3 +103,35 @@ def test_graph_intersection_count():
         want = len(set(G.neighbors(u)) & set(G.neighbors(v)))
         got = int(g.get_intersection_count(u, v))
         assert got == want, (u, v, got, want)
+
+
+def test_intersect_neighbors_visitor():
+    """Visitor form of get_intersection_count (reference
+    csr.hxx:116-173 on_intersection lambda) as a functional fold."""
+    import jax.numpy as jnp
+
+    from tests.conftest import random_graph
+
+    g, A = random_graph(None, n=80, p=0.15, symmetric=True, seed_offset=21)
+    D = (A != 0).toarray()
+    u, v = 3, 7
+    want_members = np.nonzero(D[u] & D[v])[0]
+    # count via visitor
+    cnt = int(g.intersect_neighbors(u, v, lambda acc, y: acc + 1, jnp.int32(0)))
+    assert cnt == want_members.size == int(g.get_intersection_count(u, v))
+    # sum of intersection vertex ids via visitor
+    s = int(g.intersect_neighbors(u, v, lambda acc, y: acc + y, jnp.int32(0)))
+    assert s == int(want_members.sum())
+
+
+def test_as_device_array_dlpack():
+    from gunrock_tpu.interop import as_device_array
+
+    x = np.arange(16, dtype=np.float32)
+    j = as_device_array(x)
+    np.testing.assert_array_equal(np.asarray(j), x)
+    import torch
+
+    t = torch.arange(8, dtype=torch.float32)
+    j2 = as_device_array(t)
+    np.testing.assert_array_equal(np.asarray(j2), t.numpy())

@@ -1,0 +1,194 @@
+"""Vertex-sharded distributed algorithms vs single-chip oracles on the
+8-virtual-device CPU mesh (both boundary-exchange modes)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_graph
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from gunrock_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(N_DEV)
+
+
+@pytest.fixture(scope="module", params=["allgather", "halo"])
+def setup(request, mesh):
+    from gunrock_tpu.parallel.sharded import partition_sharded
+
+    g, A = random_graph(None, n=100, p=0.06, weighted=True, seed_offset=40)
+    sg = partition_sharded(g, N_DEV, mesh, use_halo=request.param == "halo")
+    return g, A, sg
+
+
+def test_partition_memory_scales(setup):
+    """Per-device vertex state is V/n, not V — the round-2 memory fix."""
+    g, A, sg = setup
+    assert sg.v_per_shard == -(-g.n_vertices // N_DEV)
+    assert sg.ed_per_shard * N_DEV >= g.n_edges
+
+
+def test_sharded_bfs(setup, mesh):
+    from gunrock_tpu.algorithms import bfs as sbfs
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    dist, depth = sharded.bfs(sg, 0, mesh)
+    want = np.asarray(sbfs.run(g, 0, warmup=False).distances)
+    got = np.asarray(dist)
+    got = np.where(got == np.iinfo(np.int32).max, -1, got)
+    want = np.where(want == np.iinfo(np.int32).max, -1, want)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_sssp(setup, mesh):
+    import scipy.sparse.csgraph as csg
+
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    dist, _ = sharded.sssp(sg, 0, mesh)
+    want = csg.dijkstra(A, indices=0)
+    np.testing.assert_allclose(np.asarray(dist), want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_pagerank(setup, mesh):
+    from gunrock_tpu.algorithms import pr as spr
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    p, it = sharded.pagerank(sg, mesh, tol=1e-8)
+    want = np.asarray(spr.run(g, tol=1e-8, warmup=False).p)
+    np.testing.assert_allclose(np.asarray(p), want, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_spmv(setup, mesh):
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    x = np.random.default_rng(3).random(g.n_vertices).astype(np.float32)
+    y = sharded.spmv(sg, x, mesh)
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_hits(setup, mesh):
+    from gunrock_tpu.algorithms import hits as shits
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    auth, hub, it = sharded.hits(sg, mesh, max_iterations=20)
+    ref = shits.run(g, max_iterations=20, warmup=False)
+    np.testing.assert_allclose(np.asarray(auth), np.asarray(ref.auth), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hub), np.asarray(ref.hub), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_ppr(setup, mesh):
+    from gunrock_tpu.algorithms import ppr as sppr
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    p, it = sharded.ppr(sg, 5, mesh, epsilon=1e-5)
+    ref = sppr.run(g, 5, epsilon=1e-5, warmup=False)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref.p), rtol=1e-5, atol=1e-8)
+
+
+@pytest.fixture(scope="module", params=["allgather", "halo"])
+def sym_setup(request, mesh):
+    from gunrock_tpu.parallel.sharded import partition_sharded
+
+    g, A = random_graph(None, n=96, p=0.07, weighted=True, symmetric=True,
+                        seed_offset=41)
+    sg = partition_sharded(g, N_DEV, mesh, use_halo=request.param == "halo")
+    return g, A, sg
+
+
+def test_sharded_kcore(sym_setup, mesh):
+    import networkx as nx
+
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = sym_setup
+    cores, degen = sharded.kcore(sg, mesh)
+    G = nx.from_scipy_sparse_array(A)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.core_number(G)
+    got = np.asarray(cores)
+    assert all(got[v] == want[v] for v in G.nodes)
+    assert degen == max(want.values())
+
+
+def test_sharded_color(sym_setup, mesh):
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = sym_setup
+    colors, rounds = sharded.color(sg, mesh, seed=1)
+    c = np.asarray(colors)
+    src = np.asarray(g.edge_src)
+    dst = np.asarray(g.col_indices)
+    off_diag = src != dst
+    assert (c >= 0).all()
+    assert (c[src[off_diag]] != c[dst[off_diag]]).all()
+
+
+def test_sharded_bc(sym_setup, mesh):
+    from gunrock_tpu.algorithms import bc as sbc
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = sym_setup
+    got = np.asarray(sharded.bc(sg, 3, mesh))
+    want = np.asarray(sbc.run(g, 3, warmup=False).bc_values)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_mst(sym_setup, mesh):
+    import scipy.sparse.csgraph as csg
+
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = sym_setup
+    total, rounds = sharded.mst(sg, mesh)
+    want = csg.minimum_spanning_tree(A).sum()
+    np.testing.assert_allclose(total, want, rtol=1e-5)
+
+
+def test_sharded_geo(sym_setup, mesh):
+    from gunrock_tpu.algorithms import geo as sgeo
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = sym_setup
+    V = g.n_vertices
+    rng = np.random.default_rng(11)
+    lat = np.where(rng.random(V) < 0.4, rng.uniform(-60, 60, V), np.nan).astype(np.float32)
+    lon = np.where(np.isnan(lat), np.nan, rng.uniform(-170, 170, V)).astype(np.float32)
+    glat, glon = sharded.geo(sg, lat, lon, mesh, total_iterations=2,
+                             spatial_iterations=50)
+    ref = sgeo.run(g, lat, lon, total_iterations=2, spatial_iterations=50,
+                   warmup=False)
+    np.testing.assert_allclose(
+        np.asarray(glat), np.asarray(ref.latitude), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(glon), np.asarray(ref.longitude), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_sharded_spgemm_count(setup, mesh):
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    nnz, csum = sharded.spgemm_count(sg, g, mesh)
+    want = A @ A
+    assert nnz == want.nnz
+    np.testing.assert_allclose(csum, want.sum(), rtol=1e-4)
+
+
+def test_collective_bytes_report(setup):
+    from gunrock_tpu.parallel.sharded import collective_bytes_per_exchange
+
+    g, A, sg = setup
+    b = collective_bytes_per_exchange(sg)
+    assert b > 0
