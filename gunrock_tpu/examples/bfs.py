@@ -16,12 +16,34 @@ def main(argv=None):
     graph, _ = runner.load(params)
     sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
 
+    mesh, build_sharded = runner.maybe_mesh(params)
     times, depths = [], []
     result = None
-    for src in sources:
-        result = bfs.run(graph, src, options=params.options)
-        times.append(result.elapsed_ms)
-        depths.append(result.search_depth)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        distances = None
+        for src in sources:
+            t0 = _time.perf_counter()
+            distances, depth = sharded.bfs(sg, src, mesh)
+            times.append((_time.perf_counter() - t0) * 1e3)
+            depths.append(int(depth))
+        import dataclasses as _dc
+
+        result = bfs.Result(
+            distances=distances,
+            predecessors=None,
+            search_depth=depths[-1],
+            elapsed_ms=times[-1],
+        )
+    else:
+        for src in sources:
+            result = bfs.run(graph, src, options=params.options)
+            times.append(result.elapsed_ms)
+            depths.append(result.search_depth)
 
     runner.print_head(result.distances, name="distances")
     dist_np = np.asarray(result.distances)

@@ -20,13 +20,29 @@ def main(argv=None):
     )
     graph, _ = runner.load(params)
 
+    mesh, build_sharded = runner.maybe_mesh(params)
     times, depths = [], []
     result = None
-    for _ in range(params.num_runs):
-        result = pr.run(graph, alpha=params.extra.alpha, tol=params.extra.tol,
-                        options=params.options)
-        times.append(result.elapsed_ms)
-        depths.append(result.iterations)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            p, it = sharded.pagerank(
+                sg, mesh, alpha=params.extra.alpha, tol=params.extra.tol
+            )
+            times.append((_time.perf_counter() - t0) * 1e3)
+            depths.append(int(it))
+        result = pr.Result(p=p, iterations=depths[-1], elapsed_ms=times[-1])
+    else:
+        for _ in range(params.num_runs):
+            result = pr.run(graph, alpha=params.extra.alpha, tol=params.extra.tol,
+                            options=params.options)
+            times.append(result.elapsed_ms)
+            depths.append(result.iterations)
 
     runner.print_head(result.p, name="rank")
     runner.finish(params, "pr", graph, times, depths=depths,

@@ -70,3 +70,32 @@ def validate(name: str, computed, reference, **kw) -> int:
     else:
         print(f"{name} validation: FAILED ({n} errors)")
     return n
+
+
+def maybe_mesh(params: Parameters):
+    """(mesh, sharded_graph_builder) for --devices N > 1, else (None, None).
+    The distributed path runs the vertex-sharded shard_map suite
+    (parallel/sharded.py) over an N-device mesh — multi-chip execution
+    from the same CLI (the reference's operators reject multi-GPU
+    contexts, advance.hxx:129-132)."""
+    n = getattr(params.extra, "devices", 0) or 0
+    if n <= 1:
+        return None, None
+    import jax
+
+    if len(jax.devices()) < n:
+        print(f"Error: --devices {n} but only {len(jax.devices())} visible "
+              "(set XLA_FLAGS=--xla_force_host_platform_device_count for "
+              "CPU simulation)")
+        import sys
+
+        sys.exit(1)
+    from gunrock_tpu.parallel.mesh import make_mesh
+    from gunrock_tpu.parallel.sharded import partition_sharded
+
+    mesh = make_mesh(n)
+
+    def build(graph):
+        return partition_sharded(graph, n, mesh)
+
+    return mesh, build

@@ -17,11 +17,24 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     x = rng.random(graph.n_vertices).astype(np.float32)
 
+    mesh, build_sharded = runner.maybe_mesh(params)
     times = []
     result = None
-    for _ in range(params.num_runs):
-        result = spmv.run(graph, x, options=params.options)
-        times.append(result.elapsed_ms)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            y = sharded.spmv(sg, x, mesh)
+            times.append((_time.perf_counter() - t0) * 1e3)
+        result = spmv.Result(y=y, elapsed_ms=times[-1])
+    else:
+        for _ in range(params.num_runs):
+            result = spmv.run(graph, x, options=params.options)
+            times.append(result.elapsed_ms)
 
     runner.print_head(result.y, name="y")
     runner.finish(params, "spmv", graph, times,

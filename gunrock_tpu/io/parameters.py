@@ -74,6 +74,11 @@ def build_parser(algorithm: str, extra_args=None) -> argparse.ArgumentParser:
     p.add_argument("--best_effort_uniquify", action="store_true")
     p.add_argument("--uniquify_percent", type=float, default=100.0)
     p.add_argument("-n", "--num_runs", type=int, default=1)
+    p.add_argument("--devices", type=int, default=0,
+                   help="run distributed over an N-device mesh "
+                   "(vertex-sharded shard_map path); 0/1 = single chip. "
+                   "The capability the reference scaffolds but rejects "
+                   "(advance.hxx:129-132 throws on multi-GPU)")
     if algorithm in _SOURCED:
         p.add_argument("-s", "--src", default="",
                        help="source(s), comma-separated; random if omitted")

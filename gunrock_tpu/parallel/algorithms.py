@@ -39,12 +39,19 @@ from gunrock_tpu.parallel.sharded import (  # noqa: F401
 
 
 def tc(graph, mesh):
-    """Distributed triangle counting: the degree-ordered DAG's edges are
-    sharded across the mesh, each device runs the batched sorted-
-    membership count on its chunk, and per-vertex counts combine with one
-    psum. The DAG adjacency is replicated (compute scales with devices;
-    the ring-rotated sharded-adjacency variant is future work). Returns
-    (vertex counts int32[V], total)."""
+    """Distributed triangle counting — delegates to the ring-rotation
+    sharded-DAG kernel (``sharded.tc_ring``): adjacency shards rotate via
+    ``ppermute`` so per-device residency is 2E/n and nothing is
+    replicated. Returns (vertex counts int32[V], total)."""
+    from gunrock_tpu.parallel.sharded import tc_ring
+
+    return tc_ring(graph, mesh)
+
+
+def tc_replicated(graph, mesh):
+    """First-generation distributed TC: DAG edges sharded but the DAG
+    adjacency replicated on every device (kept for A/B comparison —
+    compute scales, memory does not). Returns (counts int32[V], total)."""
     import numpy as np
 
     from gunrock_tpu.algorithms.tc import _search_steps, build_dag

@@ -150,3 +150,17 @@ def test_example_driver_edge_cases(algo, extra, tmp_path, capsys):
     _run(algo, ["--market", str(p)] + extra)
     out = capsys.readouterr().out
     assert "FAILED" not in out
+
+
+@pytest.mark.parametrize("algo,extra", [
+    ("bfs", ["--src", "0", "--validate"]),
+    ("sssp", ["--src", "0", "--validate"]),
+    ("pr", ["--validate"]),
+    ("spmv", ["--validate"]),
+])
+def test_example_driver_distributed(algo, extra, capsys):
+    """--devices 8 routes the CLI through the vertex-sharded shard_map
+    path on the virtual mesh, validated against the CPU reference."""
+    _run(algo, ["--market", CHESAPEAKE, "--devices", "8"] + extra)
+    out = capsys.readouterr().out
+    assert "FAILED" not in out

@@ -192,3 +192,23 @@ def test_collective_bytes_report(setup):
     g, A, sg = setup
     b = collective_bytes_per_exchange(sg)
     assert b > 0
+
+
+def test_tc_ring_matches_networkx(sym_setup, mesh):
+    """Ring-rotation sharded-DAG TC: per-device residency 2E/n, adjacency
+    circulated via ppermute — must equal networkx and the replicated
+    variant."""
+    import networkx as nx
+
+    from gunrock_tpu.parallel import algorithms as dalg
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = sym_setup
+    counts, total = sharded.tc_ring(g, mesh)
+    G = nx.from_scipy_sparse_array(A)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.triangles(G)
+    got = np.asarray(counts)
+    assert all(got[v] == want[v] for v in G.nodes)
+    c2, t2 = dalg.tc_replicated(g, mesh)
+    np.testing.assert_array_equal(got, np.asarray(c2))
