@@ -113,7 +113,7 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
 
         from gunrock_tpu.ops.pallas import use_interpret
         from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
-        from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv
+        from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
 
         interpret = use_interpret()
         W = 128 if interpret else 2048
@@ -132,13 +132,23 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
         )
 
         def decrement_fn(peel):
-            cnt = bucketed_semiring_spmv(
-                layout, peel.astype(jnp.float32), "plus_times",
+            # frontier-sparse: peel waves are tiny in most rounds, so
+            # chunks whose source window holds no peeled vertex skip
+            cnt = bucketed_semiring_spmv_sparse(
+                layout, peel.astype(jnp.float32), peel, "plus_times",
                 interpret=interpret,
             )
             return jnp.round(cnt).astype(jnp.int32)
 
-    fn = jax.jit(lambda g: kcore_kernel(g, decrement_fn))
+    # one jitted executable per (graph, strategy): rebuilding the closure
+    # per call would recompile (~seconds over the axon tunnel)
+    from gunrock_tpu.ops.pallas.layout import cached_layout
+
+    fn = cached_layout(
+        graph.col_indices,
+        lambda: jax.jit(lambda g: kcore_kernel(g, decrement_fn)),
+        ("kcore_fn", options.load_balance),
+    )
     if warmup:
         jax.block_until_ready(fn(graph))
     t0 = time.perf_counter()

@@ -203,3 +203,78 @@ def pr_kernel_pallas(
         cond, body, (jnp.int32(0), p0, jnp.float32(jnp.inf))
     )
     return p, it
+
+
+def pr_batch_kernel_spmm(
+    graph: Graph,
+    alphas,  # float32[K] damping factors
+    tol: float = 1e-6,
+    max_iterations: int = 10_000,
+    layout=None,
+    interpret: bool | None = None,
+):
+    """Multi-damping PageRank sweep with the K axis on the bucketed SpMM:
+    all K power iterations advance together through one [V, K] kernel, so
+    the windowed one-hot masks amortize across the whole sweep (the same
+    batching recast as msbfs/bc_batch/ppr_batch — ops/pallas/spmm.py).
+    Converges when EVERY column's L-inf error is under tol.
+    Returns (p f32[V, K], iterations)."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+    if interpret is None:
+        interpret = use_interpret()
+    if layout is None:
+        W = 128 if interpret else 2048
+        layout = cached_layout(
+            graph.col_indices,
+            lambda: build_bucketed_layout(
+                np.asarray(graph.col_indices),  # rows = destinations (pull)
+                np.asarray(graph.edge_src),
+                np.asarray(graph.values),
+                graph.n_vertices,
+                window=W,
+                chunk=256,
+            ),
+            ("pr_pull_unit", W, 256),
+        )
+    alphas = jnp.asarray(alphas, jnp.float32)
+    K = alphas.shape[0]
+    V = graph.n_vertices
+    # per-column iweights: alpha_k / out_wsum (0 if dangling)
+    out_wsum = jax.ops.segment_sum(
+        graph.values, graph.edge_src, num_segments=V, indices_are_sorted=True
+    )
+    inv_wsum = jnp.where(out_wsum != 0.0, 1.0 / out_wsum, 0.0)  # [V]
+    dangling = out_wsum == 0.0
+    p0 = jnp.full((V, K), 1.0 / V, dtype=jnp.float32)
+
+    # The bucketed SpMM accumulates via two-pass bf16 MXU matmuls, whose
+    # rounding floor (~1e-5 relative) can sit above a tight tol and
+    # limit-cycle forever — stall detection stops the loop once the
+    # L-inf step stops shrinking (the iterate is then at the kernel's
+    # precision floor, verified ~5e-5 vs exact single runs on chip).
+    def cond(carry):
+        it, p, err, stall = carry
+        return (err >= tol) & (it < max_iterations) & (stall < 16)
+
+    def body(carry):
+        it, p, err_prev, stall = carry
+        plast = p
+        dsum = jnp.sum(
+            jnp.where(dangling[:, None], plast, 0.0), axis=0
+        ) * alphas  # [K]
+        base = (1.0 - alphas + dsum) / V  # [K]
+        x = plast * inv_wsum[:, None] * alphas[None, :]  # [V, K]
+        p = base[None, :] + bucketed_spmm(layout, x, interpret=interpret)
+        err = jnp.max(jnp.abs(p - plast))
+        stall = jnp.where(err < err_prev, 0, stall + 1)
+        return it + 1, p, err, stall
+
+    it, p, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), p0, jnp.float32(jnp.inf), jnp.int32(0))
+    )
+    return p, it

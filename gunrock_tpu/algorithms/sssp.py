@@ -141,15 +141,21 @@ def sssp_kernel_do(
     deg = jnp.diff(graph.row_offsets)
     if layout is not None:
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.semiring import _BIG, bucketed_semiring_spmv
+        from gunrock_tpu.ops.pallas.semiring import (
+            _BIG,
+            bucketed_semiring_spmv_sparse,
+        )
 
         if interpret is None:
             interpret = use_interpret()
 
         def dense_step(front, dist):
+            # frontier-sparse chunk-skipping kernel: mid-size frontiers
+            # (too big for push, far smaller than E) only pay for chunks
+            # whose source window holds a frontier vertex
             x = jnp.where(front, dist, _BIG)
-            relaxed = bucketed_semiring_spmv(
-                layout, x, "min_plus", interpret=interpret
+            relaxed = bucketed_semiring_spmv_sparse(
+                layout, x, front, "min_plus", interpret=interpret
             )
             improved = relaxed < dist
             return improved, jnp.minimum(dist, relaxed)

@@ -215,21 +215,57 @@ def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     a_s, b_s, _, e_s, u_s = jax.lax.sort(
         (a, b, 1 - is_edge, is_edge, u_pay), num_keys=3
     )
-    idx = jnp.arange(N, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [
             jnp.ones(1, bool),
             (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]),
         ]
     )
-    start_pos = jax.lax.cummax(jnp.where(is_start, idx, 0))
-    match = (e_s[start_pos] == 1) & (e_s == 0)
+    # "run contains an edge" without a serialized gather: edges sort first
+    # within a run, so a segmented prefix-max of the edge flag (the
+    # classic cummax + 2*segment_id offset trick) answers it in linear
+    # vector passes.
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32))
+    z = e_s + 2 * seg_id
+    run_edge = jax.lax.cummax(z) - 2 * seg_id
+    match = (run_edge >= 1) & (e_s == 0)
     m32 = match.astype(jnp.int32)
     counts = jnp.zeros(V, dtype=jnp.int32)
     counts = counts.at[jnp.where(match, u_s, V)].add(m32, mode="drop")
     counts = counts.at[jnp.where(match, a_s, V)].add(m32, mode="drop")
     counts = counts.at[jnp.where(match, b_s, V)].add(m32, mode="drop")
     return counts
+
+
+def tc_total_sortjoin(eu, ev, wv, ww, wu):
+    """Total-only sort-join TC (no per-vertex scatters): sort + two linear
+    passes + one reduction — the fastest path when only the triangle
+    count is needed."""
+    E = eu.shape[0]
+    Wn = wv.shape[0]
+    a = jnp.concatenate([eu, wv])
+    b = jnp.concatenate([ev, ww])
+    is_edge = jnp.concatenate(
+        [jnp.ones(E, jnp.int32), jnp.zeros(Wn, jnp.int32)]
+    )
+    a_s, b_s, _, e_s = jax.lax.sort((a, b, 1 - is_edge, is_edge), num_keys=3)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    )
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32))
+    run_edge = jax.lax.cummax(e_s + 2 * seg_id) - 2 * seg_id
+    return jnp.sum(((run_edge >= 1) & (e_s == 0)).astype(jnp.int32))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _sortjoin_jit(n_vertices: int):
+    """One jitted executable per vertex count — repeat run() calls reuse
+    it instead of recompiling (a fresh jit closure per call costs ~90 s
+    over the axon tunnel)."""
+    return jax.jit(functools.partial(tc_kernel_sortjoin, n_vertices))
 
 
 def run(
@@ -246,19 +282,28 @@ def run(
     ``'probe'`` keeps the batched binary-search kernel (wedge sets above
     ``max_wedges`` also fall back to it — bounded memory)."""
     del options
-    dag_offsets, dag_adj, edge_u, edge_v = build_dag(graph)
+    from gunrock_tpu.ops.pallas.layout import cached_layout
+
+    dag_offsets, dag_adj, edge_u, edge_v = cached_layout(
+        graph.col_indices, lambda: build_dag(graph), ("tc_dag",)
+    )
     if method == "sortjoin":
         deg = np.diff(dag_offsets).astype(np.int64)
         n_wedges = int((deg * (deg - 1) // 2).sum())
         if 0 < n_wedges <= max_wedges:
-            wv, ww, wu = build_wedges(
-                dag_offsets, dag_adj, edge_u, edge_v,
-                _undirected_degrees(graph),
+            args = cached_layout(
+                graph.col_indices,
+                lambda: tuple(
+                    jnp.asarray(x)
+                    for x in (edge_u, edge_v)
+                    + build_wedges(
+                        dag_offsets, dag_adj, edge_u, edge_v,
+                        _undirected_degrees(graph),
+                    )
+                ),
+                ("tc_wedges",),
             )
-            args = tuple(
-                jnp.asarray(x) for x in (edge_u, edge_v, wv, ww, wu)
-            )
-            fn = jax.jit(lambda *a: tc_kernel_sortjoin(graph.n_vertices, *a))
+            fn = _sortjoin_jit(graph.n_vertices)
             if warmup:
                 jax.block_until_ready(fn(*args))
             t0 = time.perf_counter()

@@ -311,6 +311,131 @@ def bucketed_semiring_spmv(
     return y
 
 
+def _make_sparse_kernel(semiring: str):
+    """Flat kernel with in-grid chunk skipping: grid slot i runs chunk
+    ``perm[i]`` when ``i < count`` and does nothing otherwise. The
+    frontier-driven advance of the reference's sparse input frontiers
+    (merge_path_v2.hxx operates on compacted frontiers; here the
+    compaction is a device-side stable selection of ACTIVE CHUNKS and
+    the work skip happens through the scalar-prefetched permutation)."""
+    ident, _ = _SEMIRINGS[semiring]
+
+    def kernel(rb_ref, cb_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
+               val_ref, y_ref):
+        i = pl.program_id(0)
+        C = row_ref.shape[-1]
+        S = x_ref.shape[-2]
+        W = S * 128
+        active = i < cnt_ref[0]
+        first_visit = active & jnp.logical_or(
+            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+        )
+
+        @pl.when(first_visit)
+        def _():
+            y_ref[...] = jnp.full_like(y_ref, ident)
+
+        @pl.when(active)
+        def _():
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+            col = col_ref[0, 0, :]
+            row = row_ref[0, 0, :]
+            val = val_ref[0, 0, :]
+            xf = x_ref[0].reshape(1, W)
+            xg = jnp.sum(jnp.where(col[:, None] == lanes, xf, 0.0), axis=1)
+            if semiring == "min_plus":
+                msg = jnp.minimum(val + xg, _BIG)
+                scat = jnp.where(row[:, None] == lanes, msg[:, None], _BIG)
+                y_add = jnp.min(scat, axis=0).reshape(S, 128)
+                y_ref[0] = jnp.minimum(y_ref[0], y_add)
+            elif semiring == "max_times":
+                msg = val * xg
+                scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
+                y_add = jnp.max(scat, axis=0).reshape(S, 128)
+                y_ref[0] = jnp.maximum(y_ref[0], y_add)
+            else:
+                msg = val * xg
+                scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
+                y_add = jnp.sum(scat, axis=0).reshape(S, 128)
+                y_ref[0] = y_ref[0] + y_add
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+def bucketed_semiring_spmv_sparse(
+    layout: BucketedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    semiring: str = "plus_times",
+    interpret: bool = False,
+):
+    """Frontier-sparse semiring advance: identical result contract to
+    :func:`bucketed_semiring_spmv` given that inactive vertices of ``x``
+    already carry the gather identity — but chunks whose source window
+    contains NO active vertex are skipped inside the grid, so per-
+    iteration cost tracks the frontier's spread instead of O(E).
+    ``active``: bool[V] mask of vertices whose x participates."""
+    W, C = layout.window, layout.chunk
+    S = W // 128
+    n_chunks = layout.n_chunks
+    n_cb = layout.n_col_blocks
+    n_rb = layout.n_row_blocks
+    V = layout.n_vertices
+    ident, _ = _SEMIRINGS[semiring]
+
+    # --- device-side active-chunk selection (stable order) ---
+    act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
+    act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
+    ch_act = act_cb[layout.chunk_cb]
+    pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
+    count = (pos[-1] + 1).astype(jnp.int32)
+    perm = (
+        jnp.zeros(n_chunks, jnp.int32)
+        .at[jnp.where(ch_act, pos, n_chunks)]
+        .set(jnp.arange(n_chunks, dtype=jnp.int32), mode="drop")
+    )
+    rb_r = layout.chunk_rb[perm]
+    cb_r = layout.chunk_cb[perm]
+
+    x_pad = jnp.full(n_cb * W, 0.0, jnp.float32).at[:V].set(x)
+    x3 = x_pad.reshape(n_cb, S, 128)
+    row2 = layout.row_local.reshape(n_chunks, 1, C)
+    col2 = layout.col_local.reshape(n_chunks, 1, C)
+    val2 = layout.values.reshape(n_chunks, 1, C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (cb[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, 128), lambda i, rb, cb, pm, ct: (rb[i], 0, 0)
+        ),
+    )
+    y3 = pl.pallas_call(
+        _make_sparse_kernel(semiring),
+        out_shape=jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rb_r, cb_r, perm, count.reshape(1), x3, row2, col2, val2)
+    # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
+    rb_touched = (
+        jnp.zeros(n_rb, bool)
+        .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
+        .set(True, mode="drop")
+    )
+    y3 = jnp.where(rb_touched[:, None, None], y3, ident)
+    y = y3.reshape(-1)[:V]
+    if semiring == "min_plus":
+        y = jnp.where(y >= _BIG, jnp.inf, y)
+    return y
+
+
 def pull_layout(graph, window: int = 2048, chunk: int = 256, pad_value: float = 0.0):
     """Bucketed layout of the TRANSPOSED edge set (rows=dst, cols=src):
     pull advance — y[dst] = reduce over in-edges of f(x[src], w).

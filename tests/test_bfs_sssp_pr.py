@@ -212,3 +212,21 @@ def test_sssp_delta_stepping_matches_dense():
     np.testing.assert_allclose(
         np.asarray(res.distances), np.asarray(d1), rtol=1e-5, equal_nan=True
     )
+
+
+def test_pr_batch_multi_damping_spmm():
+    """K-damping PageRank sweep on the SpMM K axis must match per-alpha
+    single runs (interpret mode)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.algorithms import pr
+    from tests.conftest import random_graph
+
+    g, A = random_graph(None, n=150, p=0.06, weighted=True, seed_offset=55)
+    alphas = [0.7, 0.85, 0.9]
+    P, it = pr.pr_batch_kernel_spmm(g, jnp.asarray(alphas), tol=1e-8,
+                                    interpret=True)
+    P = np.asarray(P)
+    for k, a in enumerate(alphas):
+        want = np.asarray(pr.run(g, alpha=a, tol=1e-8, warmup=False).p)
+        np.testing.assert_allclose(P[:, k], want, rtol=5e-3, atol=1e-6)

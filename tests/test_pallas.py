@@ -184,3 +184,39 @@ def test_cached_layout_weakref_eviction():
     del a
     gc.collect()
     assert key not in L._GRAPH_LAYOUT_CACHE, "entry must die with its array"
+
+
+def test_sparse_semiring_matches_dense():
+    """Frontier-sparse chunk-skipping kernel == dense kernel for every
+    semiring and several frontier densities (interpret mode)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.semiring import (
+        _BIG,
+        bucketed_semiring_spmv,
+        bucketed_semiring_spmv_sparse,
+    )
+
+    g, A = random_graph(None, n=300, p=0.04, weighted=True, seed_offset=91)
+    rng = np.random.default_rng(9)
+    for semiring, pad in [("plus_times", 0.0), ("min_plus", _BIG),
+                          ("max_times", 0.0)]:
+        lay = build_bucketed_layout(
+            np.asarray(g.col_indices), np.asarray(g.edge_src),
+            np.asarray(g.values), g.n_vertices, window=128, chunk=128,
+            pad_value=pad,
+        )
+        for density in (0.0, 0.02, 0.3, 1.0):
+            active = jnp.asarray(rng.random(300) < density)
+            ident = _BIG if semiring == "min_plus" else 0.0
+            xv = rng.random(300).astype(np.float32) + 0.1
+            x = jnp.where(active, jnp.asarray(xv), ident)
+            want = bucketed_semiring_spmv(lay, x, semiring, interpret=True)
+            got = bucketed_semiring_spmv_sparse(
+                lay, x, active, semiring, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6,
+                err_msg=f"{semiring} d={density}",
+            )
