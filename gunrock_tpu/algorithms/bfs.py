@@ -114,12 +114,19 @@ def bfs_kernel_do(
     single_source,
     max_iterations: int | None = None,
     edge_budget: int | None = None,
+    layout=None,
+    interpret: bool | None = None,
 ):
     """Direction-optimizing BFS (the reference's declared-but-unbuilt
     ``advance_direction_t::optimized``, configs.hxx:78-82): per level,
     switch between the sparse push expansion (small frontiers — work
     proportional to the frontier's out-edges) and the dense cumsum pull
-    (large frontiers — the full-edge pass). Returns (distances, depth)."""
+    (large frontiers — the full-edge pass). When a Pallas ``layout``
+    (unit pull) is given, the dense pass is the doubly-masked
+    frontier-sparse max_times kernel: source windows without a frontier
+    vertex AND destination windows without an unreached vertex both
+    skip, so late levels shrink with the unreached set.
+    Returns (distances, depth)."""
     V = graph.n_vertices
     E = graph.n_edges
     max_it = V if max_iterations is None else max_iterations
@@ -131,6 +138,27 @@ def bfs_kernel_do(
         # networks). Measured 3.7x on a 512x512 grid vs always-dense.
         edge_budget = max(4096, E // 64)
     deg = jnp.diff(graph.row_offsets)
+
+    if layout is not None:
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
+
+        if interpret is None:
+            interpret = use_interpret()
+
+        def dense_step(front, dist, it):
+            unreached = dist == UNREACHED
+            y = bucketed_semiring_spmv_sparse(
+                layout, front.astype(jnp.float32), front, "max_times",
+                interpret=interpret, out_mask=unreached,
+            )
+            new = (y > 0.5) & unreached
+            return new, jnp.where(new, it + 1, dist)
+    else:
+
+        def dense_step(front, dist, it):
+            front, dist, _ = bfs_step(graph, front, dist, None, it)
+            return front, dist
 
     dist0 = jnp.full(V, UNREACHED, dtype=jnp.int32).at[single_source].set(0)
     front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
@@ -153,8 +181,7 @@ def bfs_kernel_do(
 
         def pull(args):
             front, dist = args
-            front, dist, _ = bfs_step(graph, front, dist, None, it)
-            return front, dist
+            return dense_step(front, dist, it)
 
         front, dist = jax.lax.cond(use_push, push, pull, (front, dist))
         return it + 1, front, dist
@@ -318,7 +345,14 @@ def run(
     if use_do:
         import time
 
-        fn = jax.jit(lambda g, s: bfs_kernel_do(g, s))
+        from gunrock_tpu.ops.configs import LoadBalance
+
+        layout = None
+        if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+            from gunrock_tpu.ops.pallas.semiring import pull_layout
+
+            layout = pull_layout(graph, unit=True)
+        fn = jax.jit(lambda g, s: bfs_kernel_do(g, s, layout=layout))
         if warmup:
             jax.block_until_ready(fn(graph, single_source))
         t0 = time.perf_counter()

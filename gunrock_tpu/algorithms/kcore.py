@@ -50,15 +50,17 @@ class Result:
 def kcore_kernel(graph: Graph, decrement_fn=None):
     """Pure k-core. Returns (k_cores int32[V], degeneracy).
 
-    ``decrement_fn(peel_mask) -> int32[V]`` computes, for every vertex,
-    the number of edges connecting it to peeled vertices; defaults to the
-    XLA gather + sorted segmented count."""
+    ``decrement_fn(peel_mask, alive_mask) -> int32[V]`` computes, for
+    every vertex, the number of edges connecting it to peeled vertices
+    (counts for non-alive vertices may be garbage — their degrees are
+    never consulted again); defaults to the XLA gather + sorted
+    segmented count."""
     V = graph.n_vertices
     deg0 = graph.out_degrees().astype(jnp.int32)
 
     if decrement_fn is None:
 
-        def decrement_fn(peel):
+        def decrement_fn(peel, alive):
             from gunrock_tpu.ops.segment import seg_count_sorted
 
             return seg_count_sorted(peel[graph.csc_rows], graph.csc_offsets)
@@ -78,7 +80,7 @@ def kcore_kernel(graph: Graph, decrement_fn=None):
         # in no-peel rounds (branch genuinely not executed under XLA).
         deg = jax.lax.cond(
             any_peel,
-            lambda d: d - decrement_fn(peel),
+            lambda d: d - decrement_fn(peel, ~deleted),
             lambda d: d,
             deg,
         )
@@ -131,12 +133,14 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
             ("kcore_unit_pull", W, 256),
         )
 
-        def decrement_fn(peel):
-            # frontier-sparse: peel waves are tiny in most rounds, so
-            # chunks whose source window holds no peeled vertex skip
+        def decrement_fn(peel, alive):
+            # doubly frontier-sparse: peel waves are tiny in most rounds
+            # (source windows without a peeled vertex skip) and the alive
+            # set shrinks as peeling progresses (destination windows with
+            # no alive vertex skip)
             cnt = bucketed_semiring_spmv_sparse(
                 layout, peel.astype(jnp.float32), peel, "plus_times",
-                interpret=interpret,
+                interpret=interpret, out_mask=alive,
             )
             return jnp.round(cnt).astype(jnp.int32)
 

@@ -369,13 +369,19 @@ def bucketed_semiring_spmv_sparse(
     active: jax.Array,
     semiring: str = "plus_times",
     interpret: bool = False,
+    out_mask: jax.Array | None = None,
 ):
     """Frontier-sparse semiring advance: identical result contract to
     :func:`bucketed_semiring_spmv` given that inactive vertices of ``x``
     already carry the gather identity — but chunks whose source window
     contains NO active vertex are skipped inside the grid, so per-
     iteration cost tracks the frontier's spread instead of O(E).
-    ``active``: bool[V] mask of vertices whose x participates."""
+    ``active``: bool[V] mask of vertices whose x participates.
+    ``out_mask``: optional bool[V] mask of OUTPUT vertices the caller will
+    read — chunks whose destination window contains no masked vertex are
+    also skipped, and those rows return the semiring identity (direction-
+    optimized BFS's late levels: most vertices already reached, their
+    pull rows never recomputed)."""
     W, C = layout.window, layout.chunk
     S = W // 128
     n_chunks = layout.n_chunks
@@ -388,6 +394,10 @@ def bucketed_semiring_spmv_sparse(
     act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
     act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
     ch_act = act_cb[layout.chunk_cb]
+    if out_mask is not None:
+        om_pad = jnp.zeros(n_rb * W, bool).at[:V].set(out_mask)
+        out_rb = jnp.any(om_pad.reshape(n_rb, W), axis=1)
+        ch_act = ch_act & out_rb[layout.chunk_rb]
     pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
     count = (pos[-1] + 1).astype(jnp.int32)
     perm = (
@@ -436,10 +446,18 @@ def bucketed_semiring_spmv_sparse(
     return y
 
 
-def pull_layout(graph, window: int = 2048, chunk: int = 256, pad_value: float = 0.0):
+def pull_layout(
+    graph,
+    window: int = 2048,
+    chunk: int = 256,
+    pad_value: float = 0.0,
+    unit: bool = False,
+):
     """Bucketed layout of the TRANSPOSED edge set (rows=dst, cols=src):
     pull advance — y[dst] = reduce over in-edges of f(x[src], w).
-    Cached per graph (weakref-validated, dies with the graph)."""
+    ``unit=True`` replaces edge weights with 1.0 (unweighted semirings,
+    e.g. BFS reachability). Cached per graph (weakref-validated, dies
+    with the graph)."""
     from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
 
     return cached_layout(
@@ -447,11 +465,13 @@ def pull_layout(graph, window: int = 2048, chunk: int = 256, pad_value: float = 
         lambda: build_bucketed_layout(
             np.asarray(graph.col_indices),  # rows = destinations
             np.asarray(graph.edge_src),  # cols = sources
-            np.asarray(graph.values),
+            np.ones(graph.n_edges, np.float32)
+            if unit
+            else np.asarray(graph.values),
             graph.n_vertices,
             window=window,
             chunk=chunk,
             pad_value=pad_value,
         ),
-        ("pull", window, chunk, pad_value),
+        ("pull", window, chunk, pad_value, unit),
     )

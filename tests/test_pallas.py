@@ -220,3 +220,48 @@ def test_sparse_semiring_matches_dense():
                 np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6,
                 err_msg=f"{semiring} d={density}",
             )
+
+
+def test_sparse_semiring_out_mask():
+    """out_mask skips destination windows: masked rows must be exact,
+    unmasked rows may return the identity (interpret mode)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.semiring import (
+        bucketed_semiring_spmv,
+        bucketed_semiring_spmv_sparse,
+    )
+
+    g, A = random_graph(None, n=300, p=0.04, weighted=True, seed_offset=17)
+    rng = np.random.default_rng(4)
+    lay = build_bucketed_layout(
+        np.asarray(g.col_indices), np.asarray(g.edge_src),
+        np.asarray(g.values), g.n_vertices, window=128, chunk=128,
+    )
+    active = jnp.asarray(rng.random(300) < 0.4)
+    out_mask = jnp.asarray(rng.random(300) < 0.3)
+    x = jnp.where(active, jnp.asarray(rng.random(300, dtype=np.float32)), 0.0)
+    want = bucketed_semiring_spmv(lay, x, "max_times", interpret=True)
+    got = bucketed_semiring_spmv_sparse(
+        lay, x, active, "max_times", interpret=True, out_mask=out_mask
+    )
+    om = np.asarray(out_mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[om], np.asarray(want)[om], rtol=1e-5
+    )
+
+
+def test_bfs_do_pallas_pull_matches():
+    """Direction-optimized BFS with the doubly-masked Pallas pull must
+    match the XLA path exactly (interpret mode)."""
+    from gunrock_tpu.algorithms.bfs import bfs_kernel_do
+    from gunrock_tpu.ops.pallas.semiring import pull_layout
+
+    g, A = random_graph(None, n=200, p=0.05, weighted=False, seed_offset=33)
+    lay = pull_layout(g, window=128, chunk=128, unit=True)
+    d_xla, it1 = bfs_kernel_do(g, 0, edge_budget=64)
+    d_pal, it2 = bfs_kernel_do(g, 0, edge_budget=64, layout=lay,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_pal), np.asarray(d_xla))
+    assert int(it1) == int(it2)
