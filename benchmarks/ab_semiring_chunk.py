@@ -1,0 +1,63 @@
+"""Chunk-size sweep for the v1 bucketed semiring SpMV kernel (scale-18
+R-MAT, plus_times). One (window, chunk) config per process (axon tunnel:
+one hot executable). Prints one JSON line.
+
+Usage: python benchmarks/ab_semiring_chunk.py --chunk 512 [--window 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--window", type=int, default=2048)
+    p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--scale", type=int, default=18)
+    p.add_argument("--num_runs", type=int, default=10)
+    ns = p.parse_args()
+
+    from gunrock_tpu.io.generators import rmat_graph
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv, pull_layout
+
+    graph = rmat_graph(scale=ns.scale, edge_factor=16, seed=1)
+    layout = pull_layout(graph, window=ns.window, chunk=ns.chunk)
+
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.random(graph.n_vertices, dtype=np.float32))
+        for _ in range(ns.num_runs)
+    ]
+    fn = jax.jit(
+        lambda x: bucketed_semiring_spmv(layout, x, "plus_times", interpret=False)
+    )
+    np.asarray(jax.block_until_ready(fn(xs[0])))  # compile + real-exec mode
+
+    t0 = time.perf_counter()
+    outs = [fn(x) for x in xs]  # vary input: no LICM, no rebinding
+    jax.block_until_ready(outs)
+    avg_ms = (time.perf_counter() - t0) * 1e3 / ns.num_runs
+
+    print(
+        json.dumps(
+            {
+                "window": ns.window,
+                "chunk": ns.chunk,
+                "scale": ns.scale,
+                "n_chunks": int(layout.n_chunks),
+                "avg_ms": round(avg_ms, 3),
+                "gedges_per_s": round(graph.n_edges / avg_ms / 1e6, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

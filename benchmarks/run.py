@@ -125,8 +125,10 @@ def bench_one(algo: str, graph, ns):
             times.append(res.elapsed_ms)
         edges = graph.n_edges
     elif algo == "spgemm":
+        # count_only: the reference's enact() contract times device work
+        # only — materializing C to host over the tunnel is I/O, not SpGEMM
         for _ in range(ns.num_runs):
-            res = A.spgemm.run(graph, graph, options=opt)
+            res = A.spgemm.run(graph, graph, options=opt, count_only=True)
             times.append(res.elapsed_ms)
         edges = graph.n_edges
         extra["c_nnz"] = res.nnz

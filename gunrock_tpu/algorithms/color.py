@@ -173,11 +173,17 @@ def color_kernel_pallas(
     self-loop-free push layout. Priorities are fed shifted by +1 so the
     semiring identity 0 always means "no uncolored neighbor": without the
     shift a priority-0 vertex with no uncolored neighbors can never pass
-    the strict colormax compare (0 > 0) and the loop spins to max_it."""
+    the strict colormax compare (0 > 0) and the loop spins to max_it.
+
+    Both scans are doubly frontier-sparse: only uncolored vertices feed
+    priorities in (source windows with no uncolored vertex skip) and only
+    uncolored vertices read their scan result (destination windows with
+    no uncolored vertex skip) — late rounds, when the uncolored set has
+    collapsed to stragglers, cost a handful of chunks instead of O(E)."""
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
 
     V = graph.n_vertices
     max_it = V if max_iterations is None else max_iterations
@@ -200,9 +206,15 @@ def color_kernel_pallas(
         it, colors = c
         uncolored = colors == INVALID_COLOR
         x_max = jnp.where(uncolored, randf, 0.0)
-        nbr_max = bucketed_semiring_spmv(layout, x_max, "max_times", interpret=interpret)
+        nbr_max = bucketed_semiring_spmv_sparse(
+            layout, x_max, uncolored, "max_times", interpret=interpret,
+            out_mask=uncolored,
+        )
         x_inv = jnp.where(uncolored, big - randf, 0.0)
-        inv_max = bucketed_semiring_spmv(layout, x_inv, "max_times", interpret=interpret)
+        inv_max = bucketed_semiring_spmv_sparse(
+            layout, x_inv, uncolored, "max_times", interpret=interpret,
+            out_mask=uncolored,
+        )
         has_nbr = inv_max > 0
         nbr_min = big - inv_max
         colormax = uncolored & (randf > nbr_max)
