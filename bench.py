@@ -34,8 +34,12 @@ def main():
     sources = np.argsort(-deg)[:8].tolist()
 
     from gunrock_tpu.algorithms.bfs import bfs_kernel_do
+    from gunrock_tpu.ops.pallas.semiring import pull_layout
 
-    fn = jax.jit(lambda g, s: bfs_kernel_do(g, s))
+    # Doubly-masked Pallas pull for the dense levels (A/B'd vs the XLA
+    # cumsum pull at scale 18: 84.9 ms vs 89.4 ms, benchmarks/ab_bfs_do.py)
+    layout = pull_layout(graph, unit=True)
+    fn = jax.jit(lambda g, s: bfs_kernel_do(g, s, layout=layout))
     # Warmup/compile.
     dist, depth = jax.block_until_ready(fn(graph, 0))
 

@@ -13,6 +13,9 @@ import argparse
 import json
 import time
 
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import numpy as np
 
@@ -23,6 +26,7 @@ def main():
     p.add_argument("--scale", type=int, default=18)
     p.add_argument("--edge_factor", type=int, default=16)
     p.add_argument("--num_runs", type=int, default=8)
+    p.add_argument("--edge_budget", type=int, default=None)
     ns = p.parse_args()
 
     from gunrock_tpu.algorithms.bfs import UNREACHED, bfs_kernel_do
@@ -38,7 +42,11 @@ def main():
 
         layout = pull_layout(graph, unit=True)
 
-    fn = jax.jit(lambda g, s: bfs_kernel_do(g, s, layout=layout))
+    fn = jax.jit(
+        lambda g, s: bfs_kernel_do(
+            g, s, layout=layout, edge_budget=ns.edge_budget
+        )
+    )
     dist, depth = jax.block_until_ready(fn(graph, sources[0]))
 
     outs = []

@@ -11,6 +11,9 @@ import argparse
 import json
 import time
 
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

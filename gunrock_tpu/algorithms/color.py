@@ -175,15 +175,20 @@ def color_kernel_pallas(
     shift a priority-0 vertex with no uncolored neighbors can never pass
     the strict colormax compare (0 > 0) and the loop spins to max_it.
 
-    Both scans are doubly frontier-sparse: only uncolored vertices feed
-    priorities in (source windows with no uncolored vertex skip) and only
-    uncolored vertices read their scan result (destination windows with
-    no uncolored vertex skip) — late rounds, when the uncolored set has
-    collapsed to stragglers, cost a handful of chunks instead of O(E)."""
+    The two neighbor scans (max and min of uncolored priorities) are ONE
+    fused kernel pass: the [C, W] windowed one-hot compare — the dominant
+    VPU cost — is paid once and feeds both reductions. The pass is also
+    doubly frontier-sparse: only uncolored vertices feed priorities in
+    (source windows with no uncolored vertex skip) and only uncolored
+    vertices read their scan result (destination windows with no
+    uncolored vertex skip)."""
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
+    from gunrock_tpu.ops.pallas.semiring import (
+        _BIG,
+        bucketed_semiring_spmv_sparse_minmax,
+    )
 
     V = graph.n_vertices
     max_it = V if max_iterations is None else max_iterations
@@ -195,7 +200,6 @@ def color_kernel_pallas(
     # +1 shift: uncolored vertices present priorities in [1, V], so the
     # max-times identity 0 is unambiguous "no uncolored neighbor".
     randf = randoms.astype(jnp.float32) + 1.0
-    big = jnp.float32(V + 2)
     colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
 
     def cond(c):
@@ -206,17 +210,11 @@ def color_kernel_pallas(
         it, colors = c
         uncolored = colors == INVALID_COLOR
         x_max = jnp.where(uncolored, randf, 0.0)
-        nbr_max = bucketed_semiring_spmv_sparse(
-            layout, x_max, uncolored, "max_times", interpret=interpret,
+        nbr_max, nbr_min = bucketed_semiring_spmv_sparse_minmax(
+            layout, x_max, uncolored, interpret=interpret,
             out_mask=uncolored,
         )
-        x_inv = jnp.where(uncolored, big - randf, 0.0)
-        inv_max = bucketed_semiring_spmv_sparse(
-            layout, x_inv, uncolored, "max_times", interpret=interpret,
-            out_mask=uncolored,
-        )
-        has_nbr = inv_max > 0
-        nbr_min = big - inv_max
+        has_nbr = nbr_min < _BIG
         colormax = uncolored & (randf > nbr_max)
         colormin = uncolored & has_nbr & (randf < nbr_min) & ~colormax
         color = it * 2

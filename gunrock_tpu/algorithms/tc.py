@@ -202,19 +202,19 @@ def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     concatenated (edge, wedge) key streams — a run of equal (a, b) keys
     starts with the (unique) DAG edge iff the wedge closes a triangle.
     No per-probe gathers; one N log N sort + two linear passes.
+
+    The third sort operand packs the edge/wedge flag AND the wedge apex
+    into one array (edges -> 0, wedges -> apex+1): edges still sort
+    first within an (a, b) run, and the sort carries 3 arrays instead
+    of 5 — sort time is payload-bandwidth-bound on TPU.
     Role of reference csr.hxx:116-173 ``get_intersection_count``."""
     E = eu.shape[0]
-    Wn = wv.shape[0]
-    N = E + Wn
     a = jnp.concatenate([eu, wv])
     b = jnp.concatenate([ev, ww])
-    is_edge = jnp.concatenate(
-        [jnp.ones(E, jnp.int32), jnp.zeros(Wn, jnp.int32)]
-    )
-    u_pay = jnp.concatenate([jnp.zeros(E, jnp.int32), wu])
-    a_s, b_s, _, e_s, u_s = jax.lax.sort(
-        (a, b, 1 - is_edge, is_edge, u_pay), num_keys=3
-    )
+    tag = jnp.concatenate([jnp.zeros(E, jnp.int32), wu + 1])
+    a_s, b_s, tag_s = jax.lax.sort((a, b, tag), num_keys=3)
+    e_s = (tag_s == 0).astype(jnp.int32)
+    u_s = tag_s - 1
     is_start = jnp.concatenate(
         [
             jnp.ones(1, bool),
@@ -229,12 +229,25 @@ def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     z = e_s + 2 * seg_id
     run_edge = jax.lax.cummax(z) - 2 * seg_id
     match = (run_edge >= 1) & (e_s == 0)
+    # Per-corner membership counts WITHOUT scatter-adds (TPU scatters are
+    # serialized — measured 3x250 ms at 34M lanes, 75% of the kernel):
+    # - v-corner (a_s) is sorted by the join sort: prefix-sum of the
+    #   match flags sampled at vertex boundaries (binary search) gives
+    #   per-vertex counts in linear vector passes,
+    # - u- and w-corners ride ONE single-key sort of their sentinel-masked
+    #   ids, counted the same way by boundary differencing.
     m32 = match.astype(jnp.int32)
-    counts = jnp.zeros(V, dtype=jnp.int32)
-    counts = counts.at[jnp.where(match, u_s, V)].add(m32, mode="drop")
-    counts = counts.at[jnp.where(match, a_s, V)].add(m32, mode="drop")
-    counts = counts.at[jnp.where(match, b_s, V)].add(m32, mode="drop")
-    return counts
+    pref = jnp.cumsum(m32)  # pref[i] = matches in [0, i]
+    vb = jnp.arange(V + 1, dtype=jnp.int32)
+    bounds_a = jnp.searchsorted(a_s, vb)  # first index with a_s >= v
+    pref0 = jnp.concatenate([jnp.zeros(1, jnp.int32), pref])
+    cnt_v = jnp.diff(pref0[bounds_a])
+    uw = jnp.concatenate(
+        [jnp.where(match, u_s, V), jnp.where(match, b_s, V)]
+    )
+    (uw_s,) = jax.lax.sort((uw,), num_keys=1)
+    cnt_uw = jnp.diff(jnp.searchsorted(uw_s, vb))
+    return cnt_v + cnt_uw
 
 
 def tc_total_sortjoin(eu, ev, wv, ww, wu):
@@ -242,13 +255,11 @@ def tc_total_sortjoin(eu, ev, wv, ww, wu):
     passes + one reduction — the fastest path when only the triangle
     count is needed."""
     E = eu.shape[0]
-    Wn = wv.shape[0]
     a = jnp.concatenate([eu, wv])
     b = jnp.concatenate([ev, ww])
-    is_edge = jnp.concatenate(
-        [jnp.ones(E, jnp.int32), jnp.zeros(Wn, jnp.int32)]
-    )
-    a_s, b_s, _, e_s = jax.lax.sort((a, b, 1 - is_edge, is_edge), num_keys=3)
+    tag = jnp.concatenate([jnp.zeros(E, jnp.int32), jnp.ones(wv.shape[0], jnp.int32)])
+    a_s, b_s, tag_s = jax.lax.sort((a, b, tag), num_keys=3)
+    e_s = (tag_s == 0).astype(jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones(1, bool), (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
     )

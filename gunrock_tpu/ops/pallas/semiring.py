@@ -446,6 +446,127 @@ def bucketed_semiring_spmv_sparse(
     return y
 
 
+def _sparse_minmax_kernel():
+    """Fused max/min kernel (chunk-skipping): one windowed one-hot gather
+    feeds BOTH a max-reduce (identity 0) and a positives-only min-reduce
+    (identity _BIG) — the [C, W] compare, the dominant VPU cost, is paid
+    once instead of twice. Built for coloring's paired neighbor scans
+    (reference color.hxx:116-140: nbr max and min of uncolored randoms)."""
+
+    def kernel(rb_ref, cb_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
+               val_ref, ymax_ref, ymin_ref):
+        i = pl.program_id(0)
+        C = row_ref.shape[-1]
+        S = x_ref.shape[-2]
+        W = S * 128
+        active = i < cnt_ref[0]
+        first_visit = active & jnp.logical_or(
+            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+        )
+
+        @pl.when(first_visit)
+        def _():
+            ymax_ref[...] = jnp.zeros_like(ymax_ref)
+            ymin_ref[...] = jnp.full_like(ymin_ref, _BIG)
+
+        @pl.when(active)
+        def _():
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+            col = col_ref[0, 0, :]
+            row = row_ref[0, 0, :]
+            val = val_ref[0, 0, :]
+            xf = x_ref[0].reshape(1, W)
+            xg = jnp.sum(jnp.where(col[:, None] == lanes, xf, 0.0), axis=1)
+            msg = val * xg  # 0 for pad slots (val=0) and inactive x (x=0)
+            onehot = row[:, None] == lanes
+            scat_max = jnp.where(onehot, msg[:, None], 0.0)
+            ymax_ref[0] = jnp.maximum(
+                ymax_ref[0], jnp.max(scat_max, axis=0).reshape(S, 128)
+            )
+            msgm = jnp.where(msg > 0.0, msg, _BIG)
+            scat_min = jnp.where(onehot, msgm[:, None], _BIG)
+            ymin_ref[0] = jnp.minimum(
+                ymin_ref[0], jnp.min(scat_min, axis=0).reshape(S, 128)
+            )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bucketed_semiring_spmv_sparse_minmax(
+    layout: BucketedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+):
+    """Fused (y_max, y_min) = (max_e val*x[col_e], min over POSITIVE
+    val*x[col_e]) with the same chunk-skipping contract as
+    :func:`bucketed_semiring_spmv_sparse`. ``y_min`` rows with no positive
+    contribution return ``_BIG``. Requires x >= 0 (0 = inactive)."""
+    W, C = layout.window, layout.chunk
+    S = W // 128
+    n_chunks = layout.n_chunks
+    n_cb = layout.n_col_blocks
+    n_rb = layout.n_row_blocks
+    V = layout.n_vertices
+
+    act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
+    act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
+    ch_act = act_cb[layout.chunk_cb]
+    if out_mask is not None:
+        om_pad = jnp.zeros(n_rb * W, bool).at[:V].set(out_mask)
+        out_rb = jnp.any(om_pad.reshape(n_rb, W), axis=1)
+        ch_act = ch_act & out_rb[layout.chunk_rb]
+    pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
+    count = (pos[-1] + 1).astype(jnp.int32)
+    perm = (
+        jnp.zeros(n_chunks, jnp.int32)
+        .at[jnp.where(ch_act, pos, n_chunks)]
+        .set(jnp.arange(n_chunks, dtype=jnp.int32), mode="drop")
+    )
+    rb_r = layout.chunk_rb[perm]
+    cb_r = layout.chunk_cb[perm]
+
+    x_pad = jnp.full(n_cb * W, 0.0, jnp.float32).at[:V].set(x)
+    x3 = x_pad.reshape(n_cb, S, 128)
+    row2 = layout.row_local.reshape(n_chunks, 1, C)
+    col2 = layout.col_local.reshape(n_chunks, 1, C)
+    val2 = layout.values.reshape(n_chunks, 1, C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (cb[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (rb[i], 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (rb[i], 0, 0)),
+        ),
+    )
+    ymax3, ymin3 = pl.pallas_call(
+        _sparse_minmax_kernel(),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rb_r, cb_r, perm, count.reshape(1), x3, row2, col2, val2)
+    rb_touched = (
+        jnp.zeros(n_rb, bool)
+        .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
+        .set(True, mode="drop")
+    )
+    ymax3 = jnp.where(rb_touched[:, None, None], ymax3, 0.0)
+    ymin3 = jnp.where(rb_touched[:, None, None], ymin3, _BIG)
+    return ymax3.reshape(-1)[:V], ymin3.reshape(-1)[:V]
+
+
 def pull_layout(
     graph,
     window: int = 2048,

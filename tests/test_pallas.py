@@ -265,3 +265,39 @@ def test_bfs_do_pallas_pull_matches():
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(d_pal), np.asarray(d_xla))
     assert int(it1) == int(it2)
+
+
+def test_sparse_minmax_fused():
+    """Fused (max, min-of-positives) kernel matches two dense reference
+    scans on masked rows (interpret mode)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.semiring import (
+        _BIG,
+        bucketed_semiring_spmv,
+        bucketed_semiring_spmv_sparse_minmax,
+    )
+
+    g, A = random_graph(None, n=300, p=0.04, weighted=False, seed_offset=9)
+    rng = np.random.default_rng(11)
+    lay = build_bucketed_layout(
+        np.asarray(g.col_indices), np.asarray(g.edge_src),
+        np.ones(g.n_edges, np.float32), g.n_vertices, window=128, chunk=128,
+    )
+    active = jnp.asarray(rng.random(300) < 0.5)
+    x = jnp.where(active, jnp.asarray(rng.integers(1, 300, 300)), 0).astype(
+        jnp.float32
+    )
+    ymax, ymin = bucketed_semiring_spmv_sparse_minmax(
+        lay, x, active, interpret=True, out_mask=active
+    )
+    want_max = bucketed_semiring_spmv(lay, x, "max_times", interpret=True)
+    # reference min over positive contributions via the inverted-max trick
+    big = 1e6
+    inv = jnp.where(x > 0, big - x, 0.0)
+    inv_max = bucketed_semiring_spmv(lay, inv, "max_times", interpret=True)
+    want_min = jnp.where(inv_max > 0, big - inv_max, _BIG)
+    am = np.asarray(active)
+    np.testing.assert_allclose(np.asarray(ymax)[am], np.asarray(want_max)[am])
+    np.testing.assert_allclose(np.asarray(ymin)[am], np.asarray(want_min)[am])
