@@ -285,7 +285,7 @@ def run(
     options: Options | None = None,
     warmup: bool = True,
     method: str = "sortjoin",
-    max_wedges: int = 200_000_000,
+    max_wedges: int = 400_000_000,
 ) -> Result:
     """Role of reference ``tc::run`` (tc.hxx:143-170).
 
