@@ -39,16 +39,18 @@ def main():
     # Doubly-masked Pallas pull for the dense levels (A/B'd vs the XLA
     # cumsum pull at scale 18: 84.9 ms vs 89.4 ms, benchmarks/ab_bfs_do.py)
     layout = pull_layout(graph, unit=True)
-    fn = jax.jit(lambda g, s: bfs_kernel_do(g, s, layout=layout))
+    # layout as jit argument (a closure would bake it into the HLO and
+    # overflow the axon remote-compile payload on big graphs)
+    fn = jax.jit(lambda g, s, lay: bfs_kernel_do(g, s, layout=lay))
     # Warmup/compile.
-    dist, depth = jax.block_until_ready(fn(graph, 0))
+    dist, depth = jax.block_until_ready(fn(graph, 0, layout))
 
     # Timed loop stays pure: no D2H reads or other executables between calls
     # (each would re-trigger per-call argument rebinding on the axon tunnel).
     outs = []
     t0 = time.perf_counter()
     for src in sources:
-        outs.append(fn(graph, src))
+        outs.append(fn(graph, src, layout))
     jax.block_until_ready(outs)
     avg_ms = (time.perf_counter() - t0) * 1e3 / len(sources)
 
@@ -77,12 +79,12 @@ def main():
         import jax.numpy as jnp
 
         bfn = jax.jit(
-            lambda g, ss: msbfs_kernel(g, ss, pull_layout=layout, interpret=False)
+            lambda g, ss, lay: msbfs_kernel(g, ss, pull_layout=lay, interpret=False)
         )
-        jax.block_until_ready(bfn(graph, jnp.asarray(batch_srcs)))
+        jax.block_until_ready(bfn(graph, jnp.asarray(batch_srcs), layout))
         t0 = time.perf_counter()
         bdist, _ = jax.block_until_ready(
-            bfn(graph, jnp.asarray((batch_srcs + 1) % graph.n_vertices))
+            bfn(graph, jnp.asarray((batch_srcs + 1) % graph.n_vertices), layout)
         )
         batch_ms = (time.perf_counter() - t0) * 1e3
         breached = np.asarray(bdist) != int(UNREACHED)

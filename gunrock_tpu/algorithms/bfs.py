@@ -352,11 +352,14 @@ def run(
             from gunrock_tpu.ops.pallas.semiring import pull_layout
 
             layout = pull_layout(graph, unit=True)
-        fn = jax.jit(lambda g, s: bfs_kernel_do(g, s, layout=layout))
+        # layout rides as a jit ARGUMENT: closed-over device arrays become
+        # HLO constants, and at scale 20 the embedded layout overflows the
+        # axon remote-compile payload (HTTP 413)
+        fn = jax.jit(lambda g, s, lay: bfs_kernel_do(g, s, layout=lay))
         if warmup:
-            jax.block_until_ready(fn(graph, single_source))
+            jax.block_until_ready(fn(graph, single_source, layout))
         t0 = time.perf_counter()
-        dist, it = jax.block_until_ready(fn(graph, single_source))
+        dist, it = jax.block_until_ready(fn(graph, single_source, layout))
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return Result(
             distances=dist,

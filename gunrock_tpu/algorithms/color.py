@@ -243,17 +243,22 @@ def run(
 
         interpret = use_interpret()
         layout = _color_layout(graph, interpret)
+        # layout as jit argument (closure would bake it into the HLO,
+        # overflowing the axon remote-compile payload on big graphs)
         fn = jax.jit(
-            lambda g: color_kernel_pallas(
-                g, seed=seed, layout=layout, interpret=interpret,
+            lambda g, lay: color_kernel_pallas(
+                g, seed=seed, layout=lay, interpret=interpret,
                 ordering=ordering,
             )
         )
     else:
-        fn = jax.jit(lambda g: color_kernel(g, seed=seed, ordering=ordering))
+        layout = None
+        fn = jax.jit(
+            lambda g, lay: color_kernel(g, seed=seed, ordering=ordering)
+        )
     if warmup:
-        jax.block_until_ready(fn(graph))
+        jax.block_until_ready(fn(graph, layout))
     t0 = time.perf_counter()
-    colors, it = jax.block_until_ready(fn(graph))
+    colors, it = jax.block_until_ready(fn(graph, layout))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return Result(colors=colors, iterations=int(it), elapsed_ms=elapsed_ms)

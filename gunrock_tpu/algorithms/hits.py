@@ -160,17 +160,19 @@ def run(
             np.asarray(graph.col_indices), np.asarray(graph.edge_src), ones,
             graph.n_vertices, window=W, chunk=C,
         )
+        # layouts as jit arguments (closure would bake them into the HLO)
         fn = jax.jit(
-            lambda g: hits_kernel_pallas(
-                g, max_iterations, push_layout=ps_, pull_layout=pl_,
+            lambda g, ps, pl: hits_kernel_pallas(
+                g, max_iterations, push_layout=ps, pull_layout=pl,
                 interpret=interpret,
             )
         )
     else:
-        fn = jax.jit(lambda g: hits_kernel(g, max_iterations))
+        ps_ = pl_ = None
+        fn = jax.jit(lambda g, ps, pl: hits_kernel(g, max_iterations))
     if warmup:
-        jax.block_until_ready(fn(graph))
+        jax.block_until_ready(fn(graph, ps_, pl_))
     t0 = time.perf_counter()
-    auth, hub, it = jax.block_until_ready(fn(graph))
+    auth, hub, it = jax.block_until_ready(fn(graph, ps_, pl_))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return Result(auth=auth, hub=hub, iterations=int(it), elapsed_ms=elapsed_ms)

@@ -47,20 +47,21 @@ class Result:
     elapsed_ms: float
 
 
-def kcore_kernel(graph: Graph, decrement_fn=None):
+def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
     """Pure k-core. Returns (k_cores int32[V], degeneracy).
 
-    ``decrement_fn(peel_mask, alive_mask) -> int32[V]`` computes, for
-    every vertex, the number of edges connecting it to peeled vertices
+    ``decrement_fn(peel_mask, alive_mask, layout) -> int32[V]`` computes,
+    for every vertex, the number of edges connecting it to peeled vertices
     (counts for non-alive vertices may be garbage — their degrees are
-    never consulted again); defaults to the XLA gather + sorted
-    segmented count."""
+    never consulted again); defaults to the XLA gather + sorted segmented
+    count. ``layout`` is threaded through (a jit argument at the call
+    site, so Pallas layouts don't become HLO constants)."""
     V = graph.n_vertices
     deg0 = graph.out_degrees().astype(jnp.int32)
 
     if decrement_fn is None:
 
-        def decrement_fn(peel, alive):
+        def decrement_fn(peel, alive, lay):
             from gunrock_tpu.ops.segment import seg_count_sorted
 
             return seg_count_sorted(peel[graph.csc_rows], graph.csc_offsets)
@@ -80,7 +81,7 @@ def kcore_kernel(graph: Graph, decrement_fn=None):
         # in no-peel rounds (branch genuinely not executed under XLA).
         deg = jax.lax.cond(
             any_peel,
-            lambda d: d - decrement_fn(peel, ~deleted),
+            lambda d: d - decrement_fn(peel, ~deleted, layout),
             lambda d: d,
             deg,
         )
@@ -110,6 +111,7 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
     if options is None:
         options = default_options()
     decrement_fn = None
+    layout = None
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
         import numpy as np
 
@@ -133,13 +135,13 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
             ("kcore_unit_pull", W, 256),
         )
 
-        def decrement_fn(peel, alive):
+        def decrement_fn(peel, alive, lay):
             # doubly frontier-sparse: peel waves are tiny in most rounds
             # (source windows without a peeled vertex skip) and the alive
             # set shrinks as peeling progresses (destination windows with
             # no alive vertex skip)
             cnt = bucketed_semiring_spmv_sparse(
-                layout, peel.astype(jnp.float32), peel, "plus_times",
+                lay, peel.astype(jnp.float32), peel, "plus_times",
                 interpret=interpret, out_mask=alive,
             )
             return jnp.round(cnt).astype(jnp.int32)
@@ -150,12 +152,14 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
 
     fn = cached_layout(
         graph.col_indices,
-        lambda: jax.jit(lambda g: kcore_kernel(g, decrement_fn)),
+        lambda: jax.jit(
+            lambda g, lay: kcore_kernel(g, decrement_fn, layout=lay)
+        ),
         ("kcore_fn", options.load_balance),
     )
     if warmup:
-        jax.block_until_ready(fn(graph))
+        jax.block_until_ready(fn(graph, layout))
     t0 = time.perf_counter()
-    cores, k = jax.block_until_ready(fn(graph))
+    cores, k = jax.block_until_ready(fn(graph, layout))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return Result(k_cores=cores, degeneracy=int(k), elapsed_ms=elapsed_ms)

@@ -199,18 +199,22 @@ def run_batch(
             np.ones(graph.n_edges, np.float32), graph.n_vertices,
             window=W, chunk=C,
         )
+        # layout as jit argument (closure would bake it into the HLO)
         fn = jax.jit(
-            lambda g, ss: ppr_batch_kernel_spmm(
-                g, ss, alpha, epsilon, layout=layout, interpret=interpret
+            lambda g, ss, lay: ppr_batch_kernel_spmm(
+                g, ss, alpha, epsilon, layout=lay, interpret=interpret
             )[0].T
         )
     else:
+        layout = None
         fn = jax.jit(
-            lambda g, ss: jax.vmap(lambda s: ppr_kernel(g, s, alpha, epsilon)[0])(ss)
+            lambda g, ss, lay: jax.vmap(
+                lambda s: ppr_kernel(g, s, alpha, epsilon)[0]
+            )(ss)
         )
     if warmup:
-        jax.block_until_ready(fn(graph, seeds))
+        jax.block_until_ready(fn(graph, seeds, layout))
     t0 = time.perf_counter()
-    p = jax.block_until_ready(fn(graph, seeds))
+    p = jax.block_until_ready(fn(graph, seeds, layout))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return p, elapsed_ms

@@ -151,11 +151,14 @@ def run(
         from gunrock_tpu.ops.pallas.semiring import pull_layout
 
         layout = pull_layout(graph)  # host-side; must precede tracing
-        fn = jax.jit(lambda g: pr_kernel_pallas(g, alpha, tol, max_it, layout=layout))
+        # layout as jit argument (closure would bake it into the HLO)
+        fn = jax.jit(
+            lambda g, lay: pr_kernel_pallas(g, alpha, tol, max_it, layout=lay)
+        )
         if warmup:
-            jax.block_until_ready(fn(graph))
+            jax.block_until_ready(fn(graph, layout))
         t0 = time.perf_counter()
-        p, it = jax.block_until_ready(fn(graph))
+        p, it = jax.block_until_ready(fn(graph, layout))
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return Result(p=p, iterations=int(it), elapsed_ms=elapsed_ms)
 

@@ -89,14 +89,16 @@ def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) ->
         # layout built host-side before tracing (concrete graph required)
         layout = layout_for_graph(graph, window=2048, chunk=256)
         interp = use_interpret()
+        # layout as jit argument (closure would bake it into the HLO)
         fn = jax.jit(
-            lambda g, xv: bucketed_spmv(layout, xv, interpret=interp)
+            lambda g, xv, lay: bucketed_spmv(lay, xv, interpret=interp)
         )
     else:
-        fn = jax.jit(spmv_kernel)
+        layout = None
+        fn = jax.jit(lambda g, xv, lay: spmv_kernel(g, xv))
     if warmup:
-        jax.block_until_ready(fn(graph, x))
+        jax.block_until_ready(fn(graph, x, layout))
     t0 = time.perf_counter()
-    y = jax.block_until_ready(fn(graph, x))
+    y = jax.block_until_ready(fn(graph, x, layout))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return Result(y=y, elapsed_ms=elapsed_ms)

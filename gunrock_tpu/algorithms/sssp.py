@@ -399,11 +399,14 @@ def run(
             from gunrock_tpu.ops.pallas.semiring import _BIG, pull_layout
 
             layout = pull_layout(graph, pad_value=_BIG)
-        fn = jax.jit(lambda g, s: sssp_kernel_do(g, s, layout=layout))
+        # layout as jit ARGUMENT, not closure: closed-over device arrays
+        # become HLO constants and overflow the axon remote-compile
+        # payload at scale 20 (HTTP 413)
+        fn = jax.jit(lambda g, s, lay: sssp_kernel_do(g, s, layout=lay))
         if warmup:
-            jax.block_until_ready(fn(graph, single_source))
+            jax.block_until_ready(fn(graph, single_source, layout))
         t0 = time.perf_counter()
-        dist, it = jax.block_until_ready(fn(graph, single_source))
+        dist, it = jax.block_until_ready(fn(graph, single_source, layout))
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return Result(
             distances=dist,
@@ -417,14 +420,14 @@ def run(
 
         layout = pull_layout(graph, pad_value=_BIG)
         fn = jax.jit(
-            lambda g, s: sssp_kernel_pallas(g, s, layout=layout)
+            lambda g, s, lay: sssp_kernel_pallas(g, s, layout=lay)
         )
         import time
 
         if warmup:
-            jax.block_until_ready(fn(graph, single_source))
+            jax.block_until_ready(fn(graph, single_source, layout))
         t0 = time.perf_counter()
-        dist, it = jax.block_until_ready(fn(graph, single_source))
+        dist, it = jax.block_until_ready(fn(graph, single_source, layout))
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return Result(
             distances=dist,
