@@ -18,6 +18,8 @@ import time
 import jax
 import numpy as np
 
+from gunrock_tpu.graph import hostcache
+
 
 def main():
     from gunrock_tpu.algorithms.bfs import bfs_kernel, UNREACHED
@@ -29,7 +31,7 @@ def main():
     # Degrees via host numpy: running any *other* jitted executable between
     # the warmup and the timed calls poisons per-call latency on the axon
     # tunnel (per-call arg rebinding, ~0.6s/call).
-    deg = np.diff(np.asarray(graph.row_offsets))
+    deg = np.diff(hostcache.host(graph, "row_offsets"))
     # Sources: highest-degree vertices reach the giant component.
     sources = np.argsort(-deg)[:8].tolist()
 
@@ -42,6 +44,11 @@ def main():
     # layout as jit argument (a closure would bake it into the HLO and
     # overflow the axon remote-compile payload on big graphs)
     fn = jax.jit(lambda g, s, lay: bfs_kernel_do(g, s, layout=lay))
+    # Leave lazy-future mode BEFORE timing (hostcache removed the degree
+    # read that used to do this implicitly).
+    from gunrock_tpu.utils.timer import force_real_execution
+
+    force_real_execution()
     # Warmup/compile.
     dist, depth = jax.block_until_ready(fn(graph, 0, layout))
 
@@ -71,10 +78,13 @@ def main():
 
         K = 32
         batch_srcs = np.argsort(-deg)[:K].astype(np.int32)
+        from gunrock_tpu.ops.pallas.layout import auto_window_chunk
+
+        W, C = auto_window_chunk(graph.n_vertices)
         layout = build_bucketed_layout(
-            np.asarray(graph.col_indices), np.asarray(graph.edge_src),
+            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"),
             np.ones(graph.n_edges, np.float32), graph.n_vertices,
-            window=2048, chunk=256,
+            window=W, chunk=C,
         )
         import jax.numpy as jnp
 

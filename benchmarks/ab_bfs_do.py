@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax
 import numpy as np
 
+from gunrock_tpu.graph import hostcache
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -33,7 +35,7 @@ def main():
     from gunrock_tpu.io.generators import rmat_graph
 
     graph = rmat_graph(scale=ns.scale, edge_factor=ns.edge_factor, seed=1)
-    deg = np.diff(np.asarray(graph.row_offsets))
+    deg = np.diff(hostcache.host(graph, "row_offsets"))
     sources = np.argsort(-deg)[: ns.num_runs].tolist()
 
     layout = None
@@ -42,6 +44,9 @@ def main():
 
         layout = pull_layout(graph, unit=True)
 
+    from gunrock_tpu.utils.timer import force_real_execution
+
+    force_real_execution()
     fn = jax.jit(
         lambda g, s: bfs_kernel_do(
             g, s, layout=layout, edge_budget=ns.edge_budget

@@ -40,7 +40,10 @@ def main():
             pr_batch_kernel_spmm(graph, alphas, tol=ns.tol, interpret=False,
                                  max_iterations=1)[0]
         )
-        fn = jax.jit(
+        from gunrock_tpu.utils.timer import force_real_execution
+
+    force_real_execution()
+    fn = jax.jit(
             lambda a: pr_batch_kernel_spmm(graph, a, tol=ns.tol, interpret=False)
         )
         p_, it = jax.block_until_ready(fn(alphas))

@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax
 import numpy as np
 
+from gunrock_tpu.graph import hostcache
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -29,10 +31,13 @@ def main():
     from gunrock_tpu.ops.pallas.semiring import _BIG, pull_layout
 
     graph = rmat_graph(scale=ns.scale, edge_factor=16, seed=1)
-    deg = np.diff(np.asarray(graph.row_offsets))
+    deg = np.diff(hostcache.host(graph, "row_offsets"))
     sources = np.argsort(-deg)[: ns.num_runs].tolist()
     layout = pull_layout(graph, pad_value=_BIG)
 
+    from gunrock_tpu.utils.timer import force_real_execution
+
+    force_real_execution()
     fn = jax.jit(
         lambda g, s: sssp_kernel_do(
             g, s, layout=layout, edge_budget=ns.edge_budget

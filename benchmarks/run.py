@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
+from gunrock_tpu.graph import hostcache
+
 ALGORITHMS = [
     "bfs", "sssp", "pr", "bc", "color", "kcore", "tc", "spmv", "hits",
     "mst", "ppr", "spgemm",
@@ -58,9 +60,13 @@ def bench_one(algo: str, graph, ns):
     else:
         opt = Options(load_balance=LoadBalance.parse(ns.load_balance))
     rng = np.random.default_rng(0)
-    deg = np.diff(np.asarray(graph.row_offsets))
+    deg = np.diff(hostcache.host(graph, "row_offsets"))
     srcs = np.argsort(-deg)[: ns.num_runs].tolist()
     times, edges, extra = [], 0, {}
+    # hostcache removed the implicit D2H that left lazy-future mode
+    from gunrock_tpu.utils.timer import force_real_execution
+
+    force_real_execution()
 
     if algo in ("bfs", "sssp"):
         mod = A.bfs if algo == "bfs" else A.sssp

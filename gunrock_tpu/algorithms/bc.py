@@ -30,6 +30,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
@@ -140,7 +142,7 @@ def bc_batch_kernel(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     V = graph.n_vertices
@@ -149,13 +151,13 @@ def bc_batch_kernel(
         interpret = use_interpret()
     if pull_layout is None or push_layout is None:
         ones = np.ones(graph.n_edges, np.float32)
-        W, C = (128, 256) if interpret else (2048, 256)
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         pull_layout = build_bucketed_layout(
-            np.asarray(graph.col_indices), np.asarray(graph.edge_src), ones,
+            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
             V, window=W, chunk=C,
         )
         push_layout = build_bucketed_layout(
-            np.asarray(graph.edge_src), np.asarray(graph.col_indices), ones,
+            hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
             V, window=W, chunk=C,
         )
 
@@ -209,23 +211,24 @@ def run_all_sources_spmm(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
 
     V = graph.n_vertices
     interpret = use_interpret()
     ones = np.ones(graph.n_edges, np.float32)
-    W, C = (128, 256) if interpret else (2048, 256)
+    W, C = auto_window_chunk(graph.n_vertices, interpret)
     pl_ = build_bucketed_layout(
-        np.asarray(graph.col_indices), np.asarray(graph.edge_src), ones,
+        hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
         V, window=W, chunk=C,
     )
     ps_ = build_bucketed_layout(
-        np.asarray(graph.edge_src), np.asarray(graph.col_indices), ones,
+        hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
         V, window=W, chunk=C,
     )
+    # layouts as jit arguments (closure would bake them into the HLO)
     fn = jax.jit(
-        lambda g, ss: bc_batch_kernel(
-            g, ss, pull_layout=pl_, push_layout=ps_, interpret=interpret
+        lambda g, ss, pl, ps: bc_batch_kernel(
+            g, ss, pull_layout=pl, push_layout=ps, interpret=interpret
         )
     )
     n_chunks = -(-V // chunk_size)
@@ -237,11 +240,11 @@ def run_all_sources_spmm(
         srcs_p = jnp.asarray(
             np.concatenate([srcs, np.zeros(pad, np.int64)]).astype(np.int32)
         )
-        part = fn(graph, srcs_p)
+        part = fn(graph, srcs_p, pl_, ps_)
         if pad:
             # padded duplicate sources recompute source 0's contribution;
             # subtract the extras
-            extra = fn(graph, jnp.zeros(chunk_size, jnp.int32)) * (
+            extra = fn(graph, jnp.zeros(chunk_size, jnp.int32), pl_, ps_) * (
                 pad / chunk_size
             )
             part = part - extra

@@ -23,6 +23,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.framework.enactor import Enactor
 from gunrock_tpu.framework.problem import Problem
 from gunrock_tpu.graph import Graph
@@ -204,7 +206,7 @@ def msbfs_kernel(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     V = graph.n_vertices
@@ -213,10 +215,10 @@ def msbfs_kernel(
     if interpret is None:
         interpret = use_interpret()
     if pull_layout is None:
-        W, C = (128, 256) if interpret else (2048, 256)
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         pull_layout = build_bucketed_layout(
-            np.asarray(graph.col_indices),
-            np.asarray(graph.edge_src),
+            hostcache.host(graph, "col_indices"),
+            hostcache.host(graph, "edge_src"),
             np.ones(graph.n_edges, np.float32),  # unit weights: hop counts
             V,
             window=W,

@@ -23,6 +23,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
@@ -139,13 +141,17 @@ def _color_layout(graph: Graph, interpret: bool):
     on the underlying undirected graph."""
     import numpy as np
 
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+    from gunrock_tpu.ops.pallas.layout import (
+        auto_window_chunk,
+        build_bucketed_layout,
+        cached_layout,
+    )
 
-    W, C = (128, 256) if interpret else (2048, 256)
+    W, C = auto_window_chunk(graph.n_vertices, interpret)
 
     def build():
-        src = np.asarray(graph.edge_src)
-        dst = np.asarray(graph.col_indices)
+        src = hostcache.host(graph, "edge_src")
+        dst = hostcache.host(graph, "col_indices")
         if not graph.properties.symmetric:
             src, dst = (
                 np.concatenate([src, dst]),

@@ -23,6 +23,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
@@ -91,7 +93,7 @@ def hits_kernel_pallas(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
     from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv
 
     V = graph.n_vertices
@@ -99,13 +101,13 @@ def hits_kernel_pallas(
         interpret = use_interpret()
     if push_layout is None or pull_layout is None:
         ones = np.ones(graph.n_edges, np.float32)
-        W, C = (128, 256) if interpret else (2048, 256)
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         push_layout = build_bucketed_layout(
-            np.asarray(graph.edge_src), np.asarray(graph.col_indices), ones,
+            hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
             V, window=W, chunk=C,
         )
         pull_layout = build_bucketed_layout(
-            np.asarray(graph.col_indices), np.asarray(graph.edge_src), ones,
+            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
             V, window=W, chunk=C,
         )
     auth0 = jnp.ones(V, dtype=jnp.float32)
@@ -147,17 +149,17 @@ def run(
         import numpy as np
 
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+        from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
 
         interpret = use_interpret()
         ones = np.ones(graph.n_edges, np.float32)
-        W, C = (128, 256) if interpret else (2048, 256)
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         ps_ = build_bucketed_layout(
-            np.asarray(graph.edge_src), np.asarray(graph.col_indices), ones,
+            hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
             graph.n_vertices, window=W, chunk=C,
         )
         pl_ = build_bucketed_layout(
-            np.asarray(graph.col_indices), np.asarray(graph.edge_src), ones,
+            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
             graph.n_vertices, window=W, chunk=C,
         )
         # layouts as jit arguments (closure would bake them into the HLO)

@@ -29,6 +29,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
@@ -116,23 +118,27 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
         import numpy as np
 
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+        from gunrock_tpu.ops.pallas.layout import (
+            auto_window_chunk,
+            build_bucketed_layout,
+            cached_layout,
+        )
         from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
 
         interpret = use_interpret()
-        W = 128 if interpret else 2048
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         # unit-weight pull layout: count peeled in-neighbors per vertex
         layout = cached_layout(
             graph.col_indices,
             lambda: build_bucketed_layout(
-                np.asarray(graph.col_indices),
-                np.asarray(graph.edge_src),
+                hostcache.host(graph, "col_indices"),
+                hostcache.host(graph, "edge_src"),
                 np.ones(graph.n_edges, np.float32),
                 graph.n_vertices,
                 window=W,
-                chunk=256,
+                chunk=C,
             ),
-            ("kcore_unit_pull", W, 256),
+            ("kcore_unit_pull", W, C),
         )
 
         def decrement_fn(peel, alive, lay):

@@ -24,6 +24,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
@@ -125,7 +127,7 @@ def ppr_batch_kernel_spmm(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     V = graph.n_vertices
@@ -137,9 +139,9 @@ def ppr_batch_kernel_spmm(
     if interpret is None:
         interpret = use_interpret()
     if layout is None:
-        W, C = (128, 256) if interpret else (2048, 256)
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         layout = build_bucketed_layout(
-            np.asarray(graph.col_indices), np.asarray(graph.edge_src),
+            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"),
             np.ones(graph.n_edges, np.float32), V, window=W, chunk=C,
         )
 
@@ -190,12 +192,12 @@ def run_batch(
         import numpy as np
 
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+        from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
 
         interpret = use_interpret()
-        W, C = (128, 256) if interpret else (2048, 256)
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         layout = build_bucketed_layout(
-            np.asarray(graph.col_indices), np.asarray(graph.edge_src),
+            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"),
             np.ones(graph.n_edges, np.float32), graph.n_vertices,
             window=W, chunk=C,
         )

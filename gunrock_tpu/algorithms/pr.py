@@ -24,6 +24,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.framework.enactor import Enactor
 from gunrock_tpu.framework.problem import Problem
 from gunrock_tpu.graph import Graph
@@ -225,24 +227,28 @@ def pr_batch_kernel_spmm(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+    from gunrock_tpu.ops.pallas.layout import (
+        auto_window_chunk,
+        build_bucketed_layout,
+        cached_layout,
+    )
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     if interpret is None:
         interpret = use_interpret()
     if layout is None:
-        W = 128 if interpret else 2048
+        W, C = auto_window_chunk(graph.n_vertices, interpret)
         layout = cached_layout(
             graph.col_indices,
             lambda: build_bucketed_layout(
-                np.asarray(graph.col_indices),  # rows = destinations (pull)
-                np.asarray(graph.edge_src),
-                np.asarray(graph.values),
+                hostcache.host(graph, "col_indices"),  # rows = destinations (pull)
+                hostcache.host(graph, "edge_src"),
+                hostcache.host(graph, "values"),
                 graph.n_vertices,
                 window=W,
-                chunk=256,
+                chunk=C,
             ),
-            ("pr_pull_unit", W, 256),
+            ("pr_pull_unit", W, C),
         )
     alphas = jnp.asarray(alphas, jnp.float32)
     K = alphas.shape[0]

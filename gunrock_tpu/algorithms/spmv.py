@@ -69,7 +69,7 @@ def spmm_kernel(graph: Graph, X, layout=None, interpret: bool | None = None):
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     if layout is None:
-        layout = layout_for_graph(graph, window=2048, chunk=256)
+        layout = layout_for_graph(graph)
     if interpret is None:
         interpret = use_interpret()
     return bucketed_spmm(layout, jnp.asarray(X, jnp.float32), interpret=interpret)
@@ -87,7 +87,7 @@ def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) ->
         from gunrock_tpu.ops.pallas.spmv import bucketed_spmv
 
         # layout built host-side before tracing (concrete graph required)
-        layout = layout_for_graph(graph, window=2048, chunk=256)
+        layout = layout_for_graph(graph)
         interp = use_interpret()
         # layout as jit argument (closure would bake it into the HLO)
         fn = jax.jit(

@@ -137,7 +137,12 @@ def sssp_kernel_do(
     E = graph.n_edges
     max_it = V if max_iterations is None else max_iterations
     if edge_budget is None:
-        edge_budget = max(4096, E // 64)
+        # E/128 (not BFS's E/64): weighted search revisits vertices, so
+        # pushing a larger share of levels re-relaxes more stale edges —
+        # a smaller budget shifts mid-size frontiers onto the
+        # frontier-sparse Pallas pull. A/B at scale 18 (battery 5,
+        # benchmarks/ab_sssp_do.py): E/128 124.4 ms vs E/64 136.5 ms.
+        edge_budget = max(4096, E // 128)
     deg = jnp.diff(graph.row_offsets)
     if layout is not None:
         from gunrock_tpu.ops.pallas import use_interpret

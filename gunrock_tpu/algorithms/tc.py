@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gunrock_tpu.graph import hostcache
+
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
@@ -53,9 +55,9 @@ def build_dag(graph: Graph):
     ``adj`` rows are ascending (inherited from CSR column order) and
     (edge_u, edge_v) enumerate DAG edges in CSR order.
     """
-    offsets = np.asarray(graph.row_offsets)
-    cols = np.asarray(graph.col_indices)
-    src = np.asarray(graph.edge_src)
+    offsets = hostcache.host(graph, "row_offsets")
+    cols = hostcache.host(graph, "col_indices")
+    src = hostcache.host(graph, "edge_src")
     if not graph.properties.symmetric:
         # Triangles live on the underlying undirected graph: symmetrize
         # and dedupe directed inputs (self-loops dropped by orientation).
@@ -86,8 +88,8 @@ def build_dag(graph: Graph):
 def _undirected_degrees(graph: Graph):
     """Degrees of the (symmetrized) simple graph — the rank key build_dag
     orients by."""
-    src = np.asarray(graph.edge_src)
-    cols = np.asarray(graph.col_indices)
+    src = hostcache.host(graph, "edge_src")
+    cols = hostcache.host(graph, "col_indices")
     if not graph.properties.symmetric:
         import scipy.sparse as sp
 
@@ -97,7 +99,7 @@ def _undirected_degrees(graph: Graph):
         )
         A = A.maximum(A.T)
         return np.diff(A.indptr).astype(np.int64)
-    return np.diff(np.asarray(graph.row_offsets)).astype(np.int64)
+    return np.diff(hostcache.host(graph, "row_offsets")).astype(np.int64)
 
 
 def _search_steps(max_len: int) -> int:

@@ -12,15 +12,17 @@ import collections
 
 import numpy as np
 
+from gunrock_tpu.graph import hostcache
+
 
 def _to_scipy(graph):
     import scipy.sparse as sp
 
     return sp.csr_matrix(
         (
-            np.asarray(graph.values),
-            np.asarray(graph.col_indices),
-            np.asarray(graph.row_offsets),
+            hostcache.host(graph, "values"),
+            hostcache.host(graph, "col_indices"),
+            hostcache.host(graph, "row_offsets"),
         ),
         shape=(graph.n_vertices, graph.n_vertices),
     )
@@ -28,8 +30,8 @@ def _to_scipy(graph):
 
 def bfs(graph, source: int) -> np.ndarray:
     """Hop distances; int32 max where unreachable (bfs_cpu.hxx role)."""
-    offs = np.asarray(graph.row_offsets)
-    cols = np.asarray(graph.col_indices)
+    offs = hostcache.host(graph, "row_offsets")
+    cols = hostcache.host(graph, "col_indices")
     V = graph.n_vertices
     dist = np.full(V, np.iinfo(np.int32).max, dtype=np.int32)
     dist[source] = 0
@@ -93,8 +95,8 @@ def tc(graph) -> np.ndarray:
 
 def kcore(graph) -> np.ndarray:
     """Peeling from k=1 (reference semantics: isolated vertices get 1)."""
-    offs = np.asarray(graph.row_offsets)
-    cols = np.asarray(graph.col_indices)
+    offs = hostcache.host(graph, "row_offsets")
+    cols = hostcache.host(graph, "col_indices")
     V = graph.n_vertices
     deg = np.diff(offs).astype(np.int64)
     cores = np.zeros(V, dtype=np.int32)
@@ -114,8 +116,8 @@ def kcore(graph) -> np.ndarray:
 
 
 def color_is_valid(graph, colors: np.ndarray) -> bool:
-    src = np.asarray(graph.edge_src)
-    dst = np.asarray(graph.col_indices)
+    src = hostcache.host(graph, "edge_src")
+    dst = hostcache.host(graph, "col_indices")
     off_diag = src != dst
     return bool(
         (colors >= 0).all()
@@ -144,8 +146,8 @@ def hits(graph, iterations: int):
 
 def bc(graph, source: int) -> np.ndarray:
     """Single-source Brandes dependencies, 0.5-scaled (bc.hxx parity)."""
-    offs = np.asarray(graph.row_offsets)
-    cols = np.asarray(graph.col_indices)
+    offs = hostcache.host(graph, "row_offsets")
+    cols = hostcache.host(graph, "col_indices")
     V = graph.n_vertices
     sigma = np.zeros(V)
     dist = np.full(V, -1)

@@ -95,6 +95,9 @@ class Enactor:
             self._compiled = jax.jit(self._enact_fn)
         state0 = self.prepare_frontier()
         if warmup:
+            from gunrock_tpu.utils.timer import force_real_execution
+
+            force_real_execution()  # axon lazy-future guard
             jax.block_until_ready(self._compiled(state0))
         t0 = time.perf_counter()
         out = jax.block_until_ready(self._compiled(state0))

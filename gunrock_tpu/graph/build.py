@@ -133,4 +133,19 @@ def build_graph(
         n_edges=int(csr.nnz),
         properties=properties,
     )
+    # The host copies existed right here — register them so layout
+    # builders and CPU oracles never pay a device->host read over the
+    # tunnel (graph/hostcache.py).
+    from gunrock_tpu.graph import hostcache
+
+    hostcache.register(
+        g,
+        row_offsets=np.asarray(csr.row_offsets, np.int32),
+        col_indices=np.asarray(csr.col_indices, np.int32),
+        values=np.asarray(csr.values, np.float32),
+        edge_src=np.asarray(edge_src, np.int32),
+        csc_offsets=np.asarray(csc_offsets, np.int32),
+        csc_rows=np.asarray(csc_rows, np.int32),
+        csc_dst=np.asarray(csc_dst, np.int32),
+    )
     return g

@@ -140,12 +140,38 @@ def cached_layout(anchor: jax.Array, build_fn, key):
     return layouts[key]
 
 
-def layout_for_graph(graph, window: int = 512, chunk: int = 1024) -> BucketedEdges:
+def auto_window_chunk(n_vertices: int, interpret: bool = False) -> tuple[int, int]:
+    """Pick (window, chunk) for the bucketed kernels.
+
+    W=2048/C=256 measured fastest up to scale 18, but the per-chunk
+    metadata rides as int32[n_chunks] scalar-prefetch arrays in SMEM
+    (1 MB on v5e), and power-law graphs occupy nearly every
+    (row-block, col-block) bucket pair — so n_chunks ~ (V/W)^2 and W
+    must grow with V to keep the metadata under SMEM. Keeping
+    V/W <= 256 bounds the bucket grid at 64K pairs; the per-edge
+    compare cost ~ fragmentation*W stays flat because doubling W
+    halves the fragmentation on bucket-saturated graphs (measured at
+    scale 20: W=2048 frag 4.17 vs W=4096 frag 2.09)."""
+    if interpret:
+        return 128, 256
+    W = 2048
+    while n_vertices > 256 * W:
+        W *= 2
+    return W, 256 * (W // 2048)
+
+
+def layout_for_graph(graph, window: int | None = None, chunk: int | None = None) -> BucketedEdges:
     """CSR edges of a Graph in bucketed layout (cached per (graph, W, C))."""
+    if window is None or chunk is None:
+        aw, ac = auto_window_chunk(graph.n_vertices)
+        window = window or aw
+        chunk = chunk or ac
+    from gunrock_tpu.graph import hostcache
+
     return build_bucketed_layout(
-        np.asarray(graph.edge_src),
-        np.asarray(graph.col_indices),
-        np.asarray(graph.values),
+        hostcache.host(graph, "edge_src"),
+        hostcache.host(graph, "col_indices"),
+        hostcache.host(graph, "values"),
         graph.n_vertices,
         window=window,
         chunk=chunk,

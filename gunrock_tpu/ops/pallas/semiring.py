@@ -569,8 +569,8 @@ def bucketed_semiring_spmv_sparse_minmax(
 
 def pull_layout(
     graph,
-    window: int = 2048,
-    chunk: int = 256,
+    window: int | None = None,
+    chunk: int | None = None,
     pad_value: float = 0.0,
     unit: bool = False,
 ):
@@ -578,17 +578,29 @@ def pull_layout(
     pull advance — y[dst] = reduce over in-edges of f(x[src], w).
     ``unit=True`` replaces edge weights with 1.0 (unweighted semirings,
     e.g. BFS reachability). Cached per graph (weakref-validated, dies
-    with the graph)."""
-    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout, cached_layout
+    with the graph). Window/chunk default to the SMEM-safe auto
+    selection (grows with V, see layout.auto_window_chunk)."""
+    from gunrock_tpu.ops.pallas.layout import (
+        auto_window_chunk,
+        build_bucketed_layout,
+        cached_layout,
+    )
+
+    if window is None or chunk is None:
+        aw, ac = auto_window_chunk(graph.n_vertices)
+        window = window or aw
+        chunk = chunk or ac
+
+    from gunrock_tpu.graph import hostcache
 
     return cached_layout(
         graph.col_indices,
         lambda: build_bucketed_layout(
-            np.asarray(graph.col_indices),  # rows = destinations
-            np.asarray(graph.edge_src),  # cols = sources
+            hostcache.host(graph, "col_indices"),  # rows = destinations
+            hostcache.host(graph, "edge_src"),  # cols = sources
             np.ones(graph.n_edges, np.float32)
             if unit
-            else np.asarray(graph.values),
+            else hostcache.host(graph, "values"),
             graph.n_vertices,
             window=window,
             chunk=chunk,

@@ -11,6 +11,21 @@ from __future__ import annotations
 import time
 
 
+def force_real_execution() -> None:
+    """Flip the axon tunnel out of lazy-future mode.
+
+    Until a process performs its first device->host READ, every timing on
+    the tunneled TPU is a fake ~0.1 ms future. ``block_until_ready`` does
+    NOT count — only an actual D2H read does. Call this once before any
+    measurement. (Benchmarks used to get this implicitly from reading
+    degree arrays off-device; graph/hostcache.py removed those reads, so
+    the trigger must be explicit.)"""
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.zeros(8))
+
+
 class Timer:
     def __init__(self):
         self._t0 = None
