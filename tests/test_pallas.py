@@ -301,3 +301,34 @@ def test_sparse_minmax_fused():
     am = np.asarray(active)
     np.testing.assert_allclose(np.asarray(ymax)[am], np.asarray(want_max)[am])
     np.testing.assert_allclose(np.asarray(ymin)[am], np.asarray(want_min)[am])
+
+
+def test_auto_window_chunk_scaling():
+    """W doubles above scale 19 so (V/W)^2 chunk metadata fits SMEM."""
+    from gunrock_tpu.ops.pallas.layout import auto_window_chunk
+
+    assert auto_window_chunk(1 << 16) == (2048, 256)
+    assert auto_window_chunk(1 << 19) == (2048, 256)  # 512Ki = 256*2048
+    assert auto_window_chunk((1 << 19) + 1) == (4096, 512)
+    assert auto_window_chunk(1 << 20) == (4096, 512)
+    assert auto_window_chunk(1 << 21) == (8192, 1024)
+    assert auto_window_chunk(1 << 30, interpret=True) == (128, 256)
+
+
+def test_hostcache_registered_and_fallback():
+    import numpy as np
+
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.io.generators import uniform_graph
+
+    g = uniform_graph(64, avg_degree=4, seed=3)
+    # registered at build time: no device read needed, identical content
+    cols = hostcache.host(g, "col_indices")
+    assert isinstance(cols, np.ndarray)
+    np.testing.assert_array_equal(cols, np.asarray(g.col_indices))
+    # memoized: same object back
+    assert hostcache.host(g, "col_indices") is cols
+    # fallback path for an unregistered field
+    vals2 = hostcache.host(g, "csc_values")
+    np.testing.assert_array_equal(vals2, np.asarray(g.csc_values))
+    assert hostcache.host(g, "csc_values") is vals2
