@@ -74,17 +74,13 @@ def main():
     batch_mteps, batch_ms = 0.0, 0.0
     try:
         from gunrock_tpu.algorithms.bfs import msbfs_kernel
-        from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
-
         K = 32
         batch_srcs = np.argsort(-deg)[:K].astype(np.int32)
-        from gunrock_tpu.ops.pallas.layout import auto_window_chunk
+        from gunrock_tpu.ops.pallas.layout import build_auto_layout
 
-        W, C = auto_window_chunk(graph.n_vertices)
-        layout = build_bucketed_layout(
+        layout = build_auto_layout(
             hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"),
             np.ones(graph.n_edges, np.float32), graph.n_vertices,
-            window=W, chunk=C,
         )
         import jax.numpy as jnp
 

@@ -142,7 +142,7 @@ def bc_batch_kernel(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     V = graph.n_vertices
@@ -151,14 +151,13 @@ def bc_batch_kernel(
         interpret = use_interpret()
     if pull_layout is None or push_layout is None:
         ones = np.ones(graph.n_edges, np.float32)
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
-        pull_layout = build_bucketed_layout(
+        pull_layout = build_auto_layout(
             hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
-            V, window=W, chunk=C,
+            V, interpret=interpret,
         )
-        push_layout = build_bucketed_layout(
+        push_layout = build_auto_layout(
             hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
-            V, window=W, chunk=C,
+            V, interpret=interpret,
         )
 
     cols = jnp.arange(K)
@@ -211,19 +210,18 @@ def run_all_sources_spmm(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout
 
     V = graph.n_vertices
     interpret = use_interpret()
     ones = np.ones(graph.n_edges, np.float32)
-    W, C = auto_window_chunk(graph.n_vertices, interpret)
-    pl_ = build_bucketed_layout(
+    pl_ = build_auto_layout(
         hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
-        V, window=W, chunk=C,
+        V, interpret=interpret,
     )
-    ps_ = build_bucketed_layout(
+    ps_ = build_auto_layout(
         hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
-        V, window=W, chunk=C,
+        V, interpret=interpret,
     )
     # layouts as jit arguments (closure would bake them into the HLO)
     fn = jax.jit(

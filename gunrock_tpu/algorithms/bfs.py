@@ -206,7 +206,7 @@ def msbfs_kernel(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     V = graph.n_vertices
@@ -215,14 +215,12 @@ def msbfs_kernel(
     if interpret is None:
         interpret = use_interpret()
     if pull_layout is None:
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
-        pull_layout = build_bucketed_layout(
+        pull_layout = build_auto_layout(
             hostcache.host(graph, "col_indices"),
             hostcache.host(graph, "edge_src"),
             np.ones(graph.n_edges, np.float32),  # unit weights: hop counts
             V,
-            window=W,
-            chunk=C,
+            interpret=interpret,
         )
 
     cols = jnp.arange(K)

@@ -141,13 +141,7 @@ def _color_layout(graph: Graph, interpret: bool):
     on the underlying undirected graph."""
     import numpy as np
 
-    from gunrock_tpu.ops.pallas.layout import (
-        auto_window_chunk,
-        build_bucketed_layout,
-        cached_layout,
-    )
-
-    W, C = auto_window_chunk(graph.n_vertices, interpret)
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
 
     def build():
         src = hostcache.host(graph, "edge_src")
@@ -158,12 +152,14 @@ def _color_layout(graph: Graph, interpret: bool):
                 np.concatenate([dst, src]),
             )
         keep = src != dst  # drop self loops (color.hxx:126-130)
-        return build_bucketed_layout(
+        return build_auto_layout(
             src[keep], dst[keep], np.ones(int(keep.sum()), np.float32),
-            graph.n_vertices, window=W, chunk=C,
+            graph.n_vertices, interpret=interpret,
         )
 
-    return cached_layout(graph.col_indices, build, ("color_sym", W, C))
+    return cached_layout(
+        graph.col_indices, build, ("color_sym", "auto", interpret)
+    )
 
 
 def color_kernel_pallas(

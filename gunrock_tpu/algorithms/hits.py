@@ -93,7 +93,7 @@ def hits_kernel_pallas(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout
     from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv
 
     V = graph.n_vertices
@@ -101,14 +101,13 @@ def hits_kernel_pallas(
         interpret = use_interpret()
     if push_layout is None or pull_layout is None:
         ones = np.ones(graph.n_edges, np.float32)
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
-        push_layout = build_bucketed_layout(
+        push_layout = build_auto_layout(
             hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
-            V, window=W, chunk=C,
+            V, interpret=interpret,
         )
-        pull_layout = build_bucketed_layout(
+        pull_layout = build_auto_layout(
             hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
-            V, window=W, chunk=C,
+            V, interpret=interpret,
         )
     auth0 = jnp.ones(V, dtype=jnp.float32)
     hub0 = jnp.ones(V, dtype=jnp.float32)
@@ -149,18 +148,17 @@ def run(
         import numpy as np
 
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
+        from gunrock_tpu.ops.pallas.layout import build_auto_layout
 
         interpret = use_interpret()
         ones = np.ones(graph.n_edges, np.float32)
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
-        ps_ = build_bucketed_layout(
+        ps_ = build_auto_layout(
             hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
-            graph.n_vertices, window=W, chunk=C,
+            graph.n_vertices, interpret=interpret,
         )
-        pl_ = build_bucketed_layout(
+        pl_ = build_auto_layout(
             hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
-            graph.n_vertices, window=W, chunk=C,
+            graph.n_vertices, interpret=interpret,
         )
         # layouts as jit arguments (closure would bake them into the HLO)
         fn = jax.jit(

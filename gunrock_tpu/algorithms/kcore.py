@@ -118,27 +118,21 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
         import numpy as np
 
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import (
-            auto_window_chunk,
-            build_bucketed_layout,
-            cached_layout,
-        )
+        from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
         from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
 
         interpret = use_interpret()
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
         # unit-weight pull layout: count peeled in-neighbors per vertex
         layout = cached_layout(
             graph.col_indices,
-            lambda: build_bucketed_layout(
+            lambda: build_auto_layout(
                 hostcache.host(graph, "col_indices"),
                 hostcache.host(graph, "edge_src"),
                 np.ones(graph.n_edges, np.float32),
                 graph.n_vertices,
-                window=W,
-                chunk=C,
+                interpret=interpret,
             ),
-            ("kcore_unit_pull", W, C),
+            ("kcore_unit_pull", "auto", interpret),
         )
 
         def decrement_fn(peel, alive, lay):

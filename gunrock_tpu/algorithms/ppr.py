@@ -127,7 +127,7 @@ def ppr_batch_kernel_spmm(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     V = graph.n_vertices
@@ -139,10 +139,9 @@ def ppr_batch_kernel_spmm(
     if interpret is None:
         interpret = use_interpret()
     if layout is None:
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
-        layout = build_bucketed_layout(
+        layout = build_auto_layout(
             hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"),
-            np.ones(graph.n_edges, np.float32), V, window=W, chunk=C,
+            np.ones(graph.n_edges, np.float32), V, interpret=interpret,
         )
 
     cols = jnp.arange(K)
@@ -192,14 +191,13 @@ def run_batch(
         import numpy as np
 
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import auto_window_chunk, build_bucketed_layout
+        from gunrock_tpu.ops.pallas.layout import build_auto_layout
 
         interpret = use_interpret()
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
-        layout = build_bucketed_layout(
+        layout = build_auto_layout(
             hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"),
             np.ones(graph.n_edges, np.float32), graph.n_vertices,
-            window=W, chunk=C,
+            interpret=interpret,
         )
         # layout as jit argument (closure would bake it into the HLO)
         fn = jax.jit(

@@ -227,28 +227,22 @@ def pr_batch_kernel_spmm(
     import numpy as np
 
     from gunrock_tpu.ops.pallas import use_interpret
-    from gunrock_tpu.ops.pallas.layout import (
-        auto_window_chunk,
-        build_bucketed_layout,
-        cached_layout,
-    )
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
     from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
 
     if interpret is None:
         interpret = use_interpret()
     if layout is None:
-        W, C = auto_window_chunk(graph.n_vertices, interpret)
         layout = cached_layout(
             graph.col_indices,
-            lambda: build_bucketed_layout(
+            lambda: build_auto_layout(
                 hostcache.host(graph, "col_indices"),  # rows = destinations (pull)
                 hostcache.host(graph, "edge_src"),
                 hostcache.host(graph, "values"),
                 graph.n_vertices,
-                window=W,
-                chunk=C,
+                interpret=interpret,
             ),
-            ("pr_pull_unit", W, C),
+            ("pr_pull_unit", "auto", interpret),
         )
     alphas = jnp.asarray(alphas, jnp.float32)
     K = alphas.shape[0]

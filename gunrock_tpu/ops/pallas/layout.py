@@ -140,6 +140,57 @@ def cached_layout(anchor: jax.Array, build_fn, key):
     return layouts[key]
 
 
+# The sparse semiring kernels scalar-prefetch 2 int32[n_chunks] arrays
+# (packed rb|cb metadata + the active-chunk permutation); SMEM is 1 MB on
+# v5e, so 2*4B*n_chunks + count + spill must stay under it.
+_SMEM_BUDGET_CHUNKS = 125_000
+
+
+def estimate_chunks(rows, cols, n_vertices: int, window: int, chunk: int) -> int:
+    """Chunk count a build would produce, without building (one bincount)."""
+    n_cb = -(-n_vertices // window)
+    bucket = (
+        np.asarray(rows, np.int64) // window * n_cb
+        + np.asarray(cols, np.int64) // window
+    )
+    counts = np.bincount(bucket, minlength=1)
+    counts = counts[counts > 0]
+    return int((-(-counts // chunk)).sum())
+
+
+def build_auto_layout(
+    rows,
+    cols,
+    values,
+    n_vertices: int,
+    interpret: bool = False,
+    pad_value: float = 0.0,
+    max_chunks: int = _SMEM_BUDGET_CHUNKS,
+) -> BucketedEdges:
+    """Bucketed layout at the smallest window whose chunk metadata fits
+    the SMEM scalar-prefetch budget.
+
+    Starts at the measured-fastest W=2048/C=256 and doubles W while the
+    estimated chunk count exceeds ``max_chunks`` — on a degree-sorted
+    graph (graph/reorder.py) scale 20 fits at W=2048 (~123K chunks);
+    under a random vertex permutation the saturated bucket grid forces
+    W=4096. Estimation is one bincount, so the real build happens once."""
+    if interpret:
+        return build_bucketed_layout(
+            rows, cols, values, n_vertices, window=128, chunk=256,
+            pad_value=pad_value,
+        )
+    W, C = 2048, 256
+    while (
+        W < 65536
+        and estimate_chunks(rows, cols, n_vertices, W, C) > max_chunks
+    ):
+        W, C = W * 2, min(C * 2, 512)
+    return build_bucketed_layout(
+        rows, cols, values, n_vertices, window=W, chunk=C, pad_value=pad_value
+    )
+
+
 def auto_window_chunk(n_vertices: int, interpret: bool = False) -> tuple[int, int]:
     """Pick (window, chunk) for the bucketed kernels.
 
@@ -162,12 +213,15 @@ def auto_window_chunk(n_vertices: int, interpret: bool = False) -> tuple[int, in
 
 def layout_for_graph(graph, window: int | None = None, chunk: int | None = None) -> BucketedEdges:
     """CSR edges of a Graph in bucketed layout (cached per (graph, W, C))."""
-    if window is None or chunk is None:
-        aw, ac = auto_window_chunk(graph.n_vertices)
-        window = window or aw
-        chunk = chunk or ac
     from gunrock_tpu.graph import hostcache
 
+    if window is None or chunk is None:
+        return build_auto_layout(
+            hostcache.host(graph, "edge_src"),
+            hostcache.host(graph, "col_indices"),
+            hostcache.host(graph, "values"),
+            graph.n_vertices,
+        )
     return build_bucketed_layout(
         hostcache.host(graph, "edge_src"),
         hostcache.host(graph, "col_indices"),

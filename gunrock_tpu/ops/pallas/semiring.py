@@ -65,12 +65,13 @@ def _make_kernel_v3(semiring: str):
     vector registers. Same ALU count, ~16x less VMEM traffic."""
     ident, _ = _SEMIRINGS[semiring]
 
-    def kernel(rb_ref, cb_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
+    def kernel(pk_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
         i = pl.program_id(0)
         C = row_ref.shape[-1]
         S = x_ref.shape[-2]  # W // 128
         first_visit = jnp.logical_or(
-            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+            i == 0,
+            pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536,
         )
 
         @pl.when(first_visit)
@@ -133,12 +134,13 @@ def _make_kernel_v3(semiring: str):
 def _make_kernel_v2(semiring: str):
     ident, _ = _SEMIRINGS[semiring]
 
-    def kernel(rb_ref, cb_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
+    def kernel(pk_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
         i = pl.program_id(0)
         C = row_ref.shape[-1]
         S = x_ref.shape[-2]  # W // 128 sub-blocks
         first_visit = jnp.logical_or(
-            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+            i == 0,
+            pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536,
         )
 
         @pl.when(first_visit)
@@ -205,13 +207,14 @@ def _make_kernel_v1(semiring: str):
     """Flat [C, W] one-hot kernel (original). Kept for A/B measurement."""
     ident, _ = _SEMIRINGS[semiring]
 
-    def kernel(rb_ref, cb_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
+    def kernel(pk_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
         i = pl.program_id(0)
         C = row_ref.shape[-1]
         S = x_ref.shape[-2]
         W = S * 128
         first_visit = jnp.logical_or(
-            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+            i == 0,
+            pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536,
         )
 
         @pl.when(first_visit)
@@ -285,23 +288,29 @@ def bucketed_semiring_spmv(
     col2 = layout.col_local.reshape(n_chunks, 1, C)
     val2 = layout.values.reshape(n_chunks, 1, C)
 
+    # single PACKED metadata array (rb*65536 + cb): SMEM scalar-prefetch
+    # is capped at 1 MB, and n_chunks can reach ~125K at scale 20 — one
+    # int32[n_chunks] operand instead of two halves the footprint
+    pk = layout.chunk_rb * 65536 + layout.chunk_cb
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, S, 128), lambda i, rb, cb: (cb[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda i, pk: (pk[i] % 65536, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, S, 128), lambda i, rb, cb: (rb[i], 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, S, 128), lambda i, pk: (pk[i] // 65536, 0, 0)
+        ),
     )
     y3 = pl.pallas_call(
         _KERNELS[version](semiring),
         out_shape=jax.ShapeDtypeStruct((layout.n_row_blocks, S, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(layout.chunk_rb, layout.chunk_cb, x3, row2, col2, val2)
+    )(pk, x3, row2, col2, val2)
     # Row windows no chunk maps to are never written by the kernel —
     # replace their (uninitialized) contents with the semiring identity.
     y3 = jnp.where(layout.rb_occupied[:, None, None], y3, ident)
@@ -320,7 +329,7 @@ def _make_sparse_kernel(semiring: str):
     the work skip happens through the scalar-prefetched permutation)."""
     ident, _ = _SEMIRINGS[semiring]
 
-    def kernel(rb_ref, cb_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
+    def kernel(pk_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
                val_ref, y_ref):
         i = pl.program_id(0)
         C = row_ref.shape[-1]
@@ -328,7 +337,8 @@ def _make_sparse_kernel(semiring: str):
         W = S * 128
         active = i < cnt_ref[0]
         first_visit = active & jnp.logical_or(
-            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+            i == 0,
+            pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536,
         )
 
         @pl.when(first_visit)
@@ -405,8 +415,9 @@ def bucketed_semiring_spmv_sparse(
         .at[jnp.where(ch_act, pos, n_chunks)]
         .set(jnp.arange(n_chunks, dtype=jnp.int32), mode="drop")
     )
-    rb_r = layout.chunk_rb[perm]
-    cb_r = layout.chunk_cb[perm]
+    # packed (rb*65536 + cb), permuted active-first: one SMEM prefetch
+    # array instead of two (1 MB SMEM cap; see bucketed_semiring_spmv)
+    pk_r = (layout.chunk_rb * 65536 + layout.chunk_cb)[perm]
 
     x_pad = jnp.full(n_cb * W, 0.0, jnp.float32).at[:V].set(x)
     x3 = x_pad.reshape(n_cb, S, 128)
@@ -415,16 +426,16 @@ def bucketed_semiring_spmv_sparse(
     val2 = layout.values.reshape(n_chunks, 1, C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (cb[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] % 65536, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, S, 128), lambda i, rb, cb, pm, ct: (rb[i], 0, 0)
+            (1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)
         ),
     )
     y3 = pl.pallas_call(
@@ -432,7 +443,7 @@ def bucketed_semiring_spmv_sparse(
         out_shape=jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rb_r, cb_r, perm, count.reshape(1), x3, row2, col2, val2)
+    )(pk_r, perm, count.reshape(1), x3, row2, col2, val2)
     # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
     rb_touched = (
         jnp.zeros(n_rb, bool)
@@ -453,7 +464,7 @@ def _sparse_minmax_kernel():
     once instead of twice. Built for coloring's paired neighbor scans
     (reference color.hxx:116-140: nbr max and min of uncolored randoms)."""
 
-    def kernel(rb_ref, cb_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
+    def kernel(pk_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
                val_ref, ymax_ref, ymin_ref):
         i = pl.program_id(0)
         C = row_ref.shape[-1]
@@ -461,7 +472,8 @@ def _sparse_minmax_kernel():
         W = S * 128
         active = i < cnt_ref[0]
         first_visit = active & jnp.logical_or(
-            i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)]
+            i == 0,
+            pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536,
         )
 
         @pl.when(first_visit)
@@ -525,8 +537,9 @@ def bucketed_semiring_spmv_sparse_minmax(
         .at[jnp.where(ch_act, pos, n_chunks)]
         .set(jnp.arange(n_chunks, dtype=jnp.int32), mode="drop")
     )
-    rb_r = layout.chunk_rb[perm]
-    cb_r = layout.chunk_cb[perm]
+    # packed (rb*65536 + cb), permuted active-first: one SMEM prefetch
+    # array instead of two (1 MB SMEM cap; see bucketed_semiring_spmv)
+    pk_r = (layout.chunk_rb * 65536 + layout.chunk_cb)[perm]
 
     x_pad = jnp.full(n_cb * W, 0.0, jnp.float32).at[:V].set(x)
     x3 = x_pad.reshape(n_cb, S, 128)
@@ -535,17 +548,17 @@ def bucketed_semiring_spmv_sparse_minmax(
     val2 = layout.values.reshape(n_chunks, 1, C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (cb[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] % 65536, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (rb[i], 0, 0)),
-            pl.BlockSpec((1, S, 128), lambda i, rb, cb, pm, ct: (rb[i], 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)),
         ),
     )
     ymax3, ymin3 = pl.pallas_call(
@@ -556,7 +569,7 @@ def bucketed_semiring_spmv_sparse_minmax(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rb_r, cb_r, perm, count.reshape(1), x3, row2, col2, val2)
+    )(pk_r, perm, count.reshape(1), x3, row2, col2, val2)
     rb_touched = (
         jnp.zeros(n_rb, bool)
         .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
@@ -578,33 +591,34 @@ def pull_layout(
     pull advance — y[dst] = reduce over in-edges of f(x[src], w).
     ``unit=True`` replaces edge weights with 1.0 (unweighted semirings,
     e.g. BFS reachability). Cached per graph (weakref-validated, dies
-    with the graph). Window/chunk default to the SMEM-safe auto
-    selection (grows with V, see layout.auto_window_chunk)."""
+    with the graph). Window/chunk default to the SMEM-safe chunk-count
+    escalation (layout.build_auto_layout)."""
+    from gunrock_tpu.graph import hostcache
     from gunrock_tpu.ops.pallas.layout import (
-        auto_window_chunk,
+        build_auto_layout,
         build_bucketed_layout,
         cached_layout,
     )
 
-    if window is None or chunk is None:
-        aw, ac = auto_window_chunk(graph.n_vertices)
-        window = window or aw
-        chunk = chunk or ac
-
-    from gunrock_tpu.graph import hostcache
+    def build():
+        rows = hostcache.host(graph, "col_indices")  # rows = destinations
+        cols = hostcache.host(graph, "edge_src")  # cols = sources
+        vals = (
+            np.ones(graph.n_edges, np.float32)
+            if unit
+            else hostcache.host(graph, "values")
+        )
+        if window is None or chunk is None:
+            return build_auto_layout(
+                rows, cols, vals, graph.n_vertices, pad_value=pad_value
+            )
+        return build_bucketed_layout(
+            rows, cols, vals, graph.n_vertices,
+            window=window, chunk=chunk, pad_value=pad_value,
+        )
 
     return cached_layout(
         graph.col_indices,
-        lambda: build_bucketed_layout(
-            hostcache.host(graph, "col_indices"),  # rows = destinations
-            hostcache.host(graph, "edge_src"),  # cols = sources
-            np.ones(graph.n_edges, np.float32)
-            if unit
-            else hostcache.host(graph, "values"),
-            graph.n_vertices,
-            window=window,
-            chunk=chunk,
-            pad_value=pad_value,
-        ),
+        build,
         ("pull", window, chunk, pad_value, unit),
     )

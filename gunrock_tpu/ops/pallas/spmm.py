@@ -30,12 +30,14 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _kernel(rb_ref, cb_ref, xh_ref, xl_ref, row_ref, col_ref, val_ref, y_ref):
+def _kernel(pk_ref, xh_ref, xl_ref, row_ref, col_ref, val_ref, y_ref):
     i = pl.program_id(0)
     C = row_ref.shape[-1]
     W = xh_ref.shape[-2]
 
-    first_visit = jnp.logical_or(i == 0, rb_ref[i] != rb_ref[jnp.maximum(i - 1, 0)])
+    first_visit = jnp.logical_or(
+        i == 0, pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536
+    )
 
     @pl.when(first_visit)
     def _():
@@ -75,24 +77,27 @@ def bucketed_spmm(layout: BucketedEdges, x: jax.Array, interpret: bool = False):
     col2 = layout.col_local.reshape(n_chunks, 1, C)
     val2 = layout.values.reshape(n_chunks, 1, C)
 
+    # packed (rb*65536 + cb): one SMEM prefetch array instead of two
+    # (1 MB SMEM cap; see semiring.bucketed_semiring_spmv)
+    pk = layout.chunk_rb * 65536 + layout.chunk_cb
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, W, K), lambda i, rb, cb: (cb[i], 0, 0)),
-            pl.BlockSpec((1, W, K), lambda i, rb, cb: (cb[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, rb, cb: (i, 0, 0)),
+            pl.BlockSpec((1, W, K), lambda i, pk: (pk[i] % 65536, 0, 0)),
+            pl.BlockSpec((1, W, K), lambda i, pk: (pk[i] % 65536, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, W, K), lambda i, rb, cb: (rb[i], 0, 0)),
+        out_specs=pl.BlockSpec((1, W, K), lambda i, pk: (pk[i] // 65536, 0, 0)),
     )
     y3 = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((layout.n_row_blocks, W, K), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(layout.chunk_rb, layout.chunk_cb, xh3, xl3, row2, col2, val2)
+    )(pk, xh3, xl3, row2, col2, val2)
     # Row windows no chunk maps to are never written — zero them out.
     y3 = jnp.where(layout.rb_occupied[:, None, None], y3, 0.0)
     return y3.reshape(-1, K)[:V]

@@ -102,3 +102,31 @@ def test_asymmetric_csc_against_scipy(rng):
     np.testing.assert_array_equal(np.asarray(g.csc_offsets), csc.indptr)
     np.testing.assert_array_equal(np.asarray(g.csc_rows), csc.indices)
     np.testing.assert_allclose(np.asarray(g.csc_values), csc.data, rtol=1e-6)
+
+
+def test_degree_sort_reorder_roundtrip():
+    """graph/reorder.py: relabeled graph preserves the edge multiset and
+    BFS results map back exactly through rank[]."""
+    import numpy as np
+
+    from gunrock_tpu.algorithms.bfs import bfs_kernel_do
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.graph.reorder import degree_sort
+    from gunrock_tpu.io.generators import rmat_graph
+
+    g = rmat_graph(scale=8, edge_factor=8, seed=3)
+    rg, ro = degree_sort(g)
+    assert rg.n_edges == g.n_edges
+    s0 = set(zip(hostcache.host(g, "edge_src").tolist(),
+                 hostcache.host(g, "col_indices").tolist()))
+    s1 = set(zip(ro.order[hostcache.host(rg, "edge_src")].tolist(),
+                 ro.order[hostcache.host(rg, "col_indices")].tolist()))
+    assert s0 == s1
+    # hubs first: new-id degree sequence is non-increasing
+    deg2 = np.diff(hostcache.host(rg, "row_offsets")) + np.bincount(
+        hostcache.host(rg, "col_indices"), minlength=rg.n_vertices)
+    assert (np.diff(deg2) <= 0).all()
+    src = 5
+    d0, _ = bfs_kernel_do(g, src)
+    d1, _ = bfs_kernel_do(rg, int(ro.rank[src]))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1)[ro.rank])
