@@ -28,6 +28,15 @@ def main():
     scale, ef = 18, 16
     graph = rmat_graph(scale=scale, edge_factor=ef, seed=1)
 
+    # Hub-first degree-sort relabeling (graph/reorder.py): concentrates
+    # edges into dense bucket windows for the Pallas pull kernels.
+    # A/B at s18 (benchmarks/ab_degsort.py): 66.7 ms / 58.5 MTEPS vs
+    # 85.5 ms / 45.6 MTEPS random-order — 1.28x. Pure preprocessing
+    # (isomorphic graph; results map back by one gather), same contract.
+    from gunrock_tpu.graph.reorder import degree_sort
+
+    graph, _ = degree_sort(graph)
+
     # Degrees via host numpy: running any *other* jitted executable between
     # the warmup and the timed calls poisons per-call latency on the axon
     # tunnel (per-call arg rebinding, ~0.6s/call).
@@ -119,6 +128,7 @@ def main():
         "n_vertices": graph.n_vertices,
         "n_edges": graph.n_edges,
         "num_runs": len(sources),
+        "reorder": "degree",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -24,16 +24,17 @@ def main(argv=None):
         sources = []
     else:
         sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
+        run_sources = runner.map_sources(params, sources)
         result = None
-        for src in sources:
+        for src in run_sources:
             result = bc.run(graph, src, options=params.options)
             times.append(result.elapsed_ms)
 
-    runner.print_head(result.bc_values, name="bc")
+    runner.print_head(runner.to_original(params, result.bc_values), name="bc")
     runner.finish(params, "bc", graph, times, srcs=sources)
 
     if params.validate and not params.extra.all_sources:
-        ref = cpu_reference.bc(graph, sources[-1])
+        ref = cpu_reference.bc(graph, run_sources[-1])
         if runner.validate("bc", result.bc_values, ref, atol=1e-3):
             sys.exit(1)
 

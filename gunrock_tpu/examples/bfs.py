@@ -15,6 +15,7 @@ def main(argv=None):
     params = parse("bfs", argv)
     graph, _ = runner.load(params)
     sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
+    run_sources = runner.map_sources(params, sources)
 
     mesh, build_sharded = runner.maybe_mesh(params)
     times, depths = [], []
@@ -26,7 +27,7 @@ def main(argv=None):
 
         sg = build_sharded(graph)
         distances = None
-        for src in sources:
+        for src in run_sources:
             t0 = _time.perf_counter()
             distances, depth = sharded.bfs(sg, src, mesh)
             times.append((_time.perf_counter() - t0) * 1e3)
@@ -40,12 +41,12 @@ def main(argv=None):
             elapsed_ms=times[-1],
         )
     else:
-        for src in sources:
+        for src in run_sources:
             result = bfs.run(graph, src, options=params.options)
             times.append(result.elapsed_ms)
             depths.append(result.search_depth)
 
-    runner.print_head(result.distances, name="distances")
+    runner.print_head(runner.to_original(params, result.distances), name="distances")
     dist_np = np.asarray(result.distances)
     deg = np.diff(np.asarray(graph.row_offsets))
     reached = dist_np != np.iinfo(np.int32).max
@@ -55,7 +56,7 @@ def main(argv=None):
     )
 
     if params.validate:
-        ref = cpu_reference.bfs(graph, sources[-1])
+        ref = cpu_reference.bfs(graph, run_sources[-1])
         if runner.validate("bfs", result.distances, ref):
             sys.exit(1)
 

@@ -22,7 +22,7 @@ def main(argv=None):
         times.append(result.elapsed_ms)
 
     colors = np.asarray(result.colors)
-    runner.print_head(colors, name="colors")
+    runner.print_head(runner.to_original(params, colors), name="colors")
     print(f"colors used: {int(colors.max()) + 1}")
     runner.finish(params, "color", graph, times)
 

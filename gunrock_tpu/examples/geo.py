@@ -49,6 +49,10 @@ def main(argv=None):
         lat[known] = rng.uniform(-60, 60, known.size).astype(np.float32)
         lon[known] = rng.uniform(-180, 180, known.size).astype(np.float32)
 
+    # labels are keyed by input vertex ids; permute into execution space
+    lat = runner.to_relabeled(params, lat)
+    lon = runner.to_relabeled(params, lon)
+
     times = []
     result = None
     for _ in range(params.num_runs):
@@ -60,7 +64,7 @@ def main(argv=None):
 
     labeled = int((~np.isnan(np.asarray(result.latitude))).sum())
     print(f"located {labeled}/{V} vertices")
-    runner.print_head(result.latitude, name="latitude")
+    runner.print_head(runner.to_original(params, result.latitude), name="latitude")
     runner.finish(params, "geo", graph, times)
 
 

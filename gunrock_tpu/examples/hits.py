@@ -23,8 +23,8 @@ def main(argv=None):
                           options=params.options)
         times.append(result.elapsed_ms)
 
-    runner.print_head(result.auth, name="auth")
-    runner.print_head(result.hub, name="hub")
+    runner.print_head(runner.to_original(params, result.auth), name="auth")
+    runner.print_head(runner.to_original(params, result.hub), name="hub")
     runner.finish(params, "hits", graph, times, depths=[result.iterations])
 
     if params.validate:

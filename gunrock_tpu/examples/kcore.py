@@ -19,7 +19,7 @@ def main(argv=None):
         result = kcore.run(graph, options=params.options)
         times.append(result.elapsed_ms)
 
-    runner.print_head(result.k_cores, name="k_cores")
+    runner.print_head(runner.to_original(params, result.k_cores), name="k_cores")
     print(f"degeneracy = {result.degeneracy}")
     runner.finish(params, "kcore", graph, times)
 

@@ -19,21 +19,23 @@ def main(argv=None):
     )
     graph, _ = runner.load(params)
     seeds = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
+    run_seeds = runner.map_sources(params, seeds)
 
     times, depths = [], []
     result = None
-    if len(seeds) > 1:
+    if len(run_seeds) > 1:
         p, elapsed = ppr.run_batch(
-            graph, seeds, alpha=params.extra.alpha, epsilon=params.extra.epsilon
+            graph, run_seeds, alpha=params.extra.alpha, epsilon=params.extra.epsilon
         )
         times.append(elapsed)
-        runner.print_head(np.asarray(p)[0], name=f"p[seed={seeds[0]}]")
+        runner.print_head(runner.to_original(params, np.asarray(p)[0]),
+                          name=f"p[seed={seeds[0]}]")
     else:
-        result = ppr.run(graph, seeds[0], alpha=params.extra.alpha,
+        result = ppr.run(graph, run_seeds[0], alpha=params.extra.alpha,
                          epsilon=params.extra.epsilon, options=params.options)
         times.append(result.elapsed_ms)
         depths.append(result.iterations)
-        runner.print_head(result.p, name="p")
+        runner.print_head(runner.to_original(params, result.p), name="p")
 
     runner.finish(params, "ppr", graph, times, srcs=seeds, depths=depths)
 

@@ -44,7 +44,7 @@ def main(argv=None):
             times.append(result.elapsed_ms)
             depths.append(result.iterations)
 
-    runner.print_head(result.p, name="rank")
+    runner.print_head(runner.to_original(params, result.p), name="rank")
     runner.finish(params, "pr", graph, times, depths=depths,
                   edges_visited=graph.n_edges * (depths[-1] if depths else 1),
                   nodes_visited=graph.n_vertices)

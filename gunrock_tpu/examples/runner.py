@@ -30,7 +30,39 @@ def load(params: Parameters):
         f"{graph.n_vertices} vertices, {graph.n_edges} edges "
         f"({'symmetric' if props.symmetric else 'directed'})"
     )
+    if getattr(params.extra, "reorder", "none") == "degree":
+        from gunrock_tpu.graph.reorder import degree_sort
+
+        graph, params.reordering = degree_sort(graph)
+        print("Relabeled vertices hub-first (--reorder degree); "
+              "results map back to input ids")
     return graph, props
+
+
+def map_sources(params: Parameters, sources: list[int]) -> list[int]:
+    """Input-space source ids -> execution (relabeled) ids. Identity
+    without --reorder."""
+    ro = params.reordering
+    if ro is None:
+        return sources
+    return [int(ro.rank[s]) for s in sources]
+
+
+def to_original(params: Parameters, arr):
+    """Per-vertex result from execution space back to the input vertex-id
+    space (graph/reorder.py usage contract). Identity without --reorder."""
+    ro = params.reordering
+    if ro is None:
+        return arr
+    return np.asarray(arr)[ro.rank]
+
+
+def to_relabeled(params: Parameters, arr):
+    """Per-vertex *input* (labels, x vectors) into execution space."""
+    ro = params.reordering
+    if ro is None:
+        return arr
+    return np.asarray(arr)[ro.order]
 
 
 def finish(

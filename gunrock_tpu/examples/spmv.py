@@ -15,7 +15,9 @@ def main(argv=None):
     params = parse("spmv", argv)
     graph, _ = runner.load(params)
     rng = np.random.default_rng(0)
-    x = rng.random(graph.n_vertices).astype(np.float32)
+    # x is generated in input-id space, permuted into execution space
+    # (identity without --reorder)
+    x = runner.to_relabeled(params, rng.random(graph.n_vertices).astype(np.float32))
 
     mesh, build_sharded = runner.maybe_mesh(params)
     times = []
@@ -36,7 +38,7 @@ def main(argv=None):
             result = spmv.run(graph, x, options=params.options)
             times.append(result.elapsed_ms)
 
-    runner.print_head(result.y, name="y")
+    runner.print_head(runner.to_original(params, result.y), name="y")
     runner.finish(params, "spmv", graph, times,
                   edges_visited=graph.n_edges, nodes_visited=graph.n_vertices)
 

@@ -15,6 +15,7 @@ def main(argv=None):
     params = parse("sssp", argv)
     graph, _ = runner.load(params)
     sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
+    run_sources = runner.map_sources(params, sources)
 
     mesh, build_sharded = runner.maybe_mesh(params)
     times, depths = [], []
@@ -25,7 +26,7 @@ def main(argv=None):
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        for src in sources:
+        for src in run_sources:
             t0 = _time.perf_counter()
             distances, depth = sharded.sssp(sg, src, mesh)
             times.append((_time.perf_counter() - t0) * 1e3)
@@ -35,12 +36,12 @@ def main(argv=None):
             search_depth=depths[-1], elapsed_ms=times[-1],
         )
     else:
-        for src in sources:
+        for src in run_sources:
             result = sssp.run(graph, src, options=params.options)
             times.append(result.elapsed_ms)
             depths.append(result.search_depth)
 
-    runner.print_head(result.distances, name="distances")
+    runner.print_head(runner.to_original(params, result.distances), name="distances")
     dist_np = np.asarray(result.distances)
     deg = np.diff(np.asarray(graph.row_offsets))
     reached = np.isfinite(dist_np)
@@ -50,7 +51,7 @@ def main(argv=None):
     )
 
     if params.validate:
-        ref = cpu_reference.sssp(graph, sources[-1])
+        ref = cpu_reference.sssp(graph, run_sources[-1])
         if runner.validate("sssp", result.distances, ref):
             sys.exit(1)
 

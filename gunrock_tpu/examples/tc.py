@@ -19,7 +19,8 @@ def main(argv=None):
         result = tc.run(graph, options=params.options)
         times.append(result.elapsed_ms)
 
-    runner.print_head(result.vertex_triangles_count, name="triangles")
+    runner.print_head(runner.to_original(params, result.vertex_triangles_count),
+                      name="triangles")
     print(f"total (3x triangles) = {result.total_triangles_count}; "
           f"distinct triangles = {result.n_triangles}")
     runner.finish(params, "tc", graph, times)

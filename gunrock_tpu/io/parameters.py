@@ -44,6 +44,10 @@ class Parameters:
     options: Options
     binary: bool
     extra: argparse.Namespace
+    # set by examples.runner.load when --reorder is active
+    # (graph/reorder.py Reordering); drivers map sources/results with
+    # runner.map_sources / runner.to_original
+    reordering: object = None
 
 
 def build_parser(algorithm: str, extra_args=None) -> argparse.ArgumentParser:
@@ -74,6 +78,12 @@ def build_parser(algorithm: str, extra_args=None) -> argparse.ArgumentParser:
     p.add_argument("--best_effort_uniquify", action="store_true")
     p.add_argument("--uniquify_percent", type=float, default=100.0)
     p.add_argument("-n", "--num_runs", type=int, default=1)
+    p.add_argument("--reorder", default="none", choices=("none", "degree"),
+                   help="vertex relabeling before execution (degree = "
+                   "hub-first degree sort, graph/reorder.py — concentrates "
+                   "edges into dense bucket windows for the TPU Pallas "
+                   "kernels; --src ids and printed results stay in the "
+                   "input id space). No reference counterpart.")
     p.add_argument("--devices", type=int, default=0,
                    help="run distributed over an N-device mesh "
                    "(vertex-sharded shard_map path); 0/1 = single chip. "

@@ -152,6 +152,50 @@ def test_example_driver_edge_cases(algo, extra, tmp_path, capsys):
     assert "FAILED" not in out
 
 
+@pytest.mark.parametrize(
+    "algo,extra",
+    [
+        ("bfs", ["--src", "7", "--validate"]),
+        ("sssp", ["--src", "7", "--validate"]),
+        ("pr", ["--validate"]),
+        ("bc", ["--src", "7", "--validate"]),
+        ("color", ["--validate"]),
+        ("kcore", ["--validate"]),
+        ("tc", ["--validate"]),
+        ("spmv", ["--validate"]),
+        ("hits", ["--validate", "--max_iterations", "20"]),
+        ("mst", ["--validate"]),
+        ("ppr", ["--src", "7"]),
+        ("geo", ["--spatial_iterations", "25"]),
+    ],
+)
+def test_example_driver_reorder(algo, extra, capsys):
+    """--reorder degree relabels hub-first (graph/reorder.py), maps --src
+    into execution space, and unmaps per-vertex results; validation runs
+    in execution space so any mapping bug surfaces as a mismatch."""
+    _run(algo, ["--market", CHESAPEAKE, "--reorder", "degree"] + extra)
+    out = capsys.readouterr().out
+    assert "FAILED" not in out
+    assert "Relabeled vertices hub-first" in out
+
+
+def test_reorder_source_and_result_mapping(capsys):
+    """BFS from input-space source 0 must produce identical input-space
+    distances with and without --reorder degree."""
+    import re
+
+    _run("bfs", ["--market", CHESAPEAKE, "--src", "0"])
+    plain = capsys.readouterr().out
+    _run("bfs", ["--market", CHESAPEAKE, "--src", "0", "--reorder", "degree"])
+    reord = capsys.readouterr().out
+
+    def head(out):
+        m = re.search(r"distances\[:10\] = \[([^\]]*)\]", out)
+        return m.group(1).split()
+
+    assert head(plain) == head(reord)
+
+
 @pytest.mark.parametrize("algo,extra", [
     ("bfs", ["--src", "0", "--validate"]),
     ("sssp", ["--src", "0", "--validate"]),
