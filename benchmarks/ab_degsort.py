@@ -25,6 +25,8 @@ def main():
     p.add_argument("--num_runs", type=int, default=8)
     p.add_argument("--algo", default="bfs", choices=("bfs", "sssp", "pr"))
     p.add_argument("--degsort", action="store_true")
+    p.add_argument("--budget_div", type=int, default=0,
+                   help="edge budget divisor (sssp: E//div; 0 = kernel default)")
     ns = p.parse_args()
 
     from gunrock_tpu.graph import hostcache
@@ -49,8 +51,11 @@ def main():
     elif ns.algo == "sssp":
         from gunrock_tpu.algorithms.sssp import sssp_kernel_do
 
+        budget = graph.n_edges // ns.budget_div if ns.budget_div else None
         layout = pull_layout(graph, unit=False)
-        fn = jax.jit(lambda g, s, lay: sssp_kernel_do(g, s, layout=lay))
+        fn = jax.jit(
+            lambda g, s, lay: sssp_kernel_do(g, s, layout=lay, edge_budget=budget)
+        )
     else:  # pr — source ignored; num_runs timed iterations of the sweep
         from gunrock_tpu.algorithms.pr import pr_kernel_pallas
 

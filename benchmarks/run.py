@@ -36,11 +36,18 @@ def build_graph_from_args(ns):
         from gunrock_tpu.io import load_graph_file
 
         g, _ = load_graph_file(ns.market)
-        return g, ns.market
-    from gunrock_tpu.io.generators import rmat_graph
+        name = ns.market
+    else:
+        from gunrock_tpu.io.generators import rmat_graph
 
-    g = rmat_graph(scale=ns.rmat, edge_factor=ns.edge_factor, seed=ns.seed)
-    return g, f"rmat{ns.rmat}_ef{ns.edge_factor}"
+        g = rmat_graph(scale=ns.rmat, edge_factor=ns.edge_factor, seed=ns.seed)
+        name = f"rmat{ns.rmat}_ef{ns.edge_factor}"
+    if ns.reorder == "degree":
+        from gunrock_tpu.graph.reorder import degree_sort
+
+        g, _ = degree_sort(g)
+        name += "_degsort"
+    return g, name
 
 
 def bench_one(algo: str, graph, ns):
@@ -154,6 +161,9 @@ def main(argv=None):
     p.add_argument("-n", "--num_runs", type=int, default=3)
     p.add_argument("--load_balance", default="default",
                    help="xla_segment | pallas_merge_path | bucketing | default")
+    p.add_argument("--reorder", default="none", choices=("none", "degree"),
+                   help="hub-first degree-sort relabeling before benching "
+                   "(graph/reorder.py)")
     p.add_argument("--isolate", dest="isolate", action="store_true", default=True,
                    help="one subprocess per algorithm (default)")
     p.add_argument("--no-isolate", dest="isolate", action="store_false")
@@ -171,7 +181,7 @@ def main(argv=None):
 
         base = [sys.executable, os.path.abspath(__file__), "--no-isolate",
                 "-n", str(ns.num_runs), "--load_balance", ns.load_balance,
-                "--seed", str(ns.seed)]
+                "--seed", str(ns.seed), "--reorder", ns.reorder]
         if ns.market:
             base += ["--market", ns.market]
         else:

@@ -115,6 +115,84 @@ def color_step(graph: Graph, colors, randoms, iteration):
     return colors
 
 
+def color_kernel_rank(
+    graph: Graph,
+    seed: int = 0,
+    max_iterations: int | None = None,
+    ordering: str = "random",
+    rank_cap: int = 32,
+):
+    """Rank-based multi-color Jones-Plassmann (no reference counterpart —
+    a TPU round-count optimization; the reference's Luby max+min loop
+    assigns exactly 2 colors per round, color.hxx:102-149).
+
+    Per round every uncolored vertex computes ``rank`` = number of
+    *higher-priority uncolored* neighbors (clamped to ``rank_cap - 1``)
+    and colors itself ``base + remap[rank]`` when its rank strictly
+    exceeds the ranks of all its higher-priority uncolored neighbors, or
+    ties are broken by priority. Properness: two adjacent vertices can
+    only color in the same round with different ranks (strict-dominance
+    chain) or by winning the priority tie-break against each other —
+    both give distinct colors; ``base`` advances past the colors used
+    each round, separating rounds.
+
+    Measured (numpy sim, rmat14 ef16): 39 rounds / 416 colors at cap 32
+    vs 154 rounds / 307 colors for Luby max+min — ~4x fewer rounds for
+    ~1.35x more colors. Returns (colors, iterations)."""
+    V = graph.n_vertices
+    max_it = V if max_iterations is None else max_iterations
+    prio = make_priorities(graph, seed, ordering)
+    colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
+    R = rank_cap
+
+    src, dst = graph.edge_src, graph.col_indices
+    if not graph.properties.symmetric:
+        # underlying undirected graph (same deviation as color_step)
+        src = jnp.concatenate([src, graph.csc_dst])
+        dst = jnp.concatenate([dst, graph.csc_rows])
+    not_loop = src != dst
+
+    def seg_sum(vals):
+        return jax.ops.segment_sum(vals, src, num_segments=V)
+
+    def seg_max(vals, init):
+        return jnp.maximum(
+            jax.ops.segment_max(vals, src, num_segments=V), init
+        )
+
+    def cond(c):
+        it, base, colors = c
+        return jnp.any(colors == INVALID_COLOR) & (it < max_it)
+
+    def body(c):
+        it, base, colors = c
+        unc = colors == INVALID_COLOR
+        higher = unc[dst] & (prio[dst] > prio[src]) & not_loop
+        rank = jnp.minimum(
+            seg_sum(jnp.where(higher & unc[src], 1, 0)), R - 1
+        ).astype(jnp.int32)
+        mr = seg_max(jnp.where(higher, rank[dst], -1), -1)
+        mr = jnp.where(unc, mr, V + 10)
+        col_now = unc & (rank > mr)
+        eq = higher & (rank[dst] == rank[src])
+        mp = seg_max(jnp.where(eq, prio[dst], -1), -1)
+        col_now = col_now | (unc & (rank == mr) & (prio > mp))
+        # compact: only burn the distinct ranks actually used this round
+        used = (
+            jnp.zeros(R, jnp.int32)
+            .at[jnp.where(col_now, rank, R)]
+            .max(jnp.ones_like(rank), mode="drop")
+        )
+        remap = jnp.cumsum(used) - used
+        colors = jnp.where(col_now, base + remap[rank], colors)
+        return it + 1, base + jnp.sum(used), colors
+
+    it, _, colors = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), colors0)
+    )
+    return colors, it
+
+
 def color_kernel(graph: Graph, seed: int = 0, max_iterations: int | None = None,
                  ordering: str = "random"):
     """Pure coloring. Returns (colors, iterations)."""
@@ -160,6 +238,115 @@ def _color_layout(graph: Graph, interpret: bool):
     return cached_layout(
         graph.col_indices, build, ("color_sym", "auto", interpret)
     )
+
+
+def _rank_color_layout(graph: Graph, interpret: bool):
+    """Self-loop-free symmetrized push layout whose edge VALUES encode the
+    static higher-priority predicate: w[(v,u)] = 1 iff neighbor u
+    outranks v (u's id is smaller — rank-JP priorities are the inverse
+    vertex-id order, so a degree-sorted graph gets LDF priorities for
+    free). Baking the predicate into the layout is what lets rank-JP run
+    on the unmodified sparse semiring kernels."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
+
+    def build():
+        src = hostcache.host(graph, "edge_src")
+        dst = hostcache.host(graph, "col_indices")
+        if not graph.properties.symmetric:
+            src, dst = (
+                np.concatenate([src, dst]),
+                np.concatenate([dst, src]),
+            )
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        higher = (dst < src).astype(np.float32)
+        return build_auto_layout(
+            src, dst, higher, graph.n_vertices, interpret=interpret,
+        )
+
+    return cached_layout(
+        graph.col_indices, build, ("color_rank", "auto", interpret)
+    )
+
+
+def color_kernel_rank_pallas(
+    graph: Graph,
+    max_iterations: int | None = None,
+    layout=None,
+    interpret: bool | None = None,
+    rank_cap: int = 32,
+):
+    """Rank-based multi-color JP on the frontier-sparse Pallas kernels
+    (see color_kernel_rank for the algorithm and properness argument).
+
+    TPU form: priorities are the inverse vertex-id order, which makes the
+    per-edge "neighbor outranks me" predicate STATIC — baked into the
+    layout values — so each round is exactly two sparse semiring passes:
+
+      rank[v] = plus_times(unc, w=higher)        # count of higher unc nbrs
+      mq[v]   = max_times(pack(rankc, inv_id), w=higher)
+
+    where pack = rankc * MULT + inv_id + 1 is a lexicographic (rank,
+    priority) key that unifies strict rank dominance and the priority
+    tie-break in ONE max reduction: v colors iff pack[v] > mq[v]. pack
+    stays exact in f32 (≤ 2^24): ids are pre-shifted so inv_id fits 18
+    bits; beyond scale 18 adjacent ids may tie, which only delays those
+    vertices (the minimum-id uncolored vertex always has mq = 0 and
+    colors, so every round makes progress). Both passes are doubly
+    frontier-sparse: source AND destination windows with no uncolored
+    vertex are skipped, so late rounds cost ~nothing.
+
+    Deterministic (no seed): the priority IS the vertex order. Returns
+    (colors, iterations)."""
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
+
+    V = graph.n_vertices
+    max_it = V if max_iterations is None else max_iterations
+    if interpret is None:
+        interpret = use_interpret()
+    if layout is None:
+        layout = _rank_color_layout(graph, interpret)
+    R = rank_cap
+    v_bits = max(1, (V - 1).bit_length())
+    shift = max(0, v_bits - 18)
+    inv1 = ((jnp.int32(V - 1) - jnp.arange(V, dtype=jnp.int32)) >> shift) + 1
+    MULT = jnp.int32(((V - 1) >> shift) + 2)
+    colors0 = jnp.full(V, INVALID_COLOR, dtype=jnp.int32)
+
+    def cond(c):
+        it, base, colors = c
+        return jnp.any(colors == INVALID_COLOR) & (it < max_it)
+
+    def body(c):
+        it, base, colors = c
+        unc = colors == INVALID_COLOR
+        rank = bucketed_semiring_spmv_sparse(
+            layout, unc.astype(jnp.float32), unc, "plus_times",
+            interpret=interpret, out_mask=unc,
+        )
+        rankc = jnp.minimum(rank, R - 1).astype(jnp.int32)
+        pack = (rankc * MULT + inv1).astype(jnp.float32)
+        mq = bucketed_semiring_spmv_sparse(
+            layout, jnp.where(unc, pack, 0.0), unc, "max_times",
+            interpret=interpret, out_mask=unc,
+        )
+        col_now = unc & (pack > mq)
+        used = (
+            jnp.zeros(R, jnp.int32)
+            .at[jnp.where(col_now, rankc, R)]
+            .max(jnp.ones_like(rankc), mode="drop")
+        )
+        remap = jnp.cumsum(used) - used
+        colors = jnp.where(col_now, base + remap[rankc], colors)
+        return it + 1, base + jnp.sum(used), colors
+
+    it, _, colors = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), colors0)
+    )
+    return colors, it
 
 
 def color_kernel_pallas(
@@ -234,13 +421,34 @@ def run(
     options: Options | None = None,
     warmup: bool = True,
     ordering: str = "random",
+    strategy: str = "luby",
 ) -> Result:
-    """Role of reference ``color::run`` (color.hxx:167-186)."""
+    """Role of reference ``color::run`` (color.hxx:167-186).
+
+    ``strategy``: "luby" (reference parity — 2 colors/round via max+min
+    independent sets) or "rank" (multi-color rank JP: ~4x fewer rounds
+    for ~1.35x more colors; see color_kernel_rank)."""
     from gunrock_tpu.ops.configs import LoadBalance, default_options
 
     if options is None:
         options = default_options()
-    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+    if strategy == "rank":
+        if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+            from gunrock_tpu.ops.pallas import use_interpret
+
+            interpret = use_interpret()
+            layout = _rank_color_layout(graph, interpret)
+            fn = jax.jit(
+                lambda g, lay: color_kernel_rank_pallas(
+                    g, layout=lay, interpret=interpret
+                )
+            )
+        else:
+            layout = None
+            fn = jax.jit(
+                lambda g, lay: color_kernel_rank(g, seed=seed, ordering=ordering)
+            )
+    elif options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
         from gunrock_tpu.ops.pallas import use_interpret
 
         interpret = use_interpret()

@@ -53,18 +53,55 @@ class Result:
 
 
 def mst_kernel(graph: Graph, max_rounds: int | None = None):
-    """Pure Borůvka. Returns (mst_weight, mst_edge_mask bool[E],
-    n_components)."""
-    V, E = graph.n_vertices, graph.n_edges
+    """Pure Borůvka over SYMMETRIC (two-copy) edge storage — the
+    ``src < dst`` cut test inside selects one copy of each undirected
+    edge. Directed graphs must go through :func:`run`, which
+    canonicalizes the edge set first (feeding a directed CSR here
+    silently drops every (u, v) edge with u > v and disconnects the
+    graph). Returns (mst_weight, mst_edge_mask bool[E], n_components)."""
+    return _mst_kernel_edges(
+        graph.edge_src, graph.col_indices, graph.values,
+        graph.n_vertices, max_rounds,
+    )
+
+
+def _canonical_edges(graph: Graph):
+    """Directed CSR -> canonical undirected edge list (host-side): each
+    unordered pair once as (lo, hi) with the MINIMUM weight over its
+    directed copies (the weight an MST would pick; scipy's
+    minimum_spanning_tree applies the same semantics to an asymmetric
+    matrix), self loops dropped."""
+    from gunrock_tpu.graph import hostcache
+
+    s = hostcache.host(graph, "edge_src").astype(np.int64)
+    d = hostcache.host(graph, "col_indices").astype(np.int64)
+    w = hostcache.host(graph, "values")
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    keep = lo != hi
+    lo, hi, w = lo[keep], hi[keep], w[keep]
+    key = lo * graph.n_vertices + hi
+    order = np.lexsort((w, key))
+    key_s, w_s = key[order], w[order]
+    first = np.ones(len(key_s), bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    key_u, w_u = key_s[first], w_s[first]
+    return (
+        (key_u // graph.n_vertices).astype(np.int32),
+        (key_u % graph.n_vertices).astype(np.int32),
+        w_u.astype(np.float32),
+    )
+
+
+def _mst_kernel_edges(src, dst, w, V: int, max_rounds: int | None = None):
+    """Borůvka core over explicit edge arrays (one undirected edge may
+    appear as both copies — symmetric storage — or once canonically)."""
+    E = src.shape[0]
     if E == 0:
         return (
             jnp.float32(0.0),
             jnp.zeros(0, dtype=bool),
             jnp.int32(V),
         )
-    src = graph.edge_src
-    dst = graph.col_indices
-    w = graph.values
     eid = jnp.arange(E, dtype=jnp.int32)
     # log2(V) rounds suffice for Boruvka; +2 slack
     max_r = (int(np.ceil(np.log2(max(V, 2)))) + 2) if max_rounds is None else max_rounds
@@ -134,14 +171,25 @@ def run(
     options: Options | None = None,
     warmup: bool = True,
 ) -> Result:
-    """Role of reference ``mst::run`` (mst.hxx:287-311). Expects an
-    undirected (symmetric) weighted edge set like the reference."""
+    """Role of reference ``mst::run`` (mst.hxx:287-311). The reference
+    expects symmetric storage; directed inputs are canonicalized to the
+    underlying undirected edge set (min weight per unordered pair) so
+    the forest is well-defined and relabeling-invariant — in that case
+    ``mst_edges`` indexes the canonical edge list, not CSR edge ids."""
     del options
-    fn = jax.jit(mst_kernel)
+    if graph.properties.symmetric:
+        fn = jax.jit(mst_kernel)
+        args = (graph,)
+    else:
+        cs, cd, cw = _canonical_edges(graph)
+        fn = jax.jit(
+            lambda s, d, ww: _mst_kernel_edges(s, d, ww, graph.n_vertices)
+        )
+        args = (jnp.asarray(cs), jnp.asarray(cd), jnp.asarray(cw))
     if warmup:
-        jax.block_until_ready(fn(graph))
+        jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    weight, in_mst, n_comp = jax.block_until_ready(fn(graph))
+    weight, in_mst, n_comp = jax.block_until_ready(fn(*args))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     n_comp = int(n_comp)
     if require_connected and n_comp != 1:

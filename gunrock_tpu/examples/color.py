@@ -12,13 +12,21 @@ from gunrock_tpu.io.parameters import parse
 
 
 def main(argv=None):
-    params = parse("color", argv)
+    params = parse(
+        "color", argv,
+        extra_args=[
+            (("--strategy",), dict(default="luby", choices=("luby", "rank"),
+             help="luby = reference-parity 2-colors/round; rank = "
+             "multi-color rank JP (~4x fewer rounds, ~1.35x more colors)")),
+        ],
+    )
     graph, _ = runner.load(params)
 
     times = []
     result = None
     for i in range(params.num_runs):
-        result = color.run(graph, seed=i, options=params.options)
+        result = color.run(graph, seed=i, options=params.options,
+                           strategy=params.extra.strategy)
         times.append(result.elapsed_ms)
 
     colors = np.asarray(result.colors)

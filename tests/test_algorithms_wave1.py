@@ -144,6 +144,41 @@ def test_color_pallas_is_proper():
     assert (colors[coo.row[off]] != colors[coo.col[off]]).all()
 
 
+def test_color_rank_is_proper():
+    """Rank-based multi-color JP (strategy='rank'): proper coloring in far
+    fewer rounds than Luby max+min, on both the XLA and Pallas paths,
+    symmetric and directed inputs."""
+    import pytest
+
+    from gunrock_tpu.algorithms import color
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    for symmetric in (True, False):
+        g, sp_mat = random_graph(
+            None, n=70, p=0.1, symmetric=symmetric, seed_offset=14
+        )
+        luby = color.run(g, warmup=False)
+        for lb in (LoadBalance.XLA_SEGMENT, LoadBalance.PALLAS_MERGE_PATH):
+            res = color.run(
+                g, options=Options(load_balance=lb), warmup=False,
+                strategy="rank",
+            )
+            colors = np.asarray(res.colors)
+            assert (colors >= 0).all(), (symmetric, lb)
+            coo = sp_mat.tocoo()
+            off = coo.row != coo.col
+            assert (colors[coo.row[off]] != colors[coo.col[off]]).all(), (
+                symmetric, lb,
+            )
+            if symmetric:
+                # the same check the coloring scans rely on: undirected
+                assert (colors[coo.col[off]] != colors[coo.row[off]]).all()
+            assert res.iterations <= luby.iterations, (
+                "rank strategy should never need more rounds than 2-color "
+                f"Luby ({res.iterations} vs {luby.iterations})"
+            )
+
+
 def test_hits_pallas_matches_xla():
     from gunrock_tpu.algorithms import hits
     from gunrock_tpu.ops.configs import LoadBalance, Options

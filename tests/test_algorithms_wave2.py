@@ -115,6 +115,28 @@ def test_mst_matches_networkx():
     assert n_edges_mst == 50 - res.n_components
 
 
+def test_mst_directed_canonicalized_and_relabel_invariant():
+    """Regression: a DIRECTED CSR fed to Borůvka used to lose every
+    (u, v) edge with u > v (the symmetric-storage src<dst cut test),
+    producing a short forest whose weight depended on the vertex
+    labeling. run() now canonicalizes directed inputs (min weight per
+    unordered pair); the forest weight must match scipy and be
+    invariant under degree-sort relabeling."""
+    from scipy.sparse.csgraph import minimum_spanning_tree
+
+    from gunrock_tpu.algorithms import mst
+    from gunrock_tpu.graph.reorder import degree_sort
+
+    g, sp_mat = random_graph(None, n=60, p=0.08, symmetric=False, seed_offset=31)
+    want = float(minimum_spanning_tree(sp_mat).sum())
+    a = mst.run(g, warmup=False)
+    rg, _ = degree_sort(g)
+    b = mst.run(rg, warmup=False)
+    assert abs(a.mst_weight - want) < 1e-3 * max(1.0, abs(want)), (a.mst_weight, want)
+    assert abs(b.mst_weight - a.mst_weight) < 1e-3
+    assert a.n_components == b.n_components
+
+
 def test_mst_forest_on_disconnected():
     import networkx as nx
     import scipy.sparse as sp
