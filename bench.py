@@ -29,10 +29,12 @@ def main():
     graph = rmat_graph(scale=scale, edge_factor=ef, seed=1)
 
     # Hub-first degree-sort relabeling (graph/reorder.py): concentrates
-    # edges into dense bucket windows for the Pallas pull kernels.
-    # A/B at s18 (benchmarks/ab_degsort.py): 66.7 ms / 58.5 MTEPS vs
-    # 85.5 ms / 45.6 MTEPS random-order — 1.28x. Pure preprocessing
-    # (isomorphic graph; results map back by one gather), same contract.
+    # edges into dense bucket windows for the Pallas pull kernels, and
+    # flips the direction-optimized budget toward almost-always-pull
+    # (properties.hub_ordered -> E/512). A/B at s18
+    # (benchmarks/ab_degsort.py): 51.6 ms / 75.7 MTEPS vs 85.5 ms /
+    # 45.6 MTEPS random-order — 1.66x. Pure preprocessing (isomorphic
+    # graph; results map back by one gather), same contract.
     from gunrock_tpu.graph.reorder import degree_sort
 
     graph, _ = degree_sort(graph)

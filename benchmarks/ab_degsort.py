@@ -46,8 +46,11 @@ def main():
     if ns.algo == "bfs":
         from gunrock_tpu.algorithms.bfs import UNREACHED, bfs_kernel_do
 
+        budget = graph.n_edges // ns.budget_div if ns.budget_div else None
         layout = pull_layout(graph, unit=True)
-        fn = jax.jit(lambda g, s, lay: bfs_kernel_do(g, s, layout=lay))
+        fn = jax.jit(
+            lambda g, s, lay: bfs_kernel_do(g, s, layout=lay, edge_budget=budget)
+        )
     elif ns.algo == "sssp":
         from gunrock_tpu.algorithms.sssp import sssp_kernel_do
 

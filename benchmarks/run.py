@@ -27,7 +27,7 @@ from gunrock_tpu.graph import hostcache
 
 ALGORITHMS = [
     "bfs", "sssp", "pr", "bc", "color", "kcore", "tc", "spmv", "hits",
-    "mst", "ppr", "spgemm",
+    "mst", "ppr", "geo", "spgemm",
 ]
 
 
@@ -99,10 +99,12 @@ def bench_one(algo: str, graph, ns):
         edges = 2 * graph.n_edges
     elif algo == "color":
         for i in range(ns.num_runs):
-            res = A.color.run(graph, seed=i, options=opt)
+            res = A.color.run(graph, seed=i, options=opt,
+                              strategy=ns.color_strategy)
             times.append(res.elapsed_ms)
         edges = graph.n_edges * int(res.iterations)
         extra["colors"] = int(np.asarray(res.colors).max()) + 1
+        extra["strategy"] = ns.color_strategy
     elif algo == "kcore":
         for _ in range(ns.num_runs):
             res = A.kcore.run(graph, options=opt)
@@ -137,6 +139,19 @@ def bench_one(algo: str, graph, ns):
             res = A.ppr.run(graph, int(s), epsilon=1e-7, options=opt)
             times.append(res.elapsed_ms)
         edges = graph.n_edges
+    elif algo == "geo":
+        # deterministic 10% labeling, like the example driver's default
+        V = graph.n_vertices
+        lat = np.full(V, np.nan, np.float32)
+        lon = np.full(V, np.nan, np.float32)
+        known = rng.choice(V, size=max(1, V // 10), replace=False)
+        lat[known] = rng.uniform(-60, 60, known.size).astype(np.float32)
+        lon[known] = rng.uniform(-180, 180, known.size).astype(np.float32)
+        for _ in range(ns.num_runs):
+            res = A.geo.run(graph, lat, lon, total_iterations=3,
+                            spatial_iterations=1000, options=opt)
+            times.append(res.elapsed_ms)
+        edges = 3 * graph.n_edges
     elif algo == "spgemm":
         # count_only: the reference's enact() contract times device work
         # only — materializing C to host over the tunnel is I/O, not SpGEMM
@@ -164,6 +179,8 @@ def main(argv=None):
     p.add_argument("--reorder", default="none", choices=("none", "degree"),
                    help="hub-first degree-sort relabeling before benching "
                    "(graph/reorder.py)")
+    p.add_argument("--color_strategy", default="luby", choices=("luby", "rank"),
+                   help="coloring strategy (rank = multi-color rank JP)")
     p.add_argument("--isolate", dest="isolate", action="store_true", default=True,
                    help="one subprocess per algorithm (default)")
     p.add_argument("--no-isolate", dest="isolate", action="store_false")
@@ -181,7 +198,8 @@ def main(argv=None):
 
         base = [sys.executable, os.path.abspath(__file__), "--no-isolate",
                 "-n", str(ns.num_runs), "--load_balance", ns.load_balance,
-                "--seed", str(ns.seed), "--reorder", ns.reorder]
+                "--seed", str(ns.seed), "--reorder", ns.reorder,
+                "--color_strategy", ns.color_strategy]
         if ns.market:
             base += ["--market", ns.market]
         else:

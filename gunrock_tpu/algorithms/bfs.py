@@ -138,7 +138,13 @@ def bfs_kernel_do(
         # keeps push ~1/64th the dense cost while covering the small
         # head/tail levels (and nearly every level of long-diameter road
         # networks). Measured 3.7x on a 512x512 grid vs always-dense.
-        edge_budget = max(4096, E // 64)
+        # Hub-ordered graphs (degree_sort) flip the trade: the doubly-
+        # masked Pallas pull is so much cheaper that almost-always-pull
+        # wins (s18 degsort sweep: E/512 52.2 ms < E/256 53.3 < E/64
+        # 66.7; E/2048 55.5 overshoots — the first tiny levels still
+        # want push).
+        div = 512 if graph.properties.hub_ordered else 64
+        edge_budget = max(4096, E // div)
     deg = jnp.diff(graph.row_offsets)
 
     if layout is not None:

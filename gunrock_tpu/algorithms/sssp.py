@@ -142,7 +142,10 @@ def sssp_kernel_do(
         # a smaller budget shifts mid-size frontiers onto the
         # frontier-sparse Pallas pull. A/B at scale 18 (battery 5,
         # benchmarks/ab_sssp_do.py): E/128 124.4 ms vs E/64 136.5 ms.
-        edge_budget = max(4096, E // 128)
+        # Hub-ordered graphs: the degsort budget sweep plateaus at
+        # E/160-E/384 (~111-113 ms); E/192 measured best.
+        div = 192 if graph.properties.hub_ordered else 128
+        edge_budget = max(4096, E // div)
     deg = jnp.diff(graph.row_offsets)
     if layout is not None:
         from gunrock_tpu.ops.pallas import use_interpret

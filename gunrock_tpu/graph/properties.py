@@ -25,3 +25,9 @@ class GraphProperties:
     directed: bool = True
     weighted: bool = False
     symmetric: bool = False
+    # Hub-first vertex order (graph/reorder.degree_sort). No reference
+    # counterpart: tunes the direction-optimized edge-budget defaults —
+    # with hub locality the doubly-masked Pallas pull is cheap enough
+    # that a much smaller push budget wins (s18 degsort sweep: E/256
+    # 53.3 ms vs E/64 66.7 ms).
+    hub_ordered: bool = False

@@ -67,7 +67,7 @@ def degree_sort(graph: Graph) -> tuple[Graph, Reordering]:
         # build_graph_from_arrays wants CSR arrays; easier to go through
         # COO-ordered arrays sorted by src:
         *_sort_coo(new_src, new_dst, vals),
-        properties=graph.properties,
+        properties=dataclasses.replace(graph.properties, hub_ordered=True),
     )
     return g2, Reordering(order=order, rank=rank)
 
