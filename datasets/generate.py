@@ -8,6 +8,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# Pure-numpy tool: never touch the tunneled TPU backend (axon registration
+# blocks on the tunnel; a down tunnel would hang dataset generation).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 import numpy as np
 
 

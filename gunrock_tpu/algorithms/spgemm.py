@@ -70,8 +70,12 @@ def spgemm_kernel(
 ):
     """ESC SpGEMM. Returns (rows, cols, vals, nnz) padded to ``total``."""
     t = jnp.arange(total, dtype=jnp.int32)
-    # which A-edge does product slot t belong to?
-    a_id = jnp.searchsorted(exp_offsets, t, side="right").astype(jnp.int32) - 1
+    # which A-edge does product slot t belong to? scatter+cumsum over the
+    # segment boundaries (see _block_kernel: searchsorted pays log(Ea)
+    # serialized gathers per product, cumsum streams)
+    n_edges = a_row.shape[0]
+    marks = jnp.zeros(total + 1, jnp.int32).at[exp_offsets].add(1, mode="drop")
+    a_id = jnp.clip(jnp.cumsum(marks[:total]) - 1, 0, n_edges - 1)
     k = a_col[a_id]
     within = t - exp_offsets[a_id]
     b_e = b_offsets[k] + within
@@ -131,11 +135,13 @@ def _block_kernel(
 
     t = jnp.arange(total, dtype=jnp.int32)
     valid = t < actual
-    a_id = jnp.clip(
-        jnp.searchsorted(off, t, side="right").astype(jnp.int32) - 1,
-        0,
-        n_edges_pad - 1,
-    )
+    # product -> A-edge id via scatter+cumsum over segment boundaries:
+    # a_id[t] = #{off entries <= t} - 1 (== searchsorted(off, t, "right")
+    # - 1, but cumsum streams at ~0.7 Gelem/s where searchsorted pays
+    # log(n_edges) serialized gathers per product — the dominant cost of
+    # the whole streamed block before this change)
+    marks = jnp.zeros(total + 1, jnp.int32).at[off].add(1, mode="drop")
+    a_id = jnp.clip(jnp.cumsum(marks[:total]) - 1, 0, n_edges_pad - 1)
     k = ac[a_id]
     within = t - off[a_id]
     b_e = jnp.clip(b_offsets[k] + within, 0, b_col.shape[0] - 1)
@@ -203,8 +209,8 @@ def _run_streaming(
 
     t0 = time.perf_counter()
     out_rows, out_cols, out_vals = [], [], []
+    nnz_parts, csum_parts = [], []
     nnz = 0
-    checksum = 0.0
     for r0, r1 in blocks:
         e0, e1 = int(a_offsets[r0]), int(a_offsets[r1])
         n_products = int(exp_row[r1] - exp_row[r0])
@@ -218,13 +224,19 @@ def _run_streaming(
             B.row_offsets, B.col_indices, B.values,
             jnp.asarray(off), jnp.int32(e0), jnp.int32(n_products),
         )
-        nnz += int(n_runs)
-        checksum += float(csum)
+        # defer every device->host read: an int(n_runs) here would sync
+        # the tunnel once per block (~seconds each — measured 130 s for
+        # the whole s16 product, vs one final sync)
+        nnz_parts.append(n_runs)
+        csum_parts.append(csum)
         if not count_only:
-            k = int(n_runs)
+            k = int(n_runs)  # materializing mode must slice per block
             out_rows.append(np.asarray(rows)[:k])
             out_cols.append(np.asarray(cols)[:k])
             out_vals.append(np.asarray(vals)[:k])
+    jax.block_until_ready(nnz_parts)
+    nnz = int(np.sum([np.asarray(p) for p in nnz_parts]))
+    checksum = float(np.sum([np.asarray(p) for p in csum_parts]))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     if count_only:
         e = jnp.zeros(0)

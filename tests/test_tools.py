@@ -1,6 +1,7 @@
 """Tools: metrics merge, points generator, dataset writer."""
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -44,10 +45,15 @@ def test_points_generator(tmp_path):
 def test_dataset_generate_roundtrip(tmp_path):
     """generate.py writes a valid .mtx that the loader round-trips."""
     out = tmp_path / "g.mtx"
+    # Strip the axon-tunnel trigger: sitecustomize dials the remote TPU at
+    # interpreter start when PALLAS_AXON_POOL_IPS is set, and a down tunnel
+    # hangs the (pure-numpy) subprocess before main() even runs.
+    env = {k: v for k, v in os.environ.items() if not k.startswith("PALLAS_AXON")}
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, str(REPO / "datasets" / "generate.py"),
          "rmat", "--scale", "8", "--edge-factor", "4", "-o", str(out)],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=env,
     )
     assert r.returncode == 0, r.stderr[-300:]
     from gunrock_tpu.io import load_graph_file
