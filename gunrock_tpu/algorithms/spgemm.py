@@ -58,6 +58,37 @@ class Result:
         )
 
 
+def _piecewise_expand(rows, b_start, off, total):
+    """Expand per-edge (row, B-row-start) to per-product (i, b_e) without
+    per-product gathers.
+
+    Within the product segment of A-edge ``e`` (slots ``off[e]`` to
+    ``off[e+1]``), ``i`` is constant ``rows[e]`` and ``b_e`` counts up from
+    ``b_start[e]`` — both are piecewise-arithmetic over the product axis,
+    so they are exactly the cumsum of a delta stream with per-edge
+    corrections scatter-added at segment starts (telescoping handles empty
+    segments: coincident corrections sum to the last edge's value, matching
+    the ``a_id`` = last-edge-with-off<=t convention). Replaces 4 serialized
+    gathers per product with 2 scatters + 2 cumsums (~7x on this chip's
+    0.1 Gelem/s gather floor vs 0.7 Gelem/s cumsum).
+
+    ``rows``/``b_start``/``off`` are edge-granularity int32[n_edges];
+    ``off[e]`` is the expansion offset of edge e (rebased so off[0] == 0).
+    Slots beyond the last real segment may be corrupted by padding
+    corrections — callers mask t >= n_products.
+    """
+    pos = off[1:]
+    di = jnp.zeros(total, jnp.int32).at[pos].add(
+        rows[1:] - rows[:-1], mode="drop"
+    )
+    i = jnp.cumsum(di) + rows[0]
+    db = jnp.ones(total, jnp.int32).at[pos].add(
+        (b_start[1:] - b_start[:-1]) - (off[1:] - off[:-1]), mode="drop"
+    )
+    b_e = jnp.cumsum(db) - 1 + b_start[0]
+    return i, b_e
+
+
 def spgemm_kernel(
     a_row: jax.Array,  # int32[Ea]  A edge rows (CSR order)
     a_col: jax.Array,  # int32[Ea]
@@ -70,16 +101,18 @@ def spgemm_kernel(
 ):
     """ESC SpGEMM. Returns (rows, cols, vals, nnz) padded to ``total``."""
     t = jnp.arange(total, dtype=jnp.int32)
-    # which A-edge does product slot t belong to? scatter+cumsum over the
-    # segment boundaries (see _block_kernel: searchsorted pays log(Ea)
-    # serialized gathers per product, cumsum streams)
+    # Everything indexed by a_id is a piecewise-arithmetic sequence over
+    # the product axis, so it streams as scatter+cumsum telescopes instead
+    # of per-product serialized gathers (~0.1 Gelem/s on this chip; see
+    # _block_kernel for the derivation). Only b_col[b_e]/b_val[b_e] (true
+    # random access into B) and the small-table a_val[a_id] remain gathers.
     n_edges = a_row.shape[0]
     marks = jnp.zeros(total + 1, jnp.int32).at[exp_offsets].add(1, mode="drop")
     a_id = jnp.clip(jnp.cumsum(marks[:total]) - 1, 0, n_edges - 1)
-    k = a_col[a_id]
-    within = t - exp_offsets[a_id]
-    b_e = b_offsets[k] + within
-    i = a_row[a_id]
+    b_start = b_offsets[a_col]  # int32[Ea] — edge-granularity, cheap
+    i, b_e = _piecewise_expand(
+        a_row, b_start, exp_offsets[:-1], total
+    )
     j = b_col[b_e]
     v = a_val[a_id] * b_val[b_e]
 
@@ -142,11 +175,13 @@ def _block_kernel(
     # the whole streamed block before this change)
     marks = jnp.zeros(total + 1, jnp.int32).at[off].add(1, mode="drop")
     a_id = jnp.clip(jnp.cumsum(marks[:total]) - 1, 0, n_edges_pad - 1)
-    k = ac[a_id]
-    within = t - off[a_id]
-    b_e = jnp.clip(b_offsets[k] + within, 0, b_col.shape[0] - 1)
+    # i and b_e stream gather-free (_piecewise_expand); only B's edge
+    # arrays (true random access) and the VMEM-sized av table are gathered
+    b_start = b_offsets[ac]
+    i_raw, b_e = _piecewise_expand(ar, b_start, off[:-1], total)
+    b_e = jnp.clip(b_e, 0, b_col.shape[0] - 1)
     sent = jnp.int32(n_rows)
-    i = jnp.where(valid, ar[a_id], sent)
+    i = jnp.where(valid, i_raw, sent)
     j = jnp.where(valid, b_col[b_e], jnp.int32(2**30))
     v = jnp.where(valid, av[a_id] * b_val[b_e], 0.0)
 
