@@ -266,9 +266,9 @@ def _run_streaming(
         csum_parts.append(csum)
         if not count_only:
             k = int(n_runs)  # materializing mode must slice per block
-            out_rows.append(np.asarray(rows)[:k])
-            out_cols.append(np.asarray(cols)[:k])
-            out_vals.append(np.asarray(vals)[:k])
+            out_rows.append(np.asarray(rows[:k]))
+            out_cols.append(np.asarray(cols[:k]))
+            out_vals.append(np.asarray(vals[:k]))
     jax.block_until_ready(nnz_parts)
     nnz = int(np.sum([np.asarray(p) for p in nnz_parts]))
     checksum = float(np.sum([np.asarray(p) for p in csum_parts]))
@@ -286,6 +286,159 @@ def _run_streaming(
         row_indices=jnp.asarray(np.concatenate(out_rows)),
         col_indices=jnp.asarray(np.concatenate(out_cols)),
         values=jnp.asarray(np.concatenate(out_vals)),
+        nnz=nnz,
+        elapsed_ms=elapsed_ms,
+    )
+
+
+def _dense_block_kernel(
+    layout,
+    ar,  # int32[Ea + pad] global A edge rows
+    ac,
+    av,
+    edge_start,  # int32 scalar
+    row_start,  # int32 scalar
+    n_vertices: int,
+    block_rows: int,
+    cap: int,  # 0 = count_only
+    max_block_edges: int,
+    interpret: bool = False,
+):
+    """One dense row block: C[r0:r0+K, :] = A[r0:r0+K, :] @ B computed as
+    C_block^T = B^T @ dense(A_block^T) through the bucketed SpMM kernel —
+    the one-hot window masks amortize over the K=block_rows MXU columns,
+    and the whole block costs one pass over B's edges with NO sort and NO
+    per-product gather (the ESC path pays 2 serialized gathers per partial
+    product plus an O(products log) device sort). One executable serves
+    every block: B's layout is an argument, the A row-block arrives as a
+    dynamic slice scattered into a dense [V, K] operand."""
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+    e = jax.lax.dynamic_slice(ar, (edge_start,), (max_block_edges,))
+    c = jax.lax.dynamic_slice(ac, (edge_start,), (max_block_edges,))
+    v = jax.lax.dynamic_slice(av, (edge_start,), (max_block_edges,))
+    k_slot = e - row_start  # in [0, block_rows) for real edges
+    # padding slots carry value 0.0 — a scatter-add of 0 is harmless even
+    # when their (row 0 - r0) lands inside the block
+    x = jnp.zeros((n_vertices, block_rows), jnp.float32).at[c, k_slot].add(
+        v, mode="drop"
+    )
+    y = bucketed_spmm(layout, x, interpret=interpret)  # f32[V, K] = C_block^T
+    nz = y != 0.0
+    nnz = jnp.sum(nz.astype(jnp.int32))
+    checksum = jnp.sum(y)
+    if cap == 0:
+        return nnz, checksum
+    # compact the nonzeros of C_block = y^T into (i, j, val) triples
+    flat = y.T.reshape(-1)  # row-major over (k, j)
+    m = flat != 0.0
+    pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+    out_idx = jnp.where(m, pos, cap)
+    t = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    i = row_start + t // n_vertices
+    j = t % n_vertices
+    rows = jnp.full(cap, -1, jnp.int32).at[out_idx].set(i, mode="drop")
+    cols = jnp.full(cap, -1, jnp.int32).at[out_idx].set(j, mode="drop")
+    vals = jnp.zeros(cap, jnp.float32).at[out_idx].set(flat, mode="drop")
+    return rows, cols, vals, nnz, checksum
+
+
+def _run_dense(
+    A: Graph,
+    B: Graph,
+    count_only: bool,
+    warmup: bool,
+    block_rows: int = 128,
+    block_cap: int = 4_000_000,
+) -> Result:
+    """Dense row-block SpGEMM (strategy="dense"). Cost is
+    ceil(V_A/block_rows) SpMM passes over B's edges — independent of the
+    partial-product count, so it beats ESC when products/E_B exceeds
+    ~V_A/block_rows (power-law squares); ESC wins on sparse low-fill
+    products (road networks). Counts NUMERICAL nonzeros (an exactly-zero
+    accumulation is dropped, exact under the kernel's two-pass bf16
+    split); ESC counts structural ones — identical for positive weights."""
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
+    from gunrock_tpu.graph import hostcache
+
+    del warmup  # first block doubles as compile warmup
+    interpret = use_interpret()
+    V = A.n_vertices
+    layout = cached_layout(
+        B.col_indices,
+        lambda: build_auto_layout(
+            hostcache.host(B, "col_indices"),
+            hostcache.host(B, "edge_src"),
+            hostcache.host(B, "values"),
+            B.n_vertices,
+            interpret=interpret,
+        ),
+        ("spgemm_bt",),
+    )
+    a_off = hostcache.host(A, "row_offsets")
+    n_blocks = -(-V // block_rows)
+    starts = a_off[np.minimum(np.arange(n_blocks + 1) * block_rows, V)]
+    max_edges = int(np.max(np.diff(starts))) if n_blocks else 1
+    pad_n = 1 << (max(int(max_edges), 8) - 1).bit_length()
+    pad = jnp.zeros(pad_n, jnp.int32)
+    ar_g = jnp.concatenate([A.edge_src, pad])
+    ac_g = jnp.concatenate([A.col_indices, pad])
+    av_g = jnp.concatenate([A.values, pad.astype(jnp.float32)])
+
+    fn = jax.jit(
+        functools.partial(
+            _dense_block_kernel,
+            n_vertices=V,
+            block_rows=block_rows,
+            cap=0 if count_only else block_cap,
+            max_block_edges=pad_n,
+            interpret=interpret,
+        )
+    )
+    t0 = time.perf_counter()
+    nnz_parts, csum_parts, triples = [], [], []
+    for b in range(n_blocks):
+        out = fn(
+            layout, ar_g, ac_g, av_g,
+            jnp.int32(starts[b]), jnp.int32(b * block_rows),
+        )
+        if count_only:
+            nnz_parts.append(out[0])
+            csum_parts.append(out[1])
+        else:
+            rows, cols, vals, nnz, csum = out
+            nnz_parts.append(nnz)
+            csum_parts.append(csum)
+            k = int(nnz)
+            if k > block_cap:
+                raise ValueError(
+                    f"dense SpGEMM block {b} produced {k} nonzeros > "
+                    f"block_cap={block_cap}; raise block_cap or lower "
+                    f"block_rows"
+                )
+            # slice on device THEN transfer (k is concrete post-sync) —
+            # np.asarray(rows)[:k] would ship the full cap-sized buffer
+            triples.append(
+                (np.asarray(rows[:k]), np.asarray(cols[:k]), np.asarray(vals[:k]))
+            )
+    jax.block_until_ready(nnz_parts)
+    nnz = int(np.sum([np.asarray(p) for p in nnz_parts]))
+    checksum = float(np.sum([np.asarray(p) for p in csum_parts]))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    if count_only:
+        e = jnp.zeros(0)
+        return Result(
+            row_indices=e.astype(jnp.int32),
+            col_indices=e.astype(jnp.int32),
+            values=jnp.asarray([checksum], jnp.float32),
+            nnz=nnz,
+            elapsed_ms=elapsed_ms,
+        )
+    return Result(
+        row_indices=jnp.asarray(np.concatenate([t[0] for t in triples])),
+        col_indices=jnp.asarray(np.concatenate([t[1] for t in triples])),
+        values=jnp.asarray(np.concatenate([t[2] for t in triples])),
         nnz=nnz,
         elapsed_ms=elapsed_ms,
     )
@@ -316,18 +469,28 @@ def run(
     warmup: bool = True,
     block_products: int = 8_000_000,
     count_only: bool = False,
+    strategy: str = "esc",
 ) -> Result:
     """Role of reference ``spgemm::run`` (spgemm.hxx:287-315): C = A.B over
     the CSR views of two graphs.
 
-    ESC materializes partial products; when the full expansion exceeds
-    ``block_products`` the multiply streams row-aligned blocks through a
-    single fixed-shape executable (C rows from different blocks are
-    disjoint, so per-block contraction is exact). ``count_only=True``
-    skips all device->host result transfers and returns only nnz and a
-    value checksum — the structure-analysis mode for products too large
-    to materialize."""
+    ``strategy="esc"`` (default): expand-sort-contract. Materializes
+    partial products; when the full expansion exceeds ``block_products``
+    the multiply streams row-aligned blocks through a single fixed-shape
+    executable (C rows from different blocks are disjoint, so per-block
+    contraction is exact). ``count_only=True`` skips all device->host
+    result transfers and returns only nnz and a value checksum — the
+    structure-analysis mode for products too large to materialize.
+
+    ``strategy="dense"``: dense row blocks through the bucketed SpMM
+    kernel — cost ~(V_A/128) passes over E_B, independent of the
+    partial-product count; wins on power-law squares where
+    products/E >> V/128 makes ESC sort/gather-bound (see _run_dense)."""
     del options
+    if strategy == "dense":
+        return _run_dense(A, B, count_only, warmup)
+    if strategy != "esc":
+        raise ValueError(f"unknown SpGEMM strategy {strategy!r}")
     a_offsets = np.asarray(A.row_offsets)
     a_col = np.asarray(A.col_indices)
     b_offsets_h = np.asarray(B.row_offsets)

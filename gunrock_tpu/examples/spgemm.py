@@ -16,7 +16,13 @@ from gunrock_tpu.io.parameters import parse
 def main(argv=None):
     params = parse(
         "spgemm", argv,
-        extra_args=[(("--market_b",), dict(default="", help="B matrix (default: A)"))],
+        extra_args=[
+            (("--market_b",), dict(default="", help="B matrix (default: A)")),
+            (("--strategy",), dict(
+                default="esc", choices=("esc", "dense"),
+                help="esc = expand-sort-contract; dense = row-blocked SpMM",
+            )),
+        ],
     )
     graph_a, _ = runner.load(params)
     graph_b = (
@@ -28,7 +34,10 @@ def main(argv=None):
     times = []
     result = None
     for _ in range(params.num_runs):
-        result = spgemm.run(graph_a, graph_b, options=params.options)
+        result = spgemm.run(
+            graph_a, graph_b, options=params.options,
+            strategy=params.extra.strategy,
+        )
         times.append(result.elapsed_ms)
 
     print(f"C nnz = {result.nnz}")

@@ -189,3 +189,34 @@ def test_spgemm_streaming_oversized_row():
         shape=(n, n),
     ).tocsr()
     np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-4, atol=1e-5)
+
+
+def test_spgemm_dense_strategy_matches_scipy():
+    """strategy="dense" (row-blocked SpMM, no sort/gathers) must match
+    scipy exactly on nnz and closely on values (two-pass bf16 split), in
+    both materializing and count_only modes; V=200 > block_rows=128
+    exercises the multi-block loop."""
+    import scipy.sparse as sp
+
+    from gunrock_tpu.algorithms import spgemm
+
+    ga, Aa = random_graph(None, n=200, p=0.05, weighted=True, seed_offset=80)
+    gb, Ab = random_graph(None, n=200, p=0.06, weighted=True, seed_offset=81)
+    want = (Aa @ Ab).tocsr()
+    want.sum_duplicates()
+
+    res = spgemm.run(ga, gb, warmup=False, strategy="dense")
+    assert res.nnz == want.nnz
+    got = sp.coo_matrix(
+        (np.asarray(res.values)[: res.nnz],
+         (np.asarray(res.row_indices)[: res.nnz],
+          np.asarray(res.col_indices)[: res.nnz])),
+        shape=(200, 200),
+    ).tocsr()
+    np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-3, atol=1e-4)
+
+    cnt = spgemm.run(ga, gb, warmup=False, strategy="dense", count_only=True)
+    assert cnt.nnz == want.nnz
+    np.testing.assert_allclose(
+        float(cnt.values[0]), float(want.data.sum()), rtol=1e-3
+    )
