@@ -534,6 +534,15 @@ def run(
     t0 = time.perf_counter()
     rows, cols, vals, nnz = jax.block_until_ready(fn(*args))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
+    if count_only:
+        e = jnp.zeros(0)
+        return Result(
+            row_indices=e.astype(jnp.int32),
+            col_indices=e.astype(jnp.int32),
+            values=jnp.sum(vals)[None],
+            nnz=int(nnz),
+            elapsed_ms=elapsed_ms,
+        )
     return Result(
         row_indices=rows,
         col_indices=cols,
