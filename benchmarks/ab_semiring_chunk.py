@@ -25,12 +25,17 @@ def main():
     p.add_argument("--chunk", type=int, default=256)
     p.add_argument("--scale", type=int, default=18)
     p.add_argument("--num_runs", type=int, default=10)
+    p.add_argument("--reorder", default="", choices=["", "degree"])
     ns = p.parse_args()
 
     from gunrock_tpu.io.generators import rmat_graph
     from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv, pull_layout
 
     graph = rmat_graph(scale=ns.scale, edge_factor=16, seed=1)
+    if ns.reorder == "degree":
+        from gunrock_tpu.graph.reorder import degree_sort
+
+        graph, _ = degree_sort(graph)
     layout = pull_layout(graph, window=ns.window, chunk=ns.chunk)
 
     rng = np.random.default_rng(0)
@@ -54,6 +59,7 @@ def main():
                 "window": ns.window,
                 "chunk": ns.chunk,
                 "scale": ns.scale,
+                "reorder": ns.reorder,
                 "n_chunks": int(layout.n_chunks),
                 "avg_ms": round(avg_ms, 3),
                 "gedges_per_s": round(graph.n_edges / avg_ms / 1e6, 3),

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-2 continuation measurement battery — run when the axon tunnel is
+# live. Each measurement is its own process (tunnel executable isolation;
+# Pallas multi-executable faults). Appends JSON lines to
+# benchmarks/results_r2c.jsonl. Order: cheapest first so a flaky tunnel
+# still yields data.
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/results_r2c.jsonl
+run() {
+  echo "== $*" >&2
+  timeout 1200 "$@" | tee -a "$OUT"
+}
+
+# 1. SpMV window sweep under degsort (host model predicts W=1024 ~20% win
+#    at s18: 17.4G vs 21.6G compare-ops at frag 2.15 vs 1.34)
+run python benchmarks/ab_semiring_chunk.py --window 1024 --chunk 256 --reorder degree
+run python benchmarks/ab_semiring_chunk.py --window 2048 --chunk 256 --reorder degree
+run python benchmarks/ab_semiring_chunk.py --window 1024 --chunk 512 --reorder degree
+
+# 2. SpGEMM strategy A/B at s16 (ESC was 130.5 s pre-fixes; the cumsum
+#    segment-ids + deferred syncs + gather-free expansion should land
+#    ~10-20 s; dense predicted ~9-12 s at 512 SpMM passes)
+run python benchmarks/ab_spgemm.py esc --scale 16
+run python benchmarks/ab_spgemm.py dense --scale 16
+run python benchmarks/ab_spgemm.py esc --scale 16 --reorder degree
+run python benchmarks/ab_spgemm.py dense --scale 16 --reorder degree
+run python benchmarks/ab_spgemm.py dense --scale 16 --block-rows 256
+
+# 3. headline refresh
+run python bench.py
