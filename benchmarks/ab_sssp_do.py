@@ -24,6 +24,9 @@ def main():
     p.add_argument("--scale", type=int, default=18)
     p.add_argument("--edge_budget", type=int, default=None)
     p.add_argument("--num_runs", type=int, default=8)
+    p.add_argument("--window", type=int, default=None)
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--reorder", default="", choices=["", "degree"])
     ns = p.parse_args()
 
     from gunrock_tpu.algorithms.sssp import sssp_kernel_do
@@ -31,9 +34,15 @@ def main():
     from gunrock_tpu.ops.pallas.semiring import _BIG, pull_layout
 
     graph = rmat_graph(scale=ns.scale, edge_factor=16, seed=1)
+    if ns.reorder == "degree":
+        from gunrock_tpu.graph.reorder import degree_sort
+
+        graph, _ = degree_sort(graph)
     deg = np.diff(hostcache.host(graph, "row_offsets"))
     sources = np.argsort(-deg)[: ns.num_runs].tolist()
-    layout = pull_layout(graph, pad_value=_BIG)
+    layout = pull_layout(
+        graph, window=ns.window, chunk=ns.chunk, pad_value=_BIG
+    )
 
     from gunrock_tpu.utils.timer import force_real_execution
 
@@ -59,6 +68,9 @@ def main():
             {
                 "edge_budget": ns.edge_budget or -1,
                 "scale": ns.scale,
+                "window": layout.window,
+                "chunk": layout.chunk,
+                "reorder": ns.reorder,
                 "avg_ms": round(avg_ms, 3),
                 "mteps": round(int(deg[reached].sum()) / avg_ms / 1000.0, 2),
                 "depth": int(np.asarray(outs[0][1])),

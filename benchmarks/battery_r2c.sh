@@ -18,6 +18,13 @@ run python benchmarks/ab_semiring_chunk.py --window 1024 --chunk 256 --reorder d
 run python benchmarks/ab_semiring_chunk.py --window 2048 --chunk 256 --reorder degree
 run python benchmarks/ab_semiring_chunk.py --window 1024 --chunk 512 --reorder degree
 
+# 1b. SSSP dense-pull window sweep under degsort — W=1024 cuts the
+#     per-round compare cost ~20%; the s18 plateau is 111 ms over ~7
+#     rounds, so this may cross VERDICT's <=100 ms target
+run python benchmarks/ab_sssp_do.py --reorder degree --edge_budget 20520 --window 1024 --chunk 256
+run python benchmarks/ab_sssp_do.py --reorder degree --edge_budget 20520 --window 2048 --chunk 256
+run python benchmarks/ab_sssp_do.py --reorder degree --edge_budget 20520 --window 1024 --chunk 512
+
 # 2. SpGEMM strategy A/B at s16 (ESC was 130.5 s pre-fixes; the cumsum
 #    segment-ids + deferred syncs + gather-free expansion should land
 #    ~10-20 s; dense predicted ~9-12 s at 512 SpMM passes)
