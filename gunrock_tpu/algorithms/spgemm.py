@@ -100,7 +100,6 @@ def spgemm_kernel(
     total: int,  # static expansion size
 ):
     """ESC SpGEMM. Returns (rows, cols, vals, nnz) padded to ``total``."""
-    t = jnp.arange(total, dtype=jnp.int32)
     # Everything indexed by a_id is a piecewise-arithmetic sequence over
     # the product axis, so it streams as scatter+cumsum telescopes instead
     # of per-product serialized gathers (~0.1 Gelem/s on this chip; see
@@ -205,7 +204,6 @@ def _run_streaming(
     A: Graph,
     a_offsets: np.ndarray,
     exp_offsets: np.ndarray,  # int64[Ea+1]
-    b_offsets_h: np.ndarray,
     B: Graph,
     budget: int,
     count_only: bool,
@@ -243,12 +241,23 @@ def _run_streaming(
         return fns[total]
 
     t0 = time.perf_counter()
-    out_rows, out_cols, out_vals = [], [], []
+    triples = {}  # plan index -> (rows, cols, vals) host arrays
     nnz_parts, csum_parts = [], []
-    nnz = 0
-    for r0, r1 in blocks:
+    # group by executable: every budget-sized block first, THEN the rare
+    # oversized rows — interleaving executables pays the axon
+    # executable-switch rebinding penalty (~0.6 s/call) on every
+    # subsequent call of the hot one. C rows are block-disjoint so
+    # execution order is free; materializing output is reassembled in
+    # plan order below (Result.to_csr assumes row-sorted triples).
+    sized = [
+        (int(exp_row[r1] - exp_row[r0]), bi, r0, r1)
+        for bi, (r0, r1) in enumerate(blocks)
+    ]
+    order = [x for x in sized if x[0] <= budget] + sorted(
+        x for x in sized if x[0] > budget
+    )
+    for n_products, bi, r0, r1 in order:
         e0, e1 = int(a_offsets[r0]), int(a_offsets[r1])
-        n_products = int(exp_row[r1] - exp_row[r0])
         total = budget if n_products <= budget else next_pow2(n_products)
         off = (exp_offsets[e0 : e1 + 1] - exp_offsets[e0]).astype(np.int32)
         off = np.concatenate(
@@ -266,9 +275,9 @@ def _run_streaming(
         csum_parts.append(csum)
         if not count_only:
             k = int(n_runs)  # materializing mode must slice per block
-            out_rows.append(np.asarray(rows[:k]))
-            out_cols.append(np.asarray(cols[:k]))
-            out_vals.append(np.asarray(vals[:k]))
+            triples[bi] = (
+                np.asarray(rows[:k]), np.asarray(cols[:k]), np.asarray(vals[:k])
+            )
     jax.block_until_ready(nnz_parts)
     nnz = int(np.sum([np.asarray(p) for p in nnz_parts]))
     checksum = float(np.sum([np.asarray(p) for p in csum_parts]))
@@ -282,10 +291,11 @@ def _run_streaming(
             nnz=nnz,
             elapsed_ms=elapsed_ms,
         )
+    in_plan_order = [triples[bi] for bi in range(len(blocks))]
     return Result(
-        row_indices=jnp.asarray(np.concatenate(out_rows)),
-        col_indices=jnp.asarray(np.concatenate(out_cols)),
-        values=jnp.asarray(np.concatenate(out_vals)),
+        row_indices=jnp.asarray(np.concatenate([t[0] for t in in_plan_order])),
+        col_indices=jnp.asarray(np.concatenate([t[1] for t in in_plan_order])),
+        values=jnp.asarray(np.concatenate([t[2] for t in in_plan_order])),
         nnz=nnz,
         elapsed_ms=elapsed_ms,
     )
@@ -502,7 +512,7 @@ def run(
     total = int(exp_offsets[-1])
     if total > block_products:
         return _run_streaming(
-            A, a_offsets, exp_offsets, b_offsets_h, B,
+            A, a_offsets, exp_offsets, B,
             block_products, count_only, warmup,
         )
     if total == 0:

@@ -28,8 +28,9 @@ import dataclasses
 
 import numpy as np
 
+from gunrock_tpu.formats import Coo
 from gunrock_tpu.graph import hostcache
-from gunrock_tpu.graph.build import build_graph_from_arrays
+from gunrock_tpu.graph.build import build_graph
 from gunrock_tpu.graph.graph import Graph
 
 
@@ -57,21 +58,16 @@ def degree_sort(graph: Graph) -> tuple[Graph, Reordering]:
     rank = np.empty(V, np.int32)
     rank[order] = np.arange(V, dtype=np.int32)
 
-    new_src = rank[src]
-    new_dst = rank[cols]
-    # CSR rebuild: counting-sort by new source (build_graph re-sorts rows
-    # by destination internally)
-    g2 = build_graph_from_arrays(
-        V,
-        np.concatenate([[0], np.cumsum(np.bincount(new_src, minlength=V))]).astype(np.int32),
-        # build_graph_from_arrays wants CSR arrays; easier to go through
-        # COO-ordered arrays sorted by src:
-        *_sort_coo(new_src, new_dst, vals),
+    # build_graph counting-sorts a COO into canonical CSR (rows grouped,
+    # sorted by destination) — no pre-sort needed here
+    g2 = build_graph(
+        Coo(
+            n_rows=V,
+            n_cols=V,
+            row_indices=rank[src],
+            col_indices=rank[cols],
+            values=vals,
+        ),
         properties=dataclasses.replace(graph.properties, hub_ordered=True),
     )
     return g2, Reordering(order=order, rank=rank)
-
-
-def _sort_coo(src: np.ndarray, dst: np.ndarray, vals: np.ndarray):
-    perm = np.argsort(src, kind="stable")
-    return dst[perm].astype(np.int32), vals[perm].astype(np.float32)

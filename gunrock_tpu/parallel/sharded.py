@@ -56,6 +56,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
         "d_src", "d_dst_local", "d_val", "d_valid", "d_src_pos",
         "s_dst", "s_src_local", "s_val", "s_valid", "s_dst_pos",
         "d_send_idx", "d_send_valid", "s_send_idx", "s_send_valid",
+        "d_row_splits", "s_row_splits",
     ],
     meta_fields=[
         "n_vertices", "n_shards", "v_per_shard", "ed_per_shard",
@@ -84,6 +85,11 @@ class ShardedGraph:
     d_send_valid: jax.Array  # bool[n * n*Hd]
     s_send_idx: jax.Array  # int32[n * n*Hs]
     s_send_valid: jax.Array  # bool[n * n*Hs]
+    # per-shard CSR row splits over the grouped edges (real edges are
+    # packed at the front of each shard's slot range) — lets sum
+    # reductions run as cumsum-difference instead of a serialized scatter
+    d_row_splits: jax.Array  # int32[n * (Vs+1)]
+    s_row_splits: jax.Array  # int32[n * (Vs+1)]
 
     n_vertices: int
     n_shards: int
@@ -177,6 +183,17 @@ def partition_sharded(
     d_send, d_sendv, d_pos, Hd = _halo_tables(d_src, d_valid, n_shards, Vs, Ed)
     s_send, s_sendv, s_pos, Hs = _halo_tables(s_dst, s_valid, n_shards, Vs, Es)
 
+    def row_splits(key_local, valid, per):
+        out = np.zeros((n_shards, Vs + 1), np.int32)
+        for d in range(n_shards):
+            sl = slice(d * per, (d + 1) * per)
+            cnt = np.bincount(key_local[sl][valid[sl]], minlength=Vs)
+            np.cumsum(cnt, out=out[d, 1:])
+        return out.reshape(-1)
+
+    d_splits = row_splits(d_dst_l, d_valid, Ed)
+    s_splits = row_splits(s_src_l, s_valid, Es)
+
     if use_halo is None:
         use_halo = max(Hd, Hs) < Vs
 
@@ -189,6 +206,8 @@ def partition_sharded(
         d_send_valid=d_sendv.reshape(n_shards, -1).reshape(-1),
         s_send_idx=s_send.reshape(n_shards, -1).reshape(-1),
         s_send_valid=s_sendv.reshape(n_shards, -1).reshape(-1),
+        d_row_splits=d_splits,
+        s_row_splits=s_splits,
         n_vertices=V,
         n_shards=n_shards,
         v_per_shard=Vs,
@@ -279,6 +298,19 @@ def _local_reduce(sg_local, edge_vals, active, reduce, side="d"):
     seg = sg_local.d_dst_local if side == "d" else sg_local.s_src_local
     ident = reduce_identity(edge_vals.dtype, reduce)
     masked = jnp.where(active, edge_vals, ident)
+    if reduce in ("sum", "add"):
+        # cumsum-difference over the precomputed per-shard row splits
+        # (CLAUDE.md convention: segment_* scatters serialize on TPU,
+        # cumsum streams; min/max have no prefix form and stay scatters)
+        splits = (
+            sg_local.d_row_splits if side == "d" else sg_local.s_row_splits
+        )
+        if masked.dtype == jnp.bool_:
+            masked = masked.astype(jnp.int32)
+        ce = jnp.concatenate(
+            [jnp.zeros((1,), masked.dtype), jnp.cumsum(masked)]
+        )
+        return ce[splits[1:]] - ce[splits[:-1]]
     return _seg(reduce)(
         masked, seg, num_segments=sg_local.v_per_shard, indices_are_sorted=True
     )
@@ -509,15 +541,16 @@ def hits(sg: ShardedGraph, mesh, max_iterations: int = 50):
                 sg, jnp.where(sg.d_valid, hub_at_src, 0.0),
                 sg.d_valid, "sum",
             ))
-            done = (
-                jax.lax.pmin(
-                    (jnp.all(auth_n == auth) | jnp.all(hub_n == hub)).astype(
-                        jnp.int32
-                    ),
-                    axis,
-                )
-                > 0
+            # each all() must be global BEFORE the OR (single-chip
+            # semantics: ALL-V auth fixpoint or ALL-V hub fixpoint; OR of
+            # per-shard alls could stop with neither vector converged)
+            auth_fix = jax.lax.pmin(
+                jnp.all(auth_n == auth).astype(jnp.int32), axis
             )
+            hub_fix = jax.lax.pmin(
+                jnp.all(hub_n == hub).astype(jnp.int32), axis
+            )
+            done = (auth_fix > 0) | (hub_fix > 0)
             return it + 1, auth_n, hub_n, done
 
         it, auth, hub, _ = jax.lax.while_loop(
@@ -547,8 +580,10 @@ def color(sg: ShardedGraph, mesh, seed: int = 0,
 
     def spmd(sg, perm_local):
         vvalid, ids = _vvalid(sg, axis)
-        randf = perm_local.astype(jnp.float32) + 1.0  # [1, V], 0 = identity
-        big = jnp.float32(V + 2)
+        # int32 priorities: a float32 cast would collide for V > 2^24
+        # (two equal-rounded neighbors then block each other forever)
+        randf = perm_local + 1  # int32 in [1, V], 0 = identity
+        big = jnp.int32(V + 2)
         # self-loop edges are irrelevant (color.hxx:126-130)
         local_base = (
             jax.lax.axis_index(axis).astype(jnp.int32) * Vs
@@ -566,18 +601,18 @@ def color(sg: ShardedGraph, mesh, seed: int = 0,
             """max over undirected neighbors of x (0 = no neighbor)."""
             x_at_dst = _gather(sg, x, axis, "s")
             m = _local_reduce(
-                sg, jnp.where(rel_edge, x_at_dst, 0.0), rel_edge, "max", "s"
+                sg, jnp.where(rel_edge, x_at_dst, 0), rel_edge, "max", "s"
             )
             if both_sides:
                 x_at_src = _gather(sg, x, axis, "d")
                 m = jnp.maximum(
                     m,
                     _local_reduce(
-                        sg, jnp.where(rel_edge_d, x_at_src, 0.0),
+                        sg, jnp.where(rel_edge_d, x_at_src, 0),
                         rel_edge_d, "max",
                     ),
                 )
-            return jnp.maximum(m, 0.0)
+            return jnp.maximum(m, 0)
 
         def cond(c):
             it, colors = c
@@ -588,8 +623,8 @@ def color(sg: ShardedGraph, mesh, seed: int = 0,
         def body(c):
             it, colors = c
             unc = colors == -1
-            nbr_max = nbr_scan(jnp.where(unc, randf, 0.0))
-            inv_max = nbr_scan(jnp.where(unc, big - randf, 0.0))
+            nbr_max = nbr_scan(jnp.where(unc, randf, 0))
+            inv_max = nbr_scan(jnp.where(unc, big - randf, 0))
             has_nbr = inv_max > 0
             nbr_min = big - inv_max
             colormax = unc & (randf > nbr_max)
@@ -615,7 +650,7 @@ def ppr(sg: ShardedGraph, seed: int, mesh, alpha: float = 0.15,
     algorithms/ppr.py semantics). Returns (p f32[V], iterations)."""
     V = sg.n_vertices
     axis = mesh.axis_names[0]
-    max_it = 1000 if max_iterations is None else max_iterations
+    max_it = (2 * V) if max_iterations is None else max_iterations
 
     def spmd(sg):
         vvalid, ids = _vvalid(sg, axis)
@@ -756,6 +791,11 @@ def geo(sg: ShardedGraph, latitude, longitude, mesh,
         eid = jnp.arange(E, dtype=jnp.int32)
 
         def seg_sum(v):
+            # NOT cumsum-difference: Weiszfeld's dinv reaches ~1e30 by
+            # design (zero-distance correction), and a shard-wide f32
+            # prefix sum through such a lane cancels catastrophically in
+            # every later segment (verified: later vertices collapse to
+            # 0). segment_sum never mixes segments.
             return jax.ops.segment_sum(
                 v, seg, num_segments=Vs, indices_are_sorted=True
             )
@@ -959,7 +999,12 @@ def mst(sg: ShardedGraph, mesh, max_rounds: int | None = None):
             def jump(_, p):
                 return p[p]
 
-            parent = jax.lax.fori_loop(0, 20, jump, parent)
+            # pointer doubling halves chain depth per step: ceil(log2 V)
+            # steps canonicalize ANY merge chain (a fixed small count
+            # would leave deep path-graph chains uncompressed and
+            # double-count their connecting edges next round)
+            n_jumps = max(1, (V_pad - 1).bit_length())
+            parent = jax.lax.fori_loop(0, n_jumps, jump, parent)
             comp = parent[comp]
             done = ~jnp.any(has_edge)
             total = total + add
@@ -1007,14 +1052,17 @@ def spgemm_count(sg_a: ShardedGraph, graph_b: Graph, mesh,
         actual = off[-1]
         t = jnp.arange(cap, dtype=jnp.int32)
         tvalid = t < actual
-        a_id = jnp.clip(
-            jnp.searchsorted(off, t, side="right").astype(jnp.int32) - 1,
-            0, Es - 1,
-        )
-        k = dst[a_id]
-        within = t - off[a_id]
-        b_e = jnp.clip(b_off[k] + within, 0, b_col.shape[0] - 1)
-        i = jnp.where(tvalid, src_l[a_id], Vs)
+        # product -> A-edge id and (i, b_e) via scatter+cumsum telescopes
+        # (same rework as algorithms/spgemm: searchsorted paid log(Es)
+        # serialized gathers per product slot)
+        marks = jnp.zeros(cap + 1, jnp.int32).at[off[:-1]].add(1, mode="drop")
+        a_id = jnp.clip(jnp.cumsum(marks[:cap]) - 1, 0, Es - 1)
+        from gunrock_tpu.algorithms.spgemm import _piecewise_expand
+
+        b_start = b_off[dst]
+        i_raw, b_e = _piecewise_expand(src_l, b_start, off[:-1], cap)
+        b_e = jnp.clip(b_e, 0, b_col.shape[0] - 1)
+        i = jnp.where(tvalid, i_raw, Vs)
         j = jnp.where(tvalid, b_col[b_e], jnp.int32(2**30))
         v = jnp.where(tvalid, val[a_id] * b_val[b_e], 0.0)
         i_s, j_s, v_s = jax.lax.sort((i, j, v), num_keys=2)
