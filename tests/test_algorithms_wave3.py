@@ -220,3 +220,31 @@ def test_spgemm_dense_strategy_matches_scipy():
     np.testing.assert_allclose(
         float(cnt.values[0]), float(want.data.sum()), rtol=1e-3
     )
+
+
+def test_spgemm_piecewise_expand_matches_gathers():
+    """_piecewise_expand (scatter+cumsum telescopes) must reproduce the
+    gather formulation i = rows[a_id], b_e = b_start[a_id] + t - off[a_id]
+    on irregular segments including empty ones."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.algorithms.spgemm import _piecewise_expand
+
+    rng = np.random.default_rng(5)
+    counts = rng.integers(0, 6, 40)
+    counts[[3, 7, 8, 20]] = 0  # runs of empty segments
+    off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    total = int(off[-1])
+    rows = np.sort(rng.integers(0, 30, 40)).astype(np.int32)
+    b_start = rng.integers(0, 1000, 40).astype(np.int32)
+
+    # oracle by direct per-product evaluation
+    a_id = np.searchsorted(off, np.arange(total), side="right") - 1
+    want_i = rows[a_id]
+    want_b = b_start[a_id] + np.arange(total) - off[a_id]
+
+    i, b_e = _piecewise_expand(
+        jnp.asarray(rows), jnp.asarray(b_start), jnp.asarray(off[:-1]), total
+    )
+    np.testing.assert_array_equal(np.asarray(i), want_i)
+    np.testing.assert_array_equal(np.asarray(b_e), want_b)

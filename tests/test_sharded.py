@@ -212,3 +212,20 @@ def test_tc_ring_matches_networkx(sym_setup, mesh):
     assert all(got[v] == want[v] for v in G.nodes)
     c2, t2 = dalg.tc_replicated(g, mesh)
     np.testing.assert_array_equal(got, np.asarray(c2))
+
+
+def test_sharded_row_splits_match_segments(setup, mesh):
+    """The per-shard row splits must delimit exactly the sorted
+    (owner-local) edge segments — the cumsum-difference sum reduction in
+    _local_reduce depends on it."""
+    g, A, sg = setup
+    n, Vs = sg.n_shards, sg.v_per_shard
+    for prefix, per in (("d", sg.ed_per_shard), ("s", sg.es_per_shard)):
+        key = np.asarray(getattr(sg, f"{prefix}_{'dst' if prefix == 'd' else 'src'}_local")).reshape(n, per)
+        valid = np.asarray(getattr(sg, f"{prefix}_valid")).reshape(n, per)
+        splits = np.asarray(getattr(sg, f"{prefix}_row_splits")).reshape(n, Vs + 1)
+        for d in range(n):
+            want = np.concatenate(
+                [[0], np.cumsum(np.bincount(key[d][valid[d]], minlength=Vs))]
+            )
+            np.testing.assert_array_equal(splits[d], want)
