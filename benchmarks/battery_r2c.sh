@@ -36,3 +36,6 @@ run python benchmarks/ab_spgemm.py dense --scale 16 --block-rows 256
 
 # 3. headline refresh
 run python bench.py
+
+# 4. sort throughput (TC/ESC cost model; is the 2-pass radix trick faster?)
+run python benchmarks/probe_sort.py --sizes 1000000,10000000,100000000
