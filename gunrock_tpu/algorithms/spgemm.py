@@ -154,6 +154,7 @@ def _block_kernel(
     n_products,  # int32 scalar: actual products in this block
     total: int,  # static: product capacity of one block
     n_rows: int = 0,
+    count_only: bool = False,
 ):
     """One streamed ESC block: a row-aligned slice of the global product
     expansion. Fixed shapes — one executable serves every block (role of
@@ -190,6 +191,12 @@ def _block_kernel(
     )
     run_valid = first & (i_s < sent)
     n_runs = jnp.sum(run_valid.astype(jnp.int32))
+    if count_only:
+        # structure analysis needs no materialization: skip the three
+        # compaction scatters and the per-run segment sum entirely
+        # (scatters serialize at ~0.1 Gelem/s — they were most of the
+        # per-block cost); the checksum is just the product sum
+        return n_runs, jnp.sum(v_s)
     run = jnp.cumsum(first.astype(jnp.int32)) - 1
     vals = jax.ops.segment_sum(v_s, run, num_segments=total, indices_are_sorted=True)
     is_end = jnp.concatenate([first[1:], jnp.ones(1, bool)])
@@ -236,7 +243,10 @@ def _run_streaming(
     def get_fn(total):
         if total not in fns:
             fns[total] = jax.jit(
-                functools.partial(_block_kernel, total=total, n_rows=n_rows)
+                functools.partial(
+                    _block_kernel, total=total, n_rows=n_rows,
+                    count_only=count_only,
+                )
             )
         return fns[total]
 
@@ -253,24 +263,67 @@ def _run_streaming(
         (int(exp_row[r1] - exp_row[r0]), bi, r0, r1)
         for bi, (r0, r1) in enumerate(blocks)
     ]
-    order = [x for x in sized if x[0] <= budget] + sorted(
-        x for x in sized if x[0] > budget
-    )
-    for n_products, bi, r0, r1 in order:
+    normal = [x for x in sized if x[0] <= budget]
+    oversized = sorted(x for x in sized if x[0] > budget)
+
+    def padded_off(r0, r1):
         e0, e1 = int(a_offsets[r0]), int(a_offsets[r1])
-        total = budget if n_products <= budget else next_pow2(n_products)
         off = (exp_offsets[e0 : e1 + 1] - exp_offsets[e0]).astype(np.int32)
-        off = np.concatenate(
+        return np.concatenate(
             [off, np.full(n_edges_pad - (e1 - e0), off[-1], np.int32)]
         )
-        rows, cols, vals, n_runs, csum = get_fn(total)(
+
+    if count_only and normal:
+        # ONE dispatch for all budget-sized blocks: the block loop runs
+        # as a device fori_loop over stacked per-block metadata (the
+        # host loop paid ~10-50 ms tunnel dispatch per block)
+        offs2d = np.stack([padded_off(r0, r1) for _, _, r0, r1 in normal])
+        e0s = np.asarray([int(a_offsets[r0]) for _, _, r0, _ in normal], np.int32)
+        nps = np.asarray([p for p, _, _, _ in normal], np.int32)
+
+        def fused(ar, ac, av, bo, bc, bv, offs, e0v, npv):
+            def body(b, carry):
+                nnz_acc, cs_acc = carry
+                n_runs, cs = _block_kernel(
+                    ar, ac, av, bo, bc, bv, offs[b], e0v[b], npv[b],
+                    total=budget, n_rows=n_rows, count_only=True,
+                )
+                return nnz_acc + n_runs, cs_acc + cs
+
+            return jax.lax.fori_loop(
+                0, len(normal), body, (jnp.int32(0), jnp.float32(0.0))
+            )
+
+        nnz_f, cs_f = jax.jit(fused)(
+            ar_g, ac_g, av_g, B.row_offsets, B.col_indices, B.values,
+            jnp.asarray(offs2d), jnp.asarray(e0s), jnp.asarray(nps),
+        )
+        nnz_parts.append(nnz_f)
+        csum_parts.append(cs_f)
+        normal = []
+
+    # group by executable: every budget-sized block first, THEN the rare
+    # oversized rows — interleaving executables pays the axon
+    # executable-switch rebinding penalty (~0.6 s/call) on every
+    # subsequent call of the hot one. C rows are block-disjoint so
+    # execution order is free; materializing output is reassembled in
+    # plan order below (Result.to_csr assumes row-sorted triples).
+    for n_products, bi, r0, r1 in normal + oversized:
+        e0 = int(a_offsets[r0])
+        total = budget if n_products <= budget else next_pow2(n_products)
+        out = get_fn(total)(
             ar_g, ac_g, av_g,
             B.row_offsets, B.col_indices, B.values,
-            jnp.asarray(off), jnp.int32(e0), jnp.int32(n_products),
+            jnp.asarray(padded_off(r0, r1)), jnp.int32(e0),
+            jnp.int32(n_products),
         )
         # defer every device->host read: an int(n_runs) here would sync
         # the tunnel once per block (~seconds each — measured 130 s for
         # the whole s16 product, vs one final sync)
+        if count_only:
+            n_runs, csum = out
+        else:
+            rows, cols, vals, n_runs, csum = out
         nnz_parts.append(n_runs)
         csum_parts.append(csum)
         if not count_only:
