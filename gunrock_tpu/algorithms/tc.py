@@ -205,17 +205,19 @@ def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     starts with the (unique) DAG edge iff the wedge closes a triangle.
     No per-probe gathers; one N log N sort + two linear passes.
 
-    The third sort operand packs the edge/wedge flag AND the wedge apex
-    into one array (edges -> 0, wedges -> apex+1): edges still sort
-    first within an (a, b) run, and the sort carries 3 arrays instead
-    of 5 — sort time is payload-bandwidth-bound on TPU.
+    The second key packs b WITH the edge/wedge flag in the low bit
+    (b*2 + is_wedge < 2^31 for any V <= 2^30): edges still sort first
+    within an (a, b) run, and the sort runs with 2 keys + 1 payload
+    (apex+1 for wedges) instead of 5 operands — sort time is
+    payload-bandwidth- and key-count-bound on TPU.
     Role of reference csr.hxx:116-173 ``get_intersection_count``."""
     E = eu.shape[0]
     a = jnp.concatenate([eu, wv])
-    b = jnp.concatenate([ev, ww])
+    bt = jnp.concatenate([ev * 2, ww * 2 + 1])
     tag = jnp.concatenate([jnp.zeros(E, jnp.int32), wu + 1])
-    a_s, b_s, tag_s = jax.lax.sort((a, b, tag), num_keys=3)
-    e_s = (tag_s == 0).astype(jnp.int32)
+    a_s, bt_s, tag_s = jax.lax.sort((a, bt, tag), num_keys=2)
+    b_s = bt_s >> 1
+    e_s = jnp.where((bt_s & 1) == 0, 1, 0)
     u_s = tag_s - 1
     is_start = jnp.concatenate(
         [
@@ -255,13 +257,15 @@ def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
 def tc_total_sortjoin(eu, ev, wv, ww, wu):
     """Total-only sort-join TC (no per-vertex scatters): sort + two linear
     passes + one reduction — the fastest path when only the triangle
-    count is needed."""
+    count is needed. The edge/wedge flag packs into b's low bit, so the
+    sort is 2 keys / 2 operands (was 3/3)."""
+    del wu
     E = eu.shape[0]
     a = jnp.concatenate([eu, wv])
-    b = jnp.concatenate([ev, ww])
-    tag = jnp.concatenate([jnp.zeros(E, jnp.int32), jnp.ones(wv.shape[0], jnp.int32)])
-    a_s, b_s, tag_s = jax.lax.sort((a, b, tag), num_keys=3)
-    e_s = (tag_s == 0).astype(jnp.int32)
+    bt = jnp.concatenate([ev * 2, ww * 2 + 1])
+    a_s, bt_s = jax.lax.sort((a, bt), num_keys=2)
+    b_s = bt_s >> 1
+    e_s = jnp.where((bt_s & 1) == 0, 1, 0)
     is_start = jnp.concatenate(
         [jnp.ones(1, bool), (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
     )
