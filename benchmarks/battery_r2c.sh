@@ -39,3 +39,9 @@ run python bench.py
 
 # 4. sort throughput (TC/ESC cost model; is the 2-pass radix trick faster?)
 run python benchmarks/probe_sort.py --sizes 1000000,10000000,100000000
+
+# 5. TC sort-join after 2-key/low-bit packing (was 3.70 s at s18 3-key/3-op)
+run python benchmarks/ab_tc.py total --scale 16
+run python benchmarks/ab_tc.py counts --scale 16
+run python benchmarks/ab_tc.py total --scale 18
+run python benchmarks/ab_tc.py counts --scale 18
