@@ -28,7 +28,6 @@ def main():
     ns = p.parse_args()
 
     from gunrock_tpu.algorithms.tc import (
-        _undirected_degrees,
         build_dag,
         build_wedges,
         tc_kernel_sortjoin,
@@ -37,10 +36,8 @@ def main():
     from gunrock_tpu.io.generators import rmat_graph
 
     graph = rmat_graph(scale=ns.scale, edge_factor=16, seed=1)
-    dag_offsets, dag_adj, edge_u, edge_v = build_dag(graph)
-    wv, ww, wu = build_wedges(
-        dag_offsets, dag_adj, edge_u, edge_v, _undirected_degrees(graph)
-    )
+    dag_offsets, dag_adj, edge_u, edge_v, udeg = build_dag(graph)
+    wv, ww, wu = build_wedges(dag_offsets, dag_adj, edge_u, edge_v, udeg)
     eu, ev = jnp.asarray(edge_u), jnp.asarray(edge_v)
     wvj, wwj, wuj = jnp.asarray(wv), jnp.asarray(ww), jnp.asarray(wu)
 

@@ -18,6 +18,7 @@ independent-set argument is exact.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 
 import jax
@@ -151,13 +152,20 @@ def color_kernel_rank(
         src = jnp.concatenate([src, graph.csc_dst])
         dst = jnp.concatenate([dst, graph.csc_rows])
     not_loop = src != dst
+    # src is CSR-sorted only when no CSC mirror was concatenated
+    sorted_src = bool(graph.properties.symmetric)
 
     def seg_sum(vals):
-        return jax.ops.segment_sum(vals, src, num_segments=V)
+        return jax.ops.segment_sum(
+            vals, src, num_segments=V, indices_are_sorted=sorted_src
+        )
 
     def seg_max(vals, init):
         return jnp.maximum(
-            jax.ops.segment_max(vals, src, num_segments=V), init
+            jax.ops.segment_max(
+                vals, src, num_segments=V, indices_are_sorted=sorted_src
+            ),
+            init,
         )
 
     def cond(c):
@@ -173,10 +181,13 @@ def color_kernel_rank(
         ).astype(jnp.int32)
         mr = seg_max(jnp.where(higher, rank[dst], -1), -1)
         mr = jnp.where(unc, mr, V + 10)
+        # strict dominance alone is sound AND live: two adjacent
+        # same-rank vertices can never both pass (the higher-priority one
+        # bounds the other's mr), and the global max-priority uncolored
+        # vertex always passes (mr = -1). A priority tie-break on
+        # rank == mr is provably dead: the rank-maximizing neighbor has
+        # strictly greater priority, so prio > mp can never hold.
         col_now = unc & (rank > mr)
-        eq = higher & (rank[dst] == rank[src])
-        mp = seg_max(jnp.where(eq, prio[dst], -1), -1)
-        col_now = col_now | (unc & (rank == mr) & (prio > mp))
         # compact: only burn the distinct ranks actually used this round
         used = (
             jnp.zeros(R, jnp.int32)
@@ -415,6 +426,31 @@ def color_kernel_pallas(
     return colors, it
 
 
+@functools.lru_cache(maxsize=None)
+def _run_fn(kind: str, seed: int, ordering: str, interpret: bool):
+    """One hot jitted executable per configuration (see run())."""
+    if kind == "rank_pallas":
+        return jax.jit(
+            lambda g, lay: color_kernel_rank_pallas(
+                g, layout=lay, interpret=interpret
+            )
+        )
+    if kind == "rank_xla":
+        return jax.jit(
+            lambda g, lay: color_kernel_rank(g, seed=seed, ordering=ordering)
+        )
+    if kind == "luby_pallas":
+        return jax.jit(
+            lambda g, lay: color_kernel_pallas(
+                g, seed=seed, layout=lay, interpret=interpret,
+                ordering=ordering,
+            )
+        )
+    return jax.jit(
+        lambda g, lay: color_kernel(g, seed=seed, ordering=ordering)
+    )
+
+
 def run(
     graph: Graph,
     seed: int = 0,
@@ -427,45 +463,35 @@ def run(
 
     ``strategy``: "luby" (reference parity — 2 colors/round via max+min
     independent sets) or "rank" (multi-color rank JP: ~4x fewer rounds
-    for ~1.35x more colors; see color_kernel_rank)."""
+    for ~1.35x more colors; see color_kernel_rank). NOTE: the Pallas
+    rank path bakes static inverse-vertex-id priorities into the layout
+    (that staticness IS the speedup) — it therefore ignores ``seed`` and
+    ``ordering``; relabel the graph (graph/reorder.py) to change them."""
     from gunrock_tpu.ops.configs import LoadBalance, default_options
 
     if options is None:
         options = default_options()
-    if strategy == "rank":
-        if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
-            from gunrock_tpu.ops.pallas import use_interpret
-
-            interpret = use_interpret()
-            layout = _rank_color_layout(graph, interpret)
-            fn = jax.jit(
-                lambda g, lay: color_kernel_rank_pallas(
-                    g, layout=lay, interpret=interpret
-                )
-            )
-        else:
-            layout = None
-            fn = jax.jit(
-                lambda g, lay: color_kernel_rank(g, seed=seed, ordering=ordering)
-            )
-    elif options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+    pallas = options.load_balance == LoadBalance.PALLAS_MERGE_PATH
+    if pallas:
         from gunrock_tpu.ops.pallas import use_interpret
 
         interpret = use_interpret()
-        layout = _color_layout(graph, interpret)
-        # layout as jit argument (closure would bake it into the HLO,
-        # overflowing the axon remote-compile payload on big graphs)
-        fn = jax.jit(
-            lambda g, lay: color_kernel_pallas(
-                g, seed=seed, layout=lay, interpret=interpret,
-                ordering=ordering,
-            )
+        layout = (
+            _rank_color_layout(graph, interpret)
+            if strategy == "rank"
+            else _color_layout(graph, interpret)
         )
     else:
+        interpret = False
         layout = None
-        fn = jax.jit(
-            lambda g, lay: color_kernel(g, seed=seed, ordering=ordering)
-        )
+    kind = ("rank" if strategy == "rank" else "luby") + (
+        "_pallas" if pallas else "_xla"
+    )
+    # jitted executables cached per (kind, seed, ordering, interpret) —
+    # a fresh jit(lambda) per call would recompile every run (~90 s over
+    # the axon tunnel); layout stays a jit ARGUMENT (a closure would
+    # bake it into the HLO, overflowing the remote-compile payload)
+    fn = _run_fn(kind, seed, ordering, interpret)
     if warmup:
         jax.block_until_ready(fn(graph, layout))
     t0 = time.perf_counter()

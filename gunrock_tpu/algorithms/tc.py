@@ -51,9 +51,12 @@ class Result:
 def build_dag(graph: Graph):
     """Degree-ordered DAG orientation (host side, numpy).
 
-    Returns (offsets int32[V+1], adj int32[E_dag], edge_u, edge_v) where
-    ``adj`` rows are ascending (inherited from CSR column order) and
-    (edge_u, edge_v) enumerate DAG edges in CSR order.
+    Returns (offsets int32[V+1], adj int32[E_dag], edge_u, edge_v, deg)
+    where ``adj`` rows are ascending (inherited from CSR column order),
+    (edge_u, edge_v) enumerate DAG edges in CSR order, and ``deg`` is the
+    symmetrized simple-graph degree the orientation ranked by (returned
+    so callers need not re-symmetrize — a second full scipy maximum(A.T)
+    pass costs seconds at scale 20).
     """
     offsets = hostcache.host(graph, "row_offsets")
     cols = hostcache.host(graph, "col_indices")
@@ -82,24 +85,7 @@ def build_dag(graph: Graph):
     np.add.at(dag_deg, edge_u, 1)
     dag_offsets = np.zeros(graph.n_vertices + 1, dtype=np.int32)
     np.cumsum(dag_deg, out=dag_offsets[1:])
-    return dag_offsets, edge_v.copy(), edge_u, edge_v
-
-
-def _undirected_degrees(graph: Graph):
-    """Degrees of the (symmetrized) simple graph — the rank key build_dag
-    orients by."""
-    src = hostcache.host(graph, "edge_src")
-    cols = hostcache.host(graph, "col_indices")
-    if not graph.properties.symmetric:
-        import scipy.sparse as sp
-
-        V = graph.n_vertices
-        A = sp.csr_matrix(
-            (np.ones(src.shape[0], np.int8), (src, cols)), shape=(V, V)
-        )
-        A = A.maximum(A.T)
-        return np.diff(A.indptr).astype(np.int64)
-    return np.diff(hostcache.host(graph, "row_offsets")).astype(np.int64)
+    return dag_offsets, edge_v.copy(), edge_u, edge_v, np.asarray(deg, np.int64)
 
 
 def _search_steps(max_len: int) -> int:
@@ -301,7 +287,7 @@ def run(
     del options
     from gunrock_tpu.ops.pallas.layout import cached_layout
 
-    dag_offsets, dag_adj, edge_u, edge_v = cached_layout(
+    dag_offsets, dag_adj, edge_u, edge_v, udeg = cached_layout(
         graph.col_indices, lambda: build_dag(graph), ("tc_dag",)
     )
     if method == "sortjoin":
@@ -314,8 +300,7 @@ def run(
                     jnp.asarray(x)
                     for x in (edge_u, edge_v)
                     + build_wedges(
-                        dag_offsets, dag_adj, edge_u, edge_v,
-                        _undirected_degrees(graph),
+                        dag_offsets, dag_adj, edge_u, edge_v, udeg
                     )
                 ),
                 ("tc_wedges",),

@@ -62,6 +62,15 @@ def build_bucketed_layout(
     values = np.asarray(values, dtype=np.float32)
     n_rb = -(-n_vertices // window)
     n_cb = -(-n_vertices // window)
+    # the kernels pack chunk metadata as rb*65536 + cb in int32 — beyond
+    # these bounds the packing would silently route chunks to wrong
+    # blocks (auto_window_chunk keeps V/W <= 256, far below the limit)
+    if n_rb > 32768 or n_cb > 65536:
+        raise ValueError(
+            f"window {window} too small for {n_vertices} vertices: "
+            f"{n_rb}x{n_cb} blocks overflows the int32 rb*65536+cb "
+            f"chunk-metadata packing (max 32768x65536)"
+        )
     rb = rows // window
     cb = cols // window
     # sort edges by (rb, cb) — np.lexsort: last key is primary

@@ -261,9 +261,6 @@ def _default_version() -> int:
     return int(os.environ.get("GUNROCK_SEMIRING_KERNEL", "1"))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("semiring", "interpret", "version")
-)
 def bucketed_semiring_spmv(
     layout: BucketedEdges,
     x: jax.Array,
@@ -273,9 +270,27 @@ def bucketed_semiring_spmv(
 ):
     """Generalized y = A (x) over the bucketed layout. For ``min_plus``
     the layout must be built with ``pad_value=inf`` (see
-    ``layout_for_graph``); results >= _BIG mean 'no edge' (+inf)."""
+    ``layout_for_graph``); results >= _BIG mean 'no edge' (+inf).
+
+    ``version`` (or GUNROCK_SEMIRING_KERNEL) is resolved OUTSIDE the jit
+    cache: with the env read inside a trace keyed on version=None, an
+    in-process A/B that flips the env var between calls would silently
+    reuse the first executable."""
     if version is None:
         version = _default_version()
+    return _bucketed_semiring_spmv_impl(layout, x, semiring, interpret, version)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("semiring", "interpret", "version")
+)
+def _bucketed_semiring_spmv_impl(
+    layout: BucketedEdges,
+    x: jax.Array,
+    semiring: str,
+    interpret: bool,
+    version: int,
+):
     W, C = layout.window, layout.chunk
     assert W % 128 == 0, "window must be a multiple of 128"
     S = W // 128
@@ -372,35 +387,18 @@ def _make_sparse_kernel(semiring: str):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
-def bucketed_semiring_spmv_sparse(
-    layout: BucketedEdges,
-    x: jax.Array,
-    active: jax.Array,
-    semiring: str = "plus_times",
-    interpret: bool = False,
-    out_mask: jax.Array | None = None,
-):
-    """Frontier-sparse semiring advance: identical result contract to
-    :func:`bucketed_semiring_spmv` given that inactive vertices of ``x``
-    already carry the gather identity — but chunks whose source window
-    contains NO active vertex are skipped inside the grid, so per-
-    iteration cost tracks the frontier's spread instead of O(E).
-    ``active``: bool[V] mask of vertices whose x participates.
-    ``out_mask``: optional bool[V] mask of OUTPUT vertices the caller will
-    read — chunks whose destination window contains no masked vertex are
-    also skipped, and those rows return the semiring identity (direction-
-    optimized BFS's late levels: most vertices already reached, their
-    pull rows never recomputed)."""
+def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
+    """Shared device-side active-chunk selection + operand packing for
+    the frontier-sparse kernels (spmv_sparse and sparse_minmax must stay
+    byte-identical here — any divergence silently changes which chunks
+    run). Returns (ch_act, call_args, in_specs, out_block_spec)."""
     W, C = layout.window, layout.chunk
     S = W // 128
     n_chunks = layout.n_chunks
     n_cb = layout.n_col_blocks
     n_rb = layout.n_row_blocks
     V = layout.n_vertices
-    ident, _ = _SEMIRINGS[semiring]
 
-    # --- device-side active-chunk selection (stable order) ---
     act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
     act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
     ch_act = act_cb[layout.chunk_cb]
@@ -424,26 +422,66 @@ def bucketed_semiring_spmv_sparse(
     row2 = layout.row_local.reshape(n_chunks, 1, C)
     col2 = layout.col_local.reshape(n_chunks, 1, C)
     val2 = layout.values.reshape(n_chunks, 1, C)
+    call_args = (pk_r, perm, count.reshape(1), x3, row2, col2, val2)
+    in_specs = [
+        pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] % 65536, 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+    ]
+    out_block = pl.BlockSpec(
+        (1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)
+    )
+    return ch_act, call_args, in_specs, out_block
 
+
+@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+def bucketed_semiring_spmv_sparse(
+    layout: BucketedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    semiring: str = "plus_times",
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+):
+    """Frontier-sparse semiring advance: identical result contract to
+    :func:`bucketed_semiring_spmv` given that inactive vertices of ``x``
+    already carry the gather identity — but chunks whose source window
+    contains NO active vertex are skipped inside the grid, so per-
+    iteration cost tracks the frontier's spread instead of O(E).
+    ``active``: bool[V] mask of vertices whose x participates.
+    ``out_mask``: optional bool[V] mask of OUTPUT vertices the caller will
+    read — chunks whose destination window contains no masked vertex are
+    also skipped, and those rows return the semiring identity (direction-
+    optimized BFS's late levels: most vertices already reached, their
+    pull rows never recomputed)."""
+    W = layout.window
+    S = W // 128
+    n_chunks = layout.n_chunks
+    n_rb = layout.n_row_blocks
+    V = layout.n_vertices
+    ident, _ = _SEMIRINGS[semiring]
+    if n_chunks == 0:
+        # edgeless layout: the selection below would index an empty
+        # cumsum; every row is the identity
+        fill = jnp.inf if semiring == "min_plus" else ident
+        return jnp.full(V, fill, jnp.float32)
+
+    ch_act, call_args, in_specs, out_block = _sparse_chunk_plan(
+        layout, x, active, out_mask
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] % 65536, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)
-        ),
+        in_specs=in_specs,
+        out_specs=out_block,
     )
     y3 = pl.pallas_call(
         _make_sparse_kernel(semiring),
         out_shape=jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pk_r, perm, count.reshape(1), x3, row2, col2, val2)
+    )(*call_args)
     # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
     rb_touched = (
         jnp.zeros(n_rb, bool)
@@ -516,50 +554,25 @@ def bucketed_semiring_spmv_sparse_minmax(
     val*x[col_e]) with the same chunk-skipping contract as
     :func:`bucketed_semiring_spmv_sparse`. ``y_min`` rows with no positive
     contribution return ``_BIG``. Requires x >= 0 (0 = inactive)."""
-    W, C = layout.window, layout.chunk
+    W = layout.window
     S = W // 128
     n_chunks = layout.n_chunks
-    n_cb = layout.n_col_blocks
     n_rb = layout.n_row_blocks
     V = layout.n_vertices
+    if n_chunks == 0:
+        return (
+            jnp.zeros(V, jnp.float32),
+            jnp.full(V, _BIG, jnp.float32),
+        )
 
-    act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
-    act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
-    ch_act = act_cb[layout.chunk_cb]
-    if out_mask is not None:
-        om_pad = jnp.zeros(n_rb * W, bool).at[:V].set(out_mask)
-        out_rb = jnp.any(om_pad.reshape(n_rb, W), axis=1)
-        ch_act = ch_act & out_rb[layout.chunk_rb]
-    pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
-    count = (pos[-1] + 1).astype(jnp.int32)
-    perm = (
-        jnp.zeros(n_chunks, jnp.int32)
-        .at[jnp.where(ch_act, pos, n_chunks)]
-        .set(jnp.arange(n_chunks, dtype=jnp.int32), mode="drop")
+    ch_act, call_args, in_specs, out_block = _sparse_chunk_plan(
+        layout, x, active, out_mask
     )
-    # packed (rb*65536 + cb), permuted active-first: one SMEM prefetch
-    # array instead of two (1 MB SMEM cap; see bucketed_semiring_spmv)
-    pk_r = (layout.chunk_rb * 65536 + layout.chunk_cb)[perm]
-
-    x_pad = jnp.full(n_cb * W, 0.0, jnp.float32).at[:V].set(x)
-    x3 = x_pad.reshape(n_cb, S, 128)
-    row2 = layout.row_local.reshape(n_chunks, 1, C)
-    col2 = layout.col_local.reshape(n_chunks, 1, C)
-    val2 = layout.values.reshape(n_chunks, 1, C)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] % 65536, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)),
-            pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)),
-        ),
+        in_specs=in_specs,
+        out_specs=(out_block, out_block),
     )
     ymax3, ymin3 = pl.pallas_call(
         _sparse_minmax_kernel(),
@@ -569,7 +582,7 @@ def bucketed_semiring_spmv_sparse_minmax(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pk_r, perm, count.reshape(1), x3, row2, col2, val2)
+    )(*call_args)
     rb_touched = (
         jnp.zeros(n_rb, bool)
         .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
@@ -586,6 +599,7 @@ def pull_layout(
     chunk: int | None = None,
     pad_value: float = 0.0,
     unit: bool = False,
+    interpret: bool | None = None,
 ):
     """Bucketed layout of the TRANSPOSED edge set (rows=dst, cols=src):
     pull advance — y[dst] = reduce over in-edges of f(x[src], w).
@@ -594,11 +608,15 @@ def pull_layout(
     with the graph). Window/chunk default to the SMEM-safe chunk-count
     escalation (layout.build_auto_layout)."""
     from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas import use_interpret
     from gunrock_tpu.ops.pallas.layout import (
         build_auto_layout,
         build_bucketed_layout,
         cached_layout,
     )
+
+    if interpret is None:
+        interpret = use_interpret()
 
     def build():
         rows = hostcache.host(graph, "col_indices")  # rows = destinations
@@ -610,7 +628,8 @@ def pull_layout(
         )
         if window is None or chunk is None:
             return build_auto_layout(
-                rows, cols, vals, graph.n_vertices, pad_value=pad_value
+                rows, cols, vals, graph.n_vertices, pad_value=pad_value,
+                interpret=interpret,
             )
         return build_bucketed_layout(
             rows, cols, vals, graph.n_vertices,

@@ -59,7 +59,7 @@ def tc_replicated(graph, mesh):
     V = graph.n_vertices
     axis = mesh.axis_names[0]
     n_dev = mesh.size
-    dag_offsets, dag_adj, edge_u, edge_v = build_dag(graph)
+    dag_offsets, dag_adj, edge_u, edge_v, _udeg = build_dag(graph)
     D = int(np.diff(dag_offsets).max()) if dag_adj.size else 1
     steps = _search_steps(D)
     E_dag = edge_u.shape[0]

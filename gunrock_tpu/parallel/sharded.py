@@ -1103,7 +1103,7 @@ def tc_ring(graph: Graph, mesh):
     axis = mesh.axis_names[0]
     n = mesh.size
     Vs = -(-max(V, 1) // n)
-    dag_offsets, dag_adj, edge_u, edge_v = build_dag(graph)
+    dag_offsets, dag_adj, edge_u, edge_v, _udeg = build_dag(graph)
     deg = np.diff(dag_offsets)
     D = int(deg.max()) if dag_adj.size else 1
     steps = _search_steps(D)

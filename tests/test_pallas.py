@@ -332,3 +332,32 @@ def test_hostcache_registered_and_fallback():
     vals2 = hostcache.host(g, "csc_values")
     np.testing.assert_array_equal(vals2, np.asarray(g.csc_values))
     assert hostcache.host(g, "csc_values") is vals2
+
+
+def test_sparse_kernels_zero_chunk_layout():
+    """An edgeless layout (n_chunks == 0) must return semiring identities
+    instead of indexing an empty cumsum (regression: IndexError in the
+    active-chunk selection)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.semiring import (
+        _BIG,
+        bucketed_semiring_spmv_sparse,
+        bucketed_semiring_spmv_sparse_minmax,
+    )
+
+    V = 16
+    layout = build_bucketed_layout(
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float32),
+        V, window=128, chunk=256,
+    )
+    x = jnp.ones(V, jnp.float32)
+    act = jnp.ones(V, bool)
+    y = bucketed_semiring_spmv_sparse(layout, x, act, "plus_times", interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), np.zeros(V, np.float32))
+    y = bucketed_semiring_spmv_sparse(layout, x, act, "min_plus", interpret=True)
+    assert np.isinf(np.asarray(y)).all()
+    ymax, ymin = bucketed_semiring_spmv_sparse_minmax(layout, x, act, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ymax), 0.0)
+    np.testing.assert_array_equal(np.asarray(ymin), np.float32(_BIG))
