@@ -360,6 +360,216 @@ def color_kernel_rank_pallas(
     return colors, it
 
 
+def _greedy_color_setup(graph: Graph, interpret: bool):
+    """(layout, rank) for spec-greedy coloring: the higher-priority-valued
+    symmetrized layout (shared with rank-JP, see _rank_color_layout) plus
+    the STATIC per-vertex outranking-degree rank[v] = #{u ~ v : u < v},
+    host-computed once per graph (priorities are the inverse vertex-id
+    order, so rank is a property of the labeling, not of the run)."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas.layout import cached_layout
+
+    layout = _rank_color_layout(graph, interpret)
+
+    def build_rank():
+        src = hostcache.host(graph, "edge_src")
+        dst = hostcache.host(graph, "col_indices")
+        if not graph.properties.symmetric:
+            src, dst = (
+                np.concatenate([src, dst]),
+                np.concatenate([dst, src]),
+            )
+        higher = (dst < src) & (src != dst)
+        return jnp.asarray(
+            np.bincount(src[higher], minlength=graph.n_vertices).astype(
+                np.int32
+            )
+        )
+
+    rank = cached_layout(graph.col_indices, build_rank, ("color_greedy_rank",))
+    return layout, rank
+
+
+def color_kernel_greedy_pallas(
+    graph: Graph,
+    rank: jax.Array,
+    max_iterations: int | None = None,
+    layout=None,
+    interpret: bool | None = None,
+    K: int = 32,
+    phase_spread: bool = True,
+):
+    """Speculative greedy (windowed-mex) coloring — the TPU analog of
+    ECL-GC-style speculate-and-repair, with no reference counterpart
+    (the reference's Luby loop burns 2 colors/round, color.hxx:102-149).
+
+    Per round ONE frontier-sparse plus_times SpMM pass maintains
+    ``cnt[v, k]`` = #outranking neighbors of v with color base+k (the
+    ``higher`` predicate is baked into the layout values, as in rank-JP):
+    the pass input is the signed one-hot DELTA of vertices whose color
+    changed last round, accumulated into the carried cnt — so per-round
+    cost tracks the change set, which collapses geometrically. Every
+    unstable vertex then takes the mex (first k with cnt==0); a colored
+    vertex whose own slot went positive is in conflict and immediately
+    re-takes the mex (its old slot is >0, so it never re-picks it). The
+    highest-priority vertex of any conflict never moves, so stability is
+    reached in <= longest-path rounds (measured: 73 rounds at s18 vs
+    rank-JP's 57, but ~11 full-pass equivalents vs 114, and 128 colors
+    vs 831 — benchmarks/sim_color_greedy.py).
+
+    Colors live in windows of K: when a phase stalls with uncolored
+    (window-saturated) vertices, base advances by K, cnt resets to zero,
+    and (``phase_spread``) the residual dense core seeds the new window
+    at rank % K instead of thundering onto one color.
+
+    Deterministic (priority = inverse vertex id; relabel the graph to
+    change it). Requires V < 2^24 (cnt counts ride exact f32).
+    Returns (colors, iterations)."""
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm_sparse
+
+    V = graph.n_vertices
+    max_it = 4 * V if max_iterations is None else max_iterations
+    if interpret is None:
+        interpret = use_interpret()
+    if layout is None:
+        layout, rank = _greedy_color_setup(graph, interpret)
+    lanes_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    colors0 = jnp.minimum(rank, K - 1)  # rank-init tentative coloring
+    old0 = jnp.full(V, INVALID_COLOR, jnp.int32)
+    changed0 = jnp.ones(V, bool)
+    cnt0 = jnp.zeros((V, K), jnp.float32)
+
+    def onehot_inwin(cols, base, mask):
+        inwin = (cols >= base) & (cols < base + K)
+        koff = jnp.clip(cols - base, 0, K - 1)
+        return ((koff[:, None] == lanes_k) & (inwin & mask)[:, None]).astype(
+            jnp.float32
+        ), inwin
+
+    def cond(c):
+        it, base, colors, old, changed, cnt = c
+        return (
+            jnp.any(changed) | jnp.any(colors == INVALID_COLOR)
+        ) & (it < max_it)
+
+    def body(c):
+        it, base, colors, old, changed, cnt = c
+        unc = colors == INVALID_COLOR
+        oh_new, inwin = onehot_inwin(colors, base, changed)
+        oh_old, _ = onehot_inwin(old, base, changed)
+        x = oh_new - oh_old  # signed one-hot delta, bf16-exact
+        unstable = unc | inwin
+        cnt = cnt + bucketed_spmm_sparse(
+            layout, x, changed, interpret=interpret, out_mask=unstable,
+            exact=True,
+        )
+        koff = jnp.clip(colors - base, 0, K - 1)
+        cnt_own = jnp.sum(
+            cnt * ((koff[:, None] == lanes_k) & inwin[:, None]), axis=1
+        )
+        conflict = inwin & (cnt_own > 0)
+        cand = unc | conflict
+        free = cnt == 0
+        mex = jnp.where(
+            jnp.any(free, axis=1), jnp.argmax(free, axis=1), K
+        ).astype(jnp.int32)
+        take = cand & (mex < K)
+        new_colors = jnp.where(conflict, INVALID_COLOR, colors)
+        new_colors = jnp.where(take, base + mex, new_colors)
+        changed_new = new_colors != colors
+        unc2 = new_colors == INVALID_COLOR
+        stall = ~jnp.any(changed_new) & jnp.any(unc2)
+        base_next = base + jnp.where(stall, K, 0)
+        if phase_spread:
+            seed = base_next + rank % K
+            colors_next = jnp.where(stall & unc2, seed, new_colors)
+            changed_next = jnp.where(stall, unc2, changed_new)
+        else:
+            colors_next = new_colors
+            changed_next = jnp.where(stall, False, changed_new)
+        cnt_next = jnp.where(stall, 0.0, cnt)
+        return it + 1, base_next, colors_next, colors, changed_next, cnt_next
+
+    it, _, colors, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), colors0, old0, changed0, cnt0)
+    )
+    return colors, it
+
+
+def color_kernel_greedy(
+    graph: Graph,
+    max_iterations: int | None = None,
+    K: int = 32,
+    phase_spread: bool = True,
+):
+    """XLA reference body for spec-greedy coloring (same update rules as
+    color_kernel_greedy_pallas, cnt recomputed per round via scatter-add
+    — the oracle path for CPU tests and non-Pallas options). Jittable:
+    the outranking predicate masks scatter weights instead of compacting
+    the edge list. Returns (colors, iterations)."""
+    V = graph.n_vertices
+    max_it = 4 * V if max_iterations is None else max_iterations
+    hsrc, hdst = graph.edge_src, graph.col_indices
+    if not graph.properties.symmetric:
+        hsrc = jnp.concatenate([hsrc, graph.csc_dst])
+        hdst = jnp.concatenate([hdst, graph.csc_rows])
+    higher = (hdst < hsrc) & (hsrc != hdst)
+    rank = jax.ops.segment_sum(
+        higher.astype(jnp.int32), hsrc, num_segments=V
+    )
+    lanes_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    colors0 = jnp.minimum(rank, K - 1)
+
+    def cond(c):
+        it, base, colors, changed = c
+        return (changed | jnp.any(colors == INVALID_COLOR)) & (it < max_it)
+
+    def body(c):
+        it, base, colors, _ = c
+        unc = colors == INVALID_COLOR
+        nc = colors[hdst]
+        n_inwin = (nc >= base) & (nc < base + K)
+        cnt = (
+            jnp.zeros((V, K), jnp.int32)
+            .at[hsrc, jnp.clip(nc - base, 0, K - 1)]
+            .add((n_inwin & higher).astype(jnp.int32))
+        )
+        inwin = (colors >= base) & (colors < base + K)
+        koff = jnp.clip(colors - base, 0, K - 1)
+        cnt_own = jnp.sum(
+            cnt * ((koff[:, None] == lanes_k) & inwin[:, None]), axis=1
+        )
+        conflict = inwin & (cnt_own > 0)
+        cand = unc | conflict
+        free = cnt == 0
+        mex = jnp.where(
+            jnp.any(free, axis=1), jnp.argmax(free, axis=1), K
+        ).astype(jnp.int32)
+        take = cand & (mex < K)
+        new_colors = jnp.where(conflict, INVALID_COLOR, colors)
+        new_colors = jnp.where(take, base + mex, new_colors)
+        any_changed = jnp.any(new_colors != colors)
+        unc2 = new_colors == INVALID_COLOR
+        stall = ~any_changed & jnp.any(unc2)
+        base_next = base + jnp.where(stall, K, 0)
+        if phase_spread:
+            seed = base_next + rank % K
+            colors_next = jnp.where(stall & unc2, seed, new_colors)
+            changed_next = any_changed | stall
+        else:
+            colors_next = new_colors
+            changed_next = any_changed
+        return it + 1, base_next, colors_next, changed_next
+
+    it, _, colors, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), colors0, jnp.bool_(True))
+    )
+    return colors, it
+
+
 def color_kernel_pallas(
     graph: Graph,
     seed: int = 0,
@@ -429,6 +639,14 @@ def color_kernel_pallas(
 @functools.lru_cache(maxsize=None)
 def _run_fn(kind: str, seed: int, ordering: str, interpret: bool):
     """One hot jitted executable per configuration (see run())."""
+    if kind == "greedy_pallas":
+        return jax.jit(
+            lambda g, lay, rank: color_kernel_greedy_pallas(
+                g, rank, layout=lay, interpret=interpret
+            )
+        )
+    if kind == "greedy_xla":
+        return jax.jit(lambda g, lay, rank: color_kernel_greedy(g))
     if kind == "rank_pallas":
         return jax.jit(
             lambda g, lay: color_kernel_rank_pallas(
@@ -462,39 +680,45 @@ def run(
     """Role of reference ``color::run`` (color.hxx:167-186).
 
     ``strategy``: "luby" (reference parity — 2 colors/round via max+min
-    independent sets) or "rank" (multi-color rank JP: ~4x fewer rounds
-    for ~1.35x more colors; see color_kernel_rank). NOTE: the Pallas
-    rank path bakes static inverse-vertex-id priorities into the layout
-    (that staticness IS the speedup) — it therefore ignores ``seed`` and
-    ``ordering``; relabel the graph (graph/reorder.py) to change them."""
+    independent sets), "rank" (multi-color rank JP: ~4x fewer rounds
+    for ~1.35x more colors; see color_kernel_rank), or "greedy"
+    (speculative windowed-mex greedy: ~10x fewer heavy passes AND ~6-8x
+    fewer colors than rank; see color_kernel_greedy_pallas). NOTE: the
+    Pallas rank/greedy paths bake static inverse-vertex-id priorities
+    into the layout (that staticness IS the speedup) — they therefore
+    ignore ``seed`` and ``ordering``; relabel the graph
+    (graph/reorder.py) to change them."""
     from gunrock_tpu.ops.configs import LoadBalance, default_options
 
     if options is None:
         options = default_options()
     pallas = options.load_balance == LoadBalance.PALLAS_MERGE_PATH
+    rank = None
     if pallas:
         from gunrock_tpu.ops.pallas import use_interpret
 
         interpret = use_interpret()
-        layout = (
-            _rank_color_layout(graph, interpret)
-            if strategy == "rank"
-            else _color_layout(graph, interpret)
-        )
+        if strategy == "greedy":
+            layout, rank = _greedy_color_setup(graph, interpret)
+        elif strategy == "rank":
+            layout = _rank_color_layout(graph, interpret)
+        else:
+            layout = _color_layout(graph, interpret)
     else:
         interpret = False
         layout = None
-    kind = ("rank" if strategy == "rank" else "luby") + (
-        "_pallas" if pallas else "_xla"
-    )
+    if strategy not in ("luby", "rank", "greedy"):
+        raise ValueError(f"unknown coloring strategy {strategy!r}")
+    kind = strategy + ("_pallas" if pallas else "_xla")
     # jitted executables cached per (kind, seed, ordering, interpret) —
     # a fresh jit(lambda) per call would recompile every run (~90 s over
     # the axon tunnel); layout stays a jit ARGUMENT (a closure would
     # bake it into the HLO, overflowing the remote-compile payload)
     fn = _run_fn(kind, seed, ordering, interpret)
+    args = (graph, layout) + ((rank,) if strategy == "greedy" else ())
     if warmup:
-        jax.block_until_ready(fn(graph, layout))
+        jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    colors, it = jax.block_until_ready(fn(graph, layout))
+    colors, it = jax.block_until_ready(fn(*args))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return Result(colors=colors, iterations=int(it), elapsed_ms=elapsed_ms)

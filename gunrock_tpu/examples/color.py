@@ -15,9 +15,12 @@ def main(argv=None):
     params = parse(
         "color", argv,
         extra_args=[
-            (("--strategy",), dict(default="luby", choices=("luby", "rank"),
+            (("--strategy",), dict(default="luby",
+             choices=("luby", "rank", "greedy"),
              help="luby = reference-parity 2-colors/round; rank = "
-             "multi-color rank JP (~4x fewer rounds, ~1.35x more colors)")),
+             "multi-color rank JP (~4x fewer rounds, ~1.35x more colors); "
+             "greedy = speculative windowed-mex (fewest passes AND "
+             "fewest colors; deterministic)")),
         ],
     )
     graph, _ = runner.load(params)

@@ -387,13 +387,12 @@ def _make_sparse_kernel(semiring: str):
     return kernel
 
 
-def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
-    """Shared device-side active-chunk selection + operand packing for
-    the frontier-sparse kernels (spmv_sparse and sparse_minmax must stay
-    byte-identical here — any divergence silently changes which chunks
-    run). Returns (ch_act, call_args, in_specs, out_block_spec)."""
-    W, C = layout.window, layout.chunk
-    S = W // 128
+def _sparse_chunk_select(layout: BucketedEdges, active, out_mask):
+    """Device-side active-chunk selection shared by every frontier-sparse
+    kernel (SpMV, minmax, SpMM): a chunk runs iff its SOURCE window holds
+    an ``active`` vertex and (when given) its DEST window holds an
+    ``out_mask`` vertex. Returns (ch_act, pk_r, perm, count)."""
+    W = layout.window
     n_chunks = layout.n_chunks
     n_cb = layout.n_col_blocks
     n_rb = layout.n_row_blocks
@@ -416,6 +415,21 @@ def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
     # packed (rb*65536 + cb), permuted active-first: one SMEM prefetch
     # array instead of two (1 MB SMEM cap; see bucketed_semiring_spmv)
     pk_r = (layout.chunk_rb * 65536 + layout.chunk_cb)[perm]
+    return ch_act, pk_r, perm, count
+
+
+def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
+    """Shared device-side active-chunk selection + operand packing for
+    the frontier-sparse kernels (spmv_sparse and sparse_minmax must stay
+    byte-identical here — any divergence silently changes which chunks
+    run). Returns (ch_act, call_args, in_specs, out_block_spec)."""
+    W, C = layout.window, layout.chunk
+    S = W // 128
+    n_chunks = layout.n_chunks
+    n_cb = layout.n_col_blocks
+    V = layout.n_vertices
+
+    ch_act, pk_r, perm, count = _sparse_chunk_select(layout, active, out_mask)
 
     x_pad = jnp.full(n_cb * W, 0.0, jnp.float32).at[:V].set(x)
     x3 = x_pad.reshape(n_cb, S, 128)

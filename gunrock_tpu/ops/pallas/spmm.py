@@ -101,3 +101,149 @@ def bucketed_spmm(layout: BucketedEdges, x: jax.Array, interpret: bool = False):
     # Row windows no chunk maps to are never written — zero them out.
     y3 = jnp.where(layout.rb_occupied[:, None, None], y3, 0.0)
     return y3.reshape(-1, K)[:V]
+
+
+def _sparse_kernel(exact: bool):
+    """Chunk-skipping SpMM kernel. ``exact=True`` is the small-integer
+    fast path: x is a single bf16 operand (values in [-256, 256] are
+    bf16-exact, e.g. one-hot deltas), halving DMA and MXU work vs the
+    hi+lo split; accumulation stays f32 in VMEM either way."""
+
+    def kernel(pk_ref, perm_ref, cnt_ref, *refs):
+        if exact:
+            xh_ref, row_ref, col_ref, val_ref, y_ref = refs
+            xl_ref = None
+        else:
+            xh_ref, xl_ref, row_ref, col_ref, val_ref, y_ref = refs
+        i = pl.program_id(0)
+        active = i < cnt_ref[0]
+        first_visit = active & jnp.logical_or(
+            i == 0, pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536
+        )
+
+        @pl.when(first_visit)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        @pl.when(active)
+        def _():
+            C = row_ref.shape[-1]
+            W = xh_ref.shape[-2]
+            lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+            col = col_ref[0, 0, :]
+            row = row_ref[0, 0, :]
+            val = val_ref[0, 0, :]
+            col_mask = (col[:, None] == lanes_cw).astype(jnp.bfloat16)
+            xg = jnp.dot(col_mask, xh_ref[0], preferred_element_type=jnp.float32)
+            if not exact:
+                xg = xg + jnp.dot(
+                    col_mask, xl_ref[0], preferred_element_type=jnp.float32
+                )
+            msg = xg * val[:, None]  # [C, K] f32
+            lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+            row_mask_t = (row[None, :] == lanes_wc).astype(jnp.bfloat16)
+            mh = msg.astype(jnp.bfloat16)
+            y_add = jnp.dot(row_mask_t, mh, preferred_element_type=jnp.float32)
+            if not exact:
+                ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+                y_add = y_add + jnp.dot(
+                    row_mask_t, ml, preferred_element_type=jnp.float32
+                )
+            y_ref[0] = y_ref[0] + y_add
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "exact", "tail_grids")
+)
+def bucketed_spmm_sparse(
+    layout: BucketedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+    exact: bool = False,
+    tail_grids: tuple[int, ...] = (8, 64),
+):
+    """Frontier-sparse Y = A.X (plus_times): chunks whose source window
+    has no ``active`` vertex — or, with ``out_mask``, whose dest window
+    has no masked vertex — are skipped in-grid, so cost tracks the
+    frontier instead of O(E). Rows of skipped/untouched windows return 0,
+    making the result accumulation-safe (carry += spmm_sparse(delta)).
+
+    ``exact=True``: callers whose x values are bf16-exact small integers
+    (|x| <= 256 and integral, e.g. signed one-hot deltas) skip the hi+lo
+    f32-recovery split — half the DMA and half the MXU work.
+
+    ``tail_grids``: extra compiled grid sizes n_chunks//g; at call time
+    the smallest grid holding the active count runs (lax.cond picks it),
+    cutting the per-call floor of iterating 10k+ predicated-off slots
+    when the frontier has collapsed to a few windows."""
+    from gunrock_tpu.ops.pallas.semiring import _sparse_chunk_select
+
+    W, C = layout.window, layout.chunk
+    n_chunks = layout.n_chunks
+    n_cb = layout.n_col_blocks
+    n_rb = layout.n_row_blocks
+    V = layout.n_vertices
+    K = x.shape[1]
+    if n_chunks == 0:
+        return jnp.zeros((V, K), jnp.float32)
+
+    ch_act, pk_r, perm, count = _sparse_chunk_select(layout, active, out_mask)
+
+    x_pad = jnp.zeros((n_cb * W, K), jnp.float32).at[:V].set(x)
+    if exact:
+        x_ops = (x_pad.astype(jnp.bfloat16).reshape(n_cb, W, K),)
+    else:
+        xh, xl = _split_bf16(x_pad)
+        x_ops = (xh.reshape(n_cb, W, K), xl.reshape(n_cb, W, K))
+    row2 = layout.row_local.reshape(n_chunks, 1, C)
+    col2 = layout.col_local.reshape(n_chunks, 1, C)
+    val2 = layout.values.reshape(n_chunks, 1, C)
+    call_args = (pk_r, perm, count.reshape(1), *x_ops, row2, col2, val2)
+
+    x_spec = pl.BlockSpec((1, W, K), lambda i, pk, pm, ct: (pk[i] % 65536, 0, 0))
+    meta_spec = pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0))
+    in_specs = [x_spec] * len(x_ops) + [meta_spec] * 3
+    out_spec = pl.BlockSpec(
+        (1, W, K), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)
+    )
+
+    def call(grid):
+        return pl.pallas_call(
+            _sparse_kernel(exact),
+            out_shape=jax.ShapeDtypeStruct((n_rb, W, K), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(grid,),
+                in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            interpret=interpret,
+        )(*call_args)
+
+    # smallest compiled grid that holds the active count runs (nested
+    # lax.cond — the untaken branch genuinely does not execute, verified
+    # on-chip per CLAUDE.md); grids sorted ascending, last always fits
+    grids = sorted(
+        {max(1, n_chunks // g) for g in tail_grids} | {n_chunks}
+    )
+
+    def dispatch(idx):
+        if idx == len(grids) - 1:
+            return lambda: call(grids[idx])
+        return lambda: jax.lax.cond(
+            count <= grids[idx], lambda: call(grids[idx]), dispatch(idx + 1)
+        )
+
+    y3 = dispatch(0)()
+    # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
+    rb_touched = (
+        jnp.zeros(n_rb, bool)
+        .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
+        .set(True, mode="drop")
+    )
+    y3 = jnp.where(rb_touched[:, None, None], y3, 0.0)
+    return y3.reshape(-1, K)[:V]

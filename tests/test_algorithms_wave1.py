@@ -179,6 +179,69 @@ def test_color_rank_is_proper():
             )
 
 
+def test_color_greedy_is_proper():
+    """Speculative windowed-mex greedy (strategy='greedy'): proper
+    coloring on both the XLA and Pallas paths, symmetric and directed
+    inputs, with XLA/Pallas agreeing exactly (both are deterministic and
+    share the update rules), and color count at most Luby's (greedy-mex
+    quality should never lose to 2-colors-per-round)."""
+    from gunrock_tpu.algorithms import color
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    for symmetric in (True, False):
+        g, sp_mat = random_graph(
+            None, n=70, p=0.1, symmetric=symmetric, seed_offset=14
+        )
+        luby = color.run(g, warmup=False)
+        got = {}
+        for lb in (LoadBalance.XLA_SEGMENT, LoadBalance.PALLAS_MERGE_PATH):
+            res = color.run(
+                g, options=Options(load_balance=lb), warmup=False,
+                strategy="greedy",
+            )
+            colors = np.asarray(res.colors)
+            got[lb] = colors
+            assert (colors >= 0).all(), (symmetric, lb)
+            coo = sp_mat.tocoo()
+            off = coo.row != coo.col
+            assert (colors[coo.row[off]] != colors[coo.col[off]]).all(), (
+                symmetric, lb,
+            )
+            n_colors = int(colors.max()) + 1
+            n_luby = int(np.asarray(luby.colors).max()) + 1
+            assert n_colors <= n_luby, (n_colors, n_luby)
+        assert (got[LoadBalance.XLA_SEGMENT]
+                == got[LoadBalance.PALLAS_MERGE_PATH]).all()
+
+
+def test_color_greedy_multi_window():
+    """A clique of 40 > K=32 forces phase advances past the first color
+    window; the mex windows must hand off without improper colors."""
+    import scipy.sparse as sp
+
+    from gunrock_tpu.algorithms.color import color_kernel_greedy
+    from gunrock_tpu.formats import Coo, coo_to_csr
+    from gunrock_tpu.graph import build_graph
+    from gunrock_tpu.graph.properties import GraphProperties
+
+    n = 40
+    coo = sp.csr_matrix(np.ones((n, n)) - np.eye(n)).tocoo()
+    g = build_graph(
+        coo_to_csr(Coo(
+            n_rows=n, n_cols=n,
+            row_indices=coo.row.astype(np.int32),
+            col_indices=coo.col.astype(np.int32),
+            values=coo.data.astype(np.float32),
+        )),
+        GraphProperties(directed=False, weighted=False, symmetric=True),
+    )
+    colors, it = color_kernel_greedy(g)
+    colors = np.asarray(colors)
+    # a clique needs exactly n colors, spanning 2 windows of K=32
+    assert sorted(colors) == list(range(n)), colors
+    assert int(it) >= 2
+
+
 def test_hits_pallas_matches_xla():
     from gunrock_tpu.algorithms import hits
     from gunrock_tpu.ops.configs import LoadBalance, Options

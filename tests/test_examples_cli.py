@@ -23,6 +23,7 @@ def _run(mod_name, argv):
         ("pr", ["--validate"]),
         ("bc", ["--src", "0", "--validate"]),
         ("color", ["--validate"]),
+        ("color", ["--validate", "--strategy", "greedy"]),
         ("kcore", ["--validate"]),
         ("tc", ["--validate"]),
         ("spmv", ["--validate"]),

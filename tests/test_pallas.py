@@ -129,6 +129,54 @@ def test_spmm_unoccupied_row_windows():
     assert (Y[128:] == 0.0).all()
 
 
+def test_spmm_sparse_matches_dense():
+    """bucketed_spmm_sparse == A @ X restricted to active sources, in
+    both exact-bf16 and hi+lo modes, with out_mask row skipping and the
+    tail-grid lax.cond dispatch exercised (active set collapsed to one
+    window so the smallest compiled grid runs)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm_sparse
+
+    rng = np.random.default_rng(7)
+    V, W, K, E = 500, 128, 16, 3000
+    rows = rng.integers(0, V, E)
+    cols = rng.integers(0, V, E)
+    vals = rng.integers(0, 2, E).astype(np.float32)  # {0,1} edge values
+    lay = build_bucketed_layout(rows, cols, vals, V, window=W, chunk=128)
+    A = np.zeros((V, V), np.float32)
+    np.add.at(A, (rows, cols), vals)
+
+    # signed small-int X (the delta-one-hot use case) — exact mode
+    X = rng.integers(-1, 2, (V, K)).astype(np.float32)
+    for active_frac, exact in [(1.0, True), (1.0, False), (0.05, True)]:
+        active = np.zeros(V, bool)
+        n_act = max(1, int(V * active_frac))
+        active[:n_act] = True  # one window when frac is small
+        Xa = X * active[:, None]
+        want = A @ Xa
+        got = np.asarray(
+            bucketed_spmm_sparse(
+                lay, jnp.asarray(Xa), jnp.asarray(active),
+                interpret=True, exact=exact,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4), (active_frac, exact)
+
+    # out_mask: unmasked-window rows return 0, masked rows exact
+    out_mask = np.zeros(V, bool)
+    out_mask[:W] = True
+    active = np.ones(V, bool)
+    got = np.asarray(
+        bucketed_spmm_sparse(
+            lay, jnp.asarray(X), jnp.asarray(active),
+            interpret=True, out_mask=jnp.asarray(out_mask), exact=True,
+        )
+    )
+    np.testing.assert_allclose(got[:W], (A @ X)[:W], atol=1e-4)
+
+
 def test_color_pallas_isolated_and_priority_zero():
     """A priority-0 vertex with no uncolored neighbors (e.g. isolated)
     must still get colored (regression: the loop used to spin to max_it
