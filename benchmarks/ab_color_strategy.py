@@ -1,5 +1,6 @@
 """A/B: coloring strategies on chip — Luby max+min (reference parity)
-vs rank-based multi-color JP, each optionally with degree-sort
+vs rank-based multi-color JP vs speculative windowed-mex greedy,
+each optionally with degree-sort
 relabeling. One config per process (axon executable isolation).
 
 Usage: python benchmarks/ab_color_strategy.py [--scale 16]
@@ -20,7 +21,7 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scale", type=int, default=16)
-    p.add_argument("--strategy", default="rank", choices=("luby", "rank"))
+    p.add_argument("--strategy", default="rank", choices=("luby", "rank", "greedy"))
     p.add_argument("--degsort", action="store_true")
     p.add_argument("--runs", type=int, default=3)
     ns = p.parse_args()

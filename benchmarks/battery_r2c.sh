@@ -45,3 +45,10 @@ run python benchmarks/ab_tc.py total --scale 16
 run python benchmarks/ab_tc.py counts --scale 16
 run python benchmarks/ab_tc.py total --scale 18
 run python benchmarks/ab_tc.py counts --scale 18
+
+# 6. spec-greedy coloring (sim: s18 128 colors/73 rounds/11.3 full-pass
+#    equivalents vs rank-JP 831 colors/114 passes; expect ~1-1.5 s at s18)
+run python benchmarks/ab_color_strategy.py --strategy greedy --degsort --scale 16
+run python benchmarks/ab_color_strategy.py --strategy rank --degsort --scale 16
+run python benchmarks/ab_color_strategy.py --strategy greedy --degsort --scale 18
+run python benchmarks/ab_color_strategy.py --strategy rank --degsort --scale 18
