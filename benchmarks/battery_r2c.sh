@@ -52,3 +52,11 @@ run python benchmarks/ab_color_strategy.py --strategy greedy --degsort --scale 1
 run python benchmarks/ab_color_strategy.py --strategy rank --degsort --scale 16
 run python benchmarks/ab_color_strategy.py --strategy greedy --degsort --scale 18
 run python benchmarks/ab_color_strategy.py --strategy rank --degsort --scale 18
+
+# 7. tail-grid dispatch A/B (collapsed-frontier floor: k-core peel tail
+#    is the cleanest round-floor-bound workload; also BFS headline guard)
+GUNROCK_TAIL_GRIDS="" run python benchmarks/run.py --algorithms kcore --rmat 16 --reorder degree
+GUNROCK_TAIL_GRIDS="8,64" run python benchmarks/run.py --algorithms kcore --rmat 16 --reorder degree
+GUNROCK_TAIL_GRIDS="" run python benchmarks/run.py --algorithms kcore --rmat 18 --reorder degree
+GUNROCK_TAIL_GRIDS="8,64" run python benchmarks/run.py --algorithms kcore --rmat 18 --reorder degree
+GUNROCK_TAIL_GRIDS="" run python bench.py

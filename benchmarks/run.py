@@ -179,7 +179,7 @@ def main(argv=None):
     p.add_argument("--reorder", default="none", choices=("none", "degree"),
                    help="hub-first degree-sort relabeling before benching "
                    "(graph/reorder.py)")
-    p.add_argument("--color_strategy", default="luby", choices=("luby", "rank"),
+    p.add_argument("--color_strategy", default="luby", choices=("luby", "rank", "greedy"),
                    help="coloring strategy (rank = multi-color rank JP)")
     p.add_argument("--isolate", dest="isolate", action="store_true", default=True,
                    help="one subprocess per algorithm (default)")

@@ -484,18 +484,12 @@ def bucketed_semiring_spmv_sparse(
     ch_act, call_args, in_specs, out_block = _sparse_chunk_plan(
         layout, x, active, out_mask
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_chunks,),
-        in_specs=in_specs,
-        out_specs=out_block,
-    )
-    y3 = pl.pallas_call(
+    count = call_args[2][0]
+    y3 = _tail_grid_dispatch(
         _make_sparse_kernel(semiring),
-        out_shape=jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(*call_args)
+        jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
+        in_specs, out_block, call_args, count, n_chunks, interpret,
+    )
     # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
     rb_touched = (
         jnp.zeros(n_rb, bool)
@@ -507,6 +501,58 @@ def bucketed_semiring_spmv_sparse(
     if semiring == "min_plus":
         y = jnp.where(y >= _BIG, jnp.inf, y)
     return y
+
+
+def _tail_grids_env():
+    """Grid divisors for the collapsed-frontier dispatch, resolved at
+    import (A/B between settings = separate processes, as all axon
+    benchmarking already is). GUNROCK_TAIL_GRIDS="" disables (single
+    full grid, the round-1 behavior); "8,64" is the default."""
+    import os
+
+    raw = os.environ.get("GUNROCK_TAIL_GRIDS", "8,64").strip()
+    if not raw or raw == "0":
+        return ()
+    return tuple(int(t) for t in raw.split(","))
+
+
+_TAIL_GRIDS = _tail_grids_env()
+
+
+def _tail_grid_dispatch(
+    kernel, out_shape, in_specs, out_specs, call_args, count, n_chunks,
+    interpret,
+):
+    """Run ``kernel`` over the smallest compiled grid holding ``count``
+    active chunks (nested lax.cond — the untaken branch genuinely does
+    not execute on TPU). Iterating 10k+ predicated-off grid slots is the
+    measured ~3 ms per-round floor of the frontier-sparse kernels on
+    collapsed frontiers (k-core peel tails, coloring stragglers, BFS/SSSP
+    late levels); the n_chunks//8 and //64 variants cut it ~8/64x."""
+
+    def call(grid):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(grid,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            interpret=interpret,
+        )(*call_args)
+
+    grids = sorted({max(1, n_chunks // g) for g in _TAIL_GRIDS} | {n_chunks})
+
+    def dispatch(idx):
+        if idx == len(grids) - 1:
+            return lambda: call(grids[idx])
+        return lambda: jax.lax.cond(
+            count <= grids[idx], lambda: call(grids[idx]), dispatch(idx + 1)
+        )
+
+    return dispatch(0)()
 
 
 def _sparse_minmax_kernel():
@@ -582,21 +628,15 @@ def bucketed_semiring_spmv_sparse_minmax(
     ch_act, call_args, in_specs, out_block = _sparse_chunk_plan(
         layout, x, active, out_mask
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_chunks,),
-        in_specs=in_specs,
-        out_specs=(out_block, out_block),
-    )
-    ymax3, ymin3 = pl.pallas_call(
+    ymax3, ymin3 = _tail_grid_dispatch(
         _sparse_minmax_kernel(),
-        out_shape=(
+        (
             jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
         ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(*call_args)
+        in_specs, (out_block, out_block), call_args, call_args[2][0],
+        n_chunks, interpret,
+    )
     rb_touched = (
         jnp.zeros(n_rb, bool)
         .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]

@@ -154,9 +154,7 @@ def _sparse_kernel(exact: bool):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("interpret", "exact", "tail_grids")
-)
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
 def bucketed_spmm_sparse(
     layout: BucketedEdges,
     x: jax.Array,
@@ -164,7 +162,6 @@ def bucketed_spmm_sparse(
     interpret: bool = False,
     out_mask: jax.Array | None = None,
     exact: bool = False,
-    tail_grids: tuple[int, ...] = (8, 64),
 ):
     """Frontier-sparse Y = A.X (plus_times): chunks whose source window
     has no ``active`` vertex — or, with ``out_mask``, whose dest window
@@ -176,10 +173,9 @@ def bucketed_spmm_sparse(
     (|x| <= 256 and integral, e.g. signed one-hot deltas) skip the hi+lo
     f32-recovery split — half the DMA and half the MXU work.
 
-    ``tail_grids``: extra compiled grid sizes n_chunks//g; at call time
-    the smallest grid holding the active count runs (lax.cond picks it),
-    cutting the per-call floor of iterating 10k+ predicated-off slots
-    when the frontier has collapsed to a few windows."""
+    Collapsed frontiers run on a smaller compiled grid (see
+    semiring._tail_grid_dispatch), cutting the per-call floor of
+    iterating 10k+ predicated-off slots."""
     from gunrock_tpu.ops.pallas.semiring import _sparse_chunk_select
 
     W, C = layout.window, layout.chunk
@@ -211,34 +207,13 @@ def bucketed_spmm_sparse(
         (1, W, K), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)
     )
 
-    def call(grid):
-        return pl.pallas_call(
-            _sparse_kernel(exact),
-            out_shape=jax.ShapeDtypeStruct((n_rb, W, K), jnp.float32),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(grid,),
-                in_specs=in_specs,
-                out_specs=out_spec,
-            ),
-            interpret=interpret,
-        )(*call_args)
+    from gunrock_tpu.ops.pallas.semiring import _tail_grid_dispatch
 
-    # smallest compiled grid that holds the active count runs (nested
-    # lax.cond — the untaken branch genuinely does not execute, verified
-    # on-chip per CLAUDE.md); grids sorted ascending, last always fits
-    grids = sorted(
-        {max(1, n_chunks // g) for g in tail_grids} | {n_chunks}
+    y3 = _tail_grid_dispatch(
+        _sparse_kernel(exact),
+        jax.ShapeDtypeStruct((n_rb, W, K), jnp.float32),
+        in_specs, out_spec, call_args, count, n_chunks, interpret,
     )
-
-    def dispatch(idx):
-        if idx == len(grids) - 1:
-            return lambda: call(grids[idx])
-        return lambda: jax.lax.cond(
-            count <= grids[idx], lambda: call(grids[idx]), dispatch(idx + 1)
-        )
-
-    y3 = dispatch(0)()
     # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
     rb_touched = (
         jnp.zeros(n_rb, bool)
