@@ -644,6 +644,117 @@ def color(sg: ShardedGraph, mesh, seed: int = 0,
     return _trim(colors, V), int(it[0])
 
 
+def color_greedy(sg: ShardedGraph, mesh, K: int = 32,
+                 max_iterations: int | None = None,
+                 phase_spread: bool = True):
+    """Distributed speculative windowed-mex greedy coloring (single-chip
+    ``algorithms/color.color_kernel_greedy`` semantics: rank-init, mex
+    over per-window counts of outranking-neighbor colors, immediate
+    conflict re-mex, K-wide phases with rank%K spread).
+
+    Sharded state: colors[Vs] and cnt[Vs, K] live on the owner — memory
+    stays V/n. Per round ONE boundary exchange of the colors vector (the
+    d-side gather; plus the s-side on directed inputs) feeds a local
+    scatter-add rebuild of cnt; everything else is elementwise-local
+    with O(1) scalar pmax collectives for stall/convergence.
+    Priorities are the global vertex-id order (deterministic — relabel
+    to change). Returns (colors, rounds)."""
+    V, Vs = sg.n_vertices, sg.v_per_shard
+    axis = mesh.axis_names[0]
+    max_it = 4 * V if max_iterations is None else max_iterations
+    INVALID = jnp.int32(-1)
+
+    def spmd(sg):
+        vvalid, _ = _vvalid(sg, axis)
+        local_base = jax.lax.axis_index(axis).astype(jnp.int32) * Vs
+        lanes_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+        # outranking = strictly smaller global id (also drops self loops)
+        d_dst_g = sg.d_dst_local + local_base
+        d_rel = sg.d_valid & (sg.d_src < d_dst_g)
+        both = not sg.properties.symmetric
+        if both:
+            s_src_g = sg.s_src_local + local_base
+            s_rel = sg.s_valid & (sg.s_dst < s_src_g)
+
+        rank = jnp.zeros(Vs, jnp.int32).at[sg.d_dst_local].add(
+            d_rel.astype(jnp.int32), mode="drop"
+        )
+        if both:
+            rank = rank.at[sg.s_src_local].add(
+                s_rel.astype(jnp.int32), mode="drop"
+            )
+        colors0 = jnp.minimum(rank, K - 1)  # phantoms: rank 0 -> color 0
+
+        def build_cnt(colors, base):
+            """cnt[v, k] = #outranking neighbors of v with color base+k,
+            rebuilt per round from one boundary exchange of colors."""
+            far = _gather(sg, colors, axis, "d")  # color at d-edge src
+            inw = (far >= base) & (far < base + K)
+            idx = sg.d_dst_local * K + jnp.clip(far - base, 0, K - 1)
+            cnt = jnp.zeros(Vs * K, jnp.int32).at[idx].add(
+                (d_rel & inw).astype(jnp.int32), mode="drop"
+            )
+            if both:
+                far_s = _gather(sg, colors, axis, "s")
+                inw_s = (far_s >= base) & (far_s < base + K)
+                idx_s = sg.s_src_local * K + jnp.clip(far_s - base, 0, K - 1)
+                cnt = cnt.at[idx_s].add(
+                    (s_rel & inw_s).astype(jnp.int32), mode="drop"
+                )
+            return cnt.reshape(Vs, K)
+
+        def pany(x):
+            return jax.lax.pmax(x.astype(jnp.int32), axis) > 0
+
+        def cond(c):
+            it, base, colors, changed = c
+            return (
+                changed | pany(jnp.any(vvalid & (colors == INVALID)))
+            ) & (it < max_it)
+
+        def body(c):
+            it, base, colors, _ = c
+            cnt = build_cnt(colors, base)
+            unc = vvalid & (colors == INVALID)
+            inwin = vvalid & (colors >= base) & (colors < base + K)
+            koff = jnp.clip(colors - base, 0, K - 1)
+            cnt_own = jnp.sum(
+                cnt * ((koff[:, None] == lanes_k) & inwin[:, None]), axis=1
+            )
+            conflict = inwin & (cnt_own > 0)
+            cand = unc | conflict
+            free = cnt == 0
+            mex = jnp.where(
+                jnp.any(free, axis=1), jnp.argmax(free, axis=1), K
+            ).astype(jnp.int32)
+            take = cand & (mex < K)
+            new_colors = jnp.where(conflict, INVALID, colors)
+            new_colors = jnp.where(take, base + mex, new_colors)
+            any_changed = pany(jnp.any(new_colors != colors))
+            unc2 = vvalid & (new_colors == INVALID)
+            stall = ~any_changed & pany(jnp.any(unc2))
+            base_next = base + jnp.where(stall, K, 0)
+            if phase_spread:
+                seed = base_next + rank % K
+                colors_next = jnp.where(stall & unc2, seed, new_colors)
+            else:
+                colors_next = new_colors
+            return it + 1, base_next, colors_next, any_changed | stall
+
+        it, _, colors, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), colors0, jnp.bool_(True)),
+        )
+        return colors, jnp.full((1,), it)
+
+    fn = jax.jit(
+        _shard_map(spmd, mesh, in_specs=(P(axis),),
+                   out_specs=(P(axis), P()))
+    )
+    colors, it = fn(sg)
+    return _trim(colors, V), int(it[0])
+
+
 def ppr(sg: ShardedGraph, seed: int, mesh, alpha: float = 0.15,
         epsilon: float = 1e-6, max_iterations: int | None = None):
     """Distributed push-style personalized PageRank (single-chip

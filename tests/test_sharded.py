@@ -134,6 +134,46 @@ def test_sharded_color(sym_setup, mesh):
     assert (c[src[off_diag]] != c[dst[off_diag]]).all()
 
 
+def test_sharded_color_greedy(sym_setup, mesh):
+    """Distributed spec-greedy coloring: proper, and bit-identical to the
+    single-chip XLA greedy kernel (both deterministic over the same
+    global-id priorities and update rules)."""
+    from gunrock_tpu.algorithms.color import color_kernel_greedy
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = sym_setup
+    colors, rounds = sharded.color_greedy(sg, mesh)
+    c = np.asarray(colors)
+    src = np.asarray(g.edge_src)
+    dst = np.asarray(g.col_indices)
+    off_diag = src != dst
+    assert (c >= 0).all()
+    assert (c[src[off_diag]] != c[dst[off_diag]]).all()
+    want, it_single = color_kernel_greedy(g)
+    assert (c == np.asarray(want)).all()
+
+
+def test_sharded_color_greedy_directed(mesh):
+    """Directed input: properness holds on the underlying undirected
+    graph (both-side edge scans), matching the single-chip kernel."""
+    from gunrock_tpu.algorithms.color import color_kernel_greedy
+    from gunrock_tpu.parallel import sharded
+    from gunrock_tpu.parallel.sharded import partition_sharded
+
+    g, A = random_graph(None, n=96, p=0.07, weighted=True, symmetric=False,
+                        seed_offset=43)
+    sg = partition_sharded(g, N_DEV, mesh, use_halo=False)
+    colors, rounds = sharded.color_greedy(sg, mesh)
+    c = np.asarray(colors)
+    src = np.asarray(g.edge_src)
+    dst = np.asarray(g.col_indices)
+    off_diag = src != dst
+    assert (c >= 0).all()
+    assert (c[src[off_diag]] != c[dst[off_diag]]).all()
+    want, _ = color_kernel_greedy(g)
+    assert (c == np.asarray(want)).all()
+
+
 def test_sharded_bc(sym_setup, mesh):
     from gunrock_tpu.algorithms import bc as sbc
     from gunrock_tpu.parallel import sharded
