@@ -239,7 +239,12 @@ def msbfs_kernel(
 
     def body(c):
         it, front, dist = c
-        reached = bucketed_spmm(pull_layout, front, interpret=interpret) > 0.5
+        # exact mode: {0,1} frontier one-hots are bf16-exact — half the
+        # x DMA and MXU work of the generic hi+lo split
+        reached = (
+            bucketed_spmm(pull_layout, front, interpret=interpret, exact=True)
+            > 0.5
+        )
         new = reached & (dist == UNREACHED)
         dist = jnp.where(new, it + 1, dist)
         return it + 1, new.astype(jnp.float32), dist

@@ -30,49 +30,77 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _kernel(pk_ref, xh_ref, xl_ref, row_ref, col_ref, val_ref, y_ref):
-    i = pl.program_id(0)
-    C = row_ref.shape[-1]
-    W = xh_ref.shape[-2]
+def _make_kernel(exact: bool):
+    """Dense-grid SpMM kernel. ``exact=True``: single bf16 x operand for
+    bf16-exact small-integer inputs (e.g. {0,1} reachability one-hots) —
+    half the DMA and MXU work of the hi+lo f32-recovery split."""
 
-    first_visit = jnp.logical_or(
-        i == 0, pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536
-    )
+    def kernel(pk_ref, *refs):
+        if exact:
+            xh_ref, row_ref, col_ref, val_ref, y_ref = refs
+            xl_ref = None
+        else:
+            xh_ref, xl_ref, row_ref, col_ref, val_ref, y_ref = refs
+        i = pl.program_id(0)
+        C = row_ref.shape[-1]
+        W = xh_ref.shape[-2]
 
-    @pl.when(first_visit)
-    def _():
-        y_ref[...] = jnp.zeros_like(y_ref)
+        first_visit = jnp.logical_or(
+            i == 0, pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536
+        )
 
-    lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-    col = col_ref[0, 0, :]
-    row = row_ref[0, 0, :]
-    val = val_ref[0, 0, :]
-    col_mask = (col[:, None] == lanes_cw).astype(jnp.bfloat16)  # [C, W]
-    xg = jnp.dot(
-        col_mask, xh_ref[0], preferred_element_type=jnp.float32
-    ) + jnp.dot(col_mask, xl_ref[0], preferred_element_type=jnp.float32)
-    msg = xg * val[:, None]  # [C, K] f32
-    mh = msg.astype(jnp.bfloat16)
-    ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
-    lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-    row_mask_t = (row[None, :] == lanes_wc).astype(jnp.bfloat16)  # [W, C]
-    y_add = jnp.dot(
-        row_mask_t, mh, preferred_element_type=jnp.float32
-    ) + jnp.dot(row_mask_t, ml, preferred_element_type=jnp.float32)
-    y_ref[0] = y_ref[0] + y_add
+        @pl.when(first_visit)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+        col = col_ref[0, 0, :]
+        row = row_ref[0, 0, :]
+        val = val_ref[0, 0, :]
+        col_mask = (col[:, None] == lanes_cw).astype(jnp.bfloat16)  # [C, W]
+        xg = jnp.dot(col_mask, xh_ref[0], preferred_element_type=jnp.float32)
+        if not exact:
+            xg = xg + jnp.dot(
+                col_mask, xl_ref[0], preferred_element_type=jnp.float32
+            )
+        msg = xg * val[:, None]  # [C, K] f32
+        mh = msg.astype(jnp.bfloat16)
+        lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+        row_mask_t = (row[None, :] == lanes_wc).astype(jnp.bfloat16)  # [W, C]
+        y_add = jnp.dot(row_mask_t, mh, preferred_element_type=jnp.float32)
+        if not exact:
+            ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+            y_add = y_add + jnp.dot(
+                row_mask_t, ml, preferred_element_type=jnp.float32
+            )
+        y_ref[0] = y_ref[0] + y_add
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bucketed_spmm(layout: BucketedEdges, x: jax.Array, interpret: bool = False):
-    """Y = A.X from a bucketed layout. x: f32[V, K] -> y: f32[V, K]."""
+_kernel = _make_kernel(exact=False)  # back-compat alias
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+def bucketed_spmm(layout: BucketedEdges, x: jax.Array, interpret: bool = False,
+                  exact: bool = False):
+    """Y = A.X from a bucketed layout. x: f32[V, K] -> y: f32[V, K].
+    ``exact=True``: x values are bf16-exact small integers (|x| <= 256,
+    integral — e.g. BFS reachability one-hots), skipping the hi+lo
+    split."""
     W, C = layout.window, layout.chunk
     n_chunks = layout.n_chunks
     V = layout.n_vertices
     K = x.shape[1]
     x_pad = jnp.zeros((layout.n_col_blocks * W, K), jnp.float32).at[:V].set(x)
-    xh, xl = _split_bf16(x_pad)
-    xh3 = xh.reshape(layout.n_col_blocks, W, K)
-    xl3 = xl.reshape(layout.n_col_blocks, W, K)
+    if exact:
+        x_ops = (x_pad.astype(jnp.bfloat16).reshape(layout.n_col_blocks, W, K),)
+    else:
+        xh, xl = _split_bf16(x_pad)
+        x_ops = (
+            xh.reshape(layout.n_col_blocks, W, K),
+            xl.reshape(layout.n_col_blocks, W, K),
+        )
     row2 = layout.row_local.reshape(n_chunks, 1, C)
     col2 = layout.col_local.reshape(n_chunks, 1, C)
     val2 = layout.values.reshape(n_chunks, 1, C)
@@ -80,24 +108,20 @@ def bucketed_spmm(layout: BucketedEdges, x: jax.Array, interpret: bool = False):
     # packed (rb*65536 + cb): one SMEM prefetch array instead of two
     # (1 MB SMEM cap; see semiring.bucketed_semiring_spmv)
     pk = layout.chunk_rb * 65536 + layout.chunk_cb
+    x_spec = pl.BlockSpec((1, W, K), lambda i, pk: (pk[i] % 65536, 0, 0))
+    meta_spec = pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, W, K), lambda i, pk: (pk[i] % 65536, 0, 0)),
-            pl.BlockSpec((1, W, K), lambda i, pk: (pk[i] % 65536, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
-        ],
+        in_specs=[x_spec] * len(x_ops) + [meta_spec] * 3,
         out_specs=pl.BlockSpec((1, W, K), lambda i, pk: (pk[i] // 65536, 0, 0)),
     )
     y3 = pl.pallas_call(
-        _kernel,
+        _make_kernel(exact),
         out_shape=jax.ShapeDtypeStruct((layout.n_row_blocks, W, K), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pk, xh3, xl3, row2, col2, val2)
+    )(pk, *x_ops, row2, col2, val2)
     # Row windows no chunk maps to are never written — zero them out.
     y3 = jnp.where(layout.rb_occupied[:, None, None], y3, 0.0)
     return y3.reshape(-1, K)[:V]
