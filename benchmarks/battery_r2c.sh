@@ -12,6 +12,10 @@ run() {
   timeout 1200 "$@" | tee -a "$OUT"
 }
 
+# 0. Mosaic health: compile every Pallas kernel path on hardware first
+#    (CPU CI runs interpret mode only; a Mosaic break ships silently)
+run python benchmarks/smoke_pallas.py
+
 # 1. SpMV window sweep under degsort (host model predicts W=1024 ~20% win
 #    at s18: 17.4G vs 21.6G compare-ops at frag 2.15 vs 1.34)
 run python benchmarks/ab_semiring_chunk.py --window 1024 --chunk 256 --reorder degree
