@@ -27,6 +27,7 @@ restores the reference's exception behavior).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 
 import jax
@@ -66,30 +67,41 @@ def mst_kernel(graph: Graph, max_rounds: int | None = None):
 
 
 def _canonical_edges(graph: Graph):
-    """Directed CSR -> canonical undirected edge list (host-side): each
-    unordered pair once as (lo, hi) with the MINIMUM weight over its
-    directed copies (the weight an MST would pick; scipy's
+    """CSR -> canonical undirected edge list (host-side, cached per
+    graph): each unordered pair once as (lo, hi) with the MINIMUM weight
+    over its directed copies (the weight an MST would pick; scipy's
     minimum_spanning_tree applies the same semantics to an asymmetric
-    matrix), self loops dropped."""
-    from gunrock_tpu.graph import hostcache
+    matrix), self loops dropped. Also returns the CSR edge id of the
+    kept copy so chosen edges map back to CSR ids.
 
-    s = hostcache.host(graph, "edge_src").astype(np.int64)
-    d = hostcache.host(graph, "col_indices").astype(np.int64)
-    w = hostcache.host(graph, "values")
-    lo, hi = np.minimum(s, d), np.maximum(s, d)
-    keep = lo != hi
-    lo, hi, w = lo[keep], hi[keep], w[keep]
-    key = lo * graph.n_vertices + hi
-    order = np.lexsort((w, key))
-    key_s, w_s = key[order], w[order]
-    first = np.ones(len(key_s), bool)
-    first[1:] = key_s[1:] != key_s[:-1]
-    key_u, w_u = key_s[first], w_s[first]
-    return (
-        (key_u // graph.n_vertices).astype(np.int32),
-        (key_u % graph.n_vertices).astype(np.int32),
-        w_u.astype(np.float32),
-    )
+    Used for SYMMETRIC storage too: the kernel's ``src < dst`` cut test
+    makes half of a two-copy edge list statically dead, so feeding the
+    canonical half costs half the E-sized gathers/scatters per round."""
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.layout import cached_layout
+
+    def build():
+        s = hostcache.host(graph, "edge_src").astype(np.int64)
+        d = hostcache.host(graph, "col_indices").astype(np.int64)
+        w = hostcache.host(graph, "values")
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        keep_idx = np.flatnonzero(lo != hi)
+        lo, hi, w = lo[keep_idx], hi[keep_idx], w[keep_idx]
+        key = lo * graph.n_vertices + hi
+        order = np.lexsort((w, key))
+        key_s, w_s = key[order], w[order]
+        first = np.ones(len(key_s), bool)
+        first[1:] = key_s[1:] != key_s[:-1]
+        key_u, w_u = key_s[first], w_s[first]
+        orig_eid = keep_idx[order[first]].astype(np.int32)
+        return (
+            jnp.asarray((key_u // graph.n_vertices).astype(np.int32)),
+            jnp.asarray((key_u % graph.n_vertices).astype(np.int32)),
+            jnp.asarray(w_u.astype(np.float32)),
+            jnp.asarray(orig_eid),
+        )
+
+    return cached_layout(graph.col_indices, build, ("mst_canonical",))
 
 
 def _mst_kernel_edges(src, dst, w, V: int, max_rounds: int | None = None):
@@ -105,7 +117,6 @@ def _mst_kernel_edges(src, dst, w, V: int, max_rounds: int | None = None):
     eid = jnp.arange(E, dtype=jnp.int32)
     # log2(V) rounds suffice for Boruvka; +2 slack
     max_r = (int(np.ceil(np.log2(max(V, 2)))) + 2) if max_rounds is None else max_rounds
-    jump_steps = int(np.ceil(np.log2(max(V, 2)))) + 1
 
     def body(c):
         roots, weight, in_mst, n_comp, progress = c
@@ -138,13 +149,24 @@ def _mst_kernel_edges(src, dst, w, V: int, max_rounds: int | None = None):
         in_mst = in_mst.at[jnp.where(add, min_e, E)].set(True, mode="drop")
         n_added = jnp.sum(add.astype(jnp.int32))
         # hook: component -> destination's root; compress the component map
-        # by pointer jumping (mst.hxx:211-224) before applying to vertices
+        # by pointer jumping (mst.hxx:211-224) before applying to vertices.
+        # Early exit: hook chains are usually a handful deep — iterating
+        # to the fixpoint beats the log2(V)-step fixed unroll (17 V-sized
+        # gathers per round at scale 16; typical depth is ~3).
         new_roots = jnp.where(add, other_root, comp_ids)
 
-        def jump(_, r):
-            return r[r]
+        def jump_cond(c):
+            _, changed = c
+            return changed
 
-        new_roots = jax.lax.fori_loop(0, jump_steps, jump, new_roots)
+        def jump_body(c):
+            r, _ = c
+            r2 = r[r]
+            return r2, jnp.any(r2 != r)
+
+        new_roots, _ = jax.lax.while_loop(
+            jump_cond, jump_body, (new_roots, jnp.bool_(True))
+        )
         roots = new_roots[roots]
         n_comp = n_comp - n_added
         return roots, weight, in_mst, n_comp, n_added > 0
@@ -165,31 +187,41 @@ def _mst_kernel_edges(src, dst, w, V: int, max_rounds: int | None = None):
     return weight, in_mst, n_comp
 
 
+@functools.partial(jax.jit, static_argnames=("n_vertices", "e_csr"))
+def _mst_canonical(s, d, w, orig, n_vertices: int, e_csr: int):
+    """Borůvka over the canonical (half) edge list, chosen edges mapped
+    back to a CSR-edge-id mask."""
+    weight, in_c, n_comp = _mst_kernel_edges(s, d, w, n_vertices)
+    Ec = in_c.shape[0]
+    mask = (
+        jnp.zeros(e_csr, bool)
+        .at[jnp.where(in_c, orig, e_csr)]
+        .set(True, mode="drop")
+        if Ec
+        else jnp.zeros(e_csr, bool)
+    )
+    return weight, mask, n_comp
+
+
 def run(
     graph: Graph,
     require_connected: bool = False,
     options: Options | None = None,
     warmup: bool = True,
 ) -> Result:
-    """Role of reference ``mst::run`` (mst.hxx:287-311). The reference
-    expects symmetric storage; directed inputs are canonicalized to the
-    underlying undirected edge set (min weight per unordered pair) so
-    the forest is well-defined and relabeling-invariant — in that case
-    ``mst_edges`` indexes the canonical edge list, not CSR edge ids."""
+    """Role of reference ``mst::run`` (mst.hxx:287-311). Both symmetric
+    and directed inputs run over the canonical undirected edge list (one
+    copy per unordered pair, min weight over directed copies — half the
+    per-round E-sized traffic of two-copy storage); ``mst_edges`` is a
+    mask over CSR edge ids either way (the kept copy's id)."""
     del options
-    if graph.properties.symmetric:
-        fn = jax.jit(mst_kernel)
-        args = (graph,)
-    else:
-        cs, cd, cw = _canonical_edges(graph)
-        fn = jax.jit(
-            lambda s, d, ww: _mst_kernel_edges(s, d, ww, graph.n_vertices)
-        )
-        args = (jnp.asarray(cs), jnp.asarray(cd), jnp.asarray(cw))
+    cs, cd, cw, orig = _canonical_edges(graph)
+    args = (cs, cd, cw, orig)
+    kw = dict(n_vertices=graph.n_vertices, e_csr=graph.n_edges)
     if warmup:
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(_mst_canonical(*args, **kw))
     t0 = time.perf_counter()
-    weight, in_mst, n_comp = jax.block_until_ready(fn(*args))
+    weight, in_mst, n_comp = jax.block_until_ready(_mst_canonical(*args, **kw))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     n_comp = int(n_comp)
     if require_connected and n_comp != 1:
