@@ -64,3 +64,7 @@ GUNROCK_TAIL_GRIDS="8,64" run python benchmarks/run.py --algorithms kcore --rmat
 GUNROCK_TAIL_GRIDS="" run python benchmarks/run.py --algorithms kcore --rmat 18 --reorder degree
 GUNROCK_TAIL_GRIDS="8,64" run python benchmarks/run.py --algorithms kcore --rmat 18 --reorder degree
 GUNROCK_TAIL_GRIDS="" run python bench.py
+
+# 8. MST canonical-edge + early-exit jumping (was 435 ms at s16 flat)
+run python benchmarks/run.py --algorithms mst --rmat 16 --reorder degree
+run python benchmarks/run.py --algorithms mst --rmat 18 --reorder degree
