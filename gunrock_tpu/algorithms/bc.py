@@ -114,15 +114,124 @@ def bc_kernel(graph: Graph, single_source):
     return bc.at[single_source].set(0.0)
 
 
+def _bc_layouts(graph: Graph, interpret: bool):
+    """Unit-weight pull (rows=dst) + push (rows=src) layouts, cached."""
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
+
+    def build():
+        ones = np.ones(graph.n_edges, np.float32)
+        pull = build_auto_layout(
+            hostcache.host(graph, "col_indices"),
+            hostcache.host(graph, "edge_src"), ones,
+            graph.n_vertices, interpret=interpret,
+        )
+        push = build_auto_layout(
+            hostcache.host(graph, "edge_src"),
+            hostcache.host(graph, "col_indices"), ones,
+            graph.n_vertices, interpret=interpret,
+        )
+        return pull, push
+
+    return cached_layout(graph.col_indices, build, ("bc_layouts", interpret))
+
+
+def bc_kernel_pallas(
+    graph: Graph,
+    single_source,
+    pull_layout,
+    push_layout,
+    interpret: bool = False,
+):
+    """Single-source BC on the frontier-sparse semiring kernels: ONE
+    doubly-masked plus_times pass per forward level (sigma spread — a
+    positive sum IS reachability, so no separate reach pass) and one per
+    backward level (dependency push from level d+1 into level d, both
+    level masks tiny -> chunks skip). Same contract as bc_kernel."""
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
+
+    V = graph.n_vertices
+    labels0 = jnp.full(V, -1, jnp.int32).at[single_source].set(0)
+    sigma0 = jnp.zeros(V, jnp.float32).at[single_source].set(1.0)
+    front0 = jnp.zeros(V, bool).at[single_source].set(True)
+
+    def fcond(c):
+        it, front, labels, sigma = c
+        return jnp.any(front) & (it < V)
+
+    def fbody(c):
+        it, front, labels, sigma = c
+        unreached = labels == -1
+        sig_add = bucketed_semiring_spmv_sparse(
+            pull_layout, jnp.where(front, sigma, 0.0), front, "plus_times",
+            interpret=interpret, out_mask=unreached,
+        )
+        new = unreached & (sig_add > 0)
+        labels = jnp.where(new, it + 1, labels)
+        sigma = jnp.where(new, sig_add, sigma)
+        return it + 1, new, labels, sigma
+
+    depth, _, labels, sigma = jax.lax.while_loop(
+        fcond, fbody, (jnp.int32(0), front0, labels0, sigma0)
+    )
+    sigma_safe = jnp.where(sigma > 0, sigma, 1.0)
+
+    def bcond(c):
+        d, delta = c
+        return d >= 1
+
+    def bbody(c):
+        d, delta = c
+        up = labels == d + 1
+        here = labels == d
+        x = jnp.where(up, (1.0 + delta) / sigma_safe, 0.0)
+        y = bucketed_semiring_spmv_sparse(
+            push_layout, x, up, "plus_times",
+            interpret=interpret, out_mask=here,
+        )
+        delta = jnp.where(here, delta + sigma_safe * y, delta)
+        return d - 1, delta
+
+    _, delta = jax.lax.while_loop(
+        bcond, bbody, (depth - 1, jnp.zeros(V, jnp.float32))
+    )
+    bc = 0.5 * delta
+    return bc.at[single_source].set(0.0)
+
+
 def run(graph: Graph, single_source: int, options: Options | None = None,
         warmup: bool = True) -> Result:
-    """Role of reference ``bc::run`` single-source (bc.hxx:276-292)."""
-    del options
-    fn = jax.jit(bc_kernel)
+    """Role of reference ``bc::run`` single-source (bc.hxx:276-292).
+    Options route the strategy: the Pallas frontier-sparse path on TPU
+    (default_options), the XLA cumsum-difference segment path otherwise."""
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
+
+    if options is None:
+        options = default_options()
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import cached_layout
+
+        interpret = use_interpret()
+        pl_, ps_ = _bc_layouts(graph, interpret)
+        fn = cached_layout(
+            graph.col_indices,
+            lambda: jax.jit(
+                lambda g, s, a, b: bc_kernel_pallas(
+                    g, s, a, b, interpret=interpret
+                )
+            ),
+            ("bc_fn", interpret),
+        )
+        args = (graph, single_source, pl_, ps_)
+    else:
+        fn = jax.jit(bc_kernel)
+        args = (graph, single_source)
     if warmup:
-        jax.block_until_ready(fn(graph, single_source))
+        jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    bc = jax.block_until_ready(fn(graph, single_source))
+    bc = jax.block_until_ready(fn(*args))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return Result(bc_values=bc, elapsed_ms=elapsed_ms)
 

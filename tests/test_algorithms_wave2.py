@@ -23,6 +23,26 @@ def test_bc_single_source_matches_brandes():
     np.testing.assert_allclose(np.asarray(res.bc_values), want, atol=1e-4)
 
 
+def test_bc_pallas_matches_xla():
+    """The frontier-sparse Pallas BC path == the XLA segment path, on
+    symmetric and directed inputs."""
+    from gunrock_tpu.algorithms import bc
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    for symmetric in (True, False):
+        g, _ = random_graph(
+            None, n=80, p=0.1, symmetric=symmetric, seed_offset=21
+        )
+        a = bc.run(g, 3, options=Options(), warmup=False)
+        b = bc.run(
+            g, 3, options=Options(load_balance=LoadBalance.PALLAS_MERGE_PATH),
+            warmup=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.bc_values), np.asarray(b.bc_values), atol=1e-4,
+        )
+
+
 def _brandes_single_source(G, s):
     import collections
 
