@@ -68,3 +68,7 @@ GUNROCK_TAIL_GRIDS="" run python bench.py
 # 8. MST canonical-edge + early-exit jumping (was 435 ms at s16 flat)
 run python benchmarks/run.py --algorithms mst --rmat 16 --reorder degree
 run python benchmarks/run.py --algorithms mst --rmat 18 --reorder degree
+
+# 9. BC Pallas single-source (was 217 ms at s16 via XLA segment path)
+run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree
+run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree --load_balance xla
