@@ -71,4 +71,4 @@ run python benchmarks/run.py --algorithms mst --rmat 18 --reorder degree
 
 # 9. BC Pallas single-source (was 217 ms at s16 via XLA segment path)
 run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree
-run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree --load_balance xla
+run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree --load_balance xla_segment
