@@ -92,6 +92,55 @@ def ppr_kernel(
     return p, it
 
 
+def ppr_kernel_pallas(
+    graph: Graph,
+    seed,
+    layout,
+    alpha: float = 0.15,
+    epsilon: float = 1e-6,
+    max_iterations: int | None = None,
+    interpret: bool = False,
+):
+    """PPR with the frontier-sparse semiring advance: the per-wave
+    residual push is ONE chunk-skipping plus_times pass whose cost tracks
+    the (typically tiny) frontier's window spread instead of O(E) — the
+    XLA path pays a full E-sized gather + cumsum every wave. Same
+    update rules as ppr_kernel. Returns (p f32[V], iterations)."""
+    from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
+
+    V = graph.n_vertices
+    max_it = (2 * V) if max_iterations is None else max_iterations
+    _2a1a = (2 * alpha) / (1 + alpha)
+    _1a1a = (1 - alpha) / (1 + alpha)
+    deg = jnp.diff(graph.row_offsets).astype(jnp.float32)
+
+    p0 = jnp.zeros(V, jnp.float32)
+    r0 = jnp.zeros(V, jnp.float32).at[seed].set(1.0)
+    front0 = jnp.zeros(V, bool).at[seed].set(True)
+
+    def cond(c):
+        it, front, p, r, rp = c
+        return jnp.any(front) & (it < max_it)
+
+    def body(c):
+        it, front, p, r, rp = c
+        p = jnp.where(front, p + _2a1a * r, p)
+        rp = jnp.where(front, 0.0, rp)
+        x = jnp.where(front, _1a1a * r / jnp.maximum(deg, 1.0), 0.0)
+        upd = bucketed_semiring_spmv_sparse(
+            layout, x, front, "plus_times", interpret=interpret
+        )
+        thresh = deg * epsilon
+        new_rp = rp + upd
+        new_front = (rp < thresh) & (new_rp >= thresh)
+        return it + 1, new_front, p, new_rp, new_rp
+
+    it, _, p, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), front0, p0, r0, r0)
+    )
+    return p, it
+
+
 def run(
     graph: Graph,
     seed: int,
@@ -100,13 +149,37 @@ def run(
     options: Options | None = None,
     warmup: bool = True,
 ) -> Result:
-    """Role of reference ``ppr::run`` (ppr.hxx:170-195)."""
-    del options
-    fn = jax.jit(lambda g, s: ppr_kernel(g, s, alpha, epsilon))
+    """Role of reference ``ppr::run`` (ppr.hxx:170-195). Options route
+    the strategy: frontier-sparse Pallas push on TPU (default_options),
+    the XLA cumsum-difference path otherwise."""
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
+
+    if options is None:
+        options = default_options()
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import cached_layout
+        from gunrock_tpu.ops.pallas.semiring import pull_layout
+
+        interpret = use_interpret()
+        layout = pull_layout(graph, unit=True, interpret=interpret)
+        fn = cached_layout(
+            graph.col_indices,
+            lambda: jax.jit(
+                lambda g, s, lay: ppr_kernel_pallas(
+                    g, s, lay, alpha, epsilon, interpret=interpret
+                )
+            ),
+            ("ppr_fn", alpha, epsilon, interpret),
+        )
+        args = (graph, seed, layout)
+    else:
+        fn = jax.jit(lambda g, s: ppr_kernel(g, s, alpha, epsilon))
+        args = (graph, seed)
     if warmup:
-        jax.block_until_ready(fn(graph, seed))
+        jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    p, it = jax.block_until_ready(fn(graph, seed))
+    p, it = jax.block_until_ready(fn(*args))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     return Result(p=p, iterations=int(it), elapsed_ms=elapsed_ms)
 

@@ -108,6 +108,21 @@ def test_ppr_matches_exact_personalized_pagerank():
     np.testing.assert_allclose(np.asarray(res.p), exact, atol=1e-5)
 
 
+def test_ppr_pallas_matches_xla():
+    """The frontier-sparse Pallas PPR push == the XLA cumsum path."""
+    from gunrock_tpu.algorithms import ppr
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    g, _ = random_graph(None, n=90, p=0.08, symmetric=True, seed_offset=23)
+    a = ppr.run(g, 2, options=Options(), warmup=False)
+    b = ppr.run(
+        g, 2, options=Options(load_balance=LoadBalance.PALLAS_MERGE_PATH),
+        warmup=False,
+    )
+    assert a.iterations == b.iterations
+    np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p), atol=1e-5)
+
+
 def test_ppr_batch_shape():
     from gunrock_tpu.algorithms import ppr
 
