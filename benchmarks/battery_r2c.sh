@@ -72,3 +72,7 @@ run python benchmarks/run.py --algorithms mst --rmat 18 --reorder degree
 # 9. BC Pallas single-source (was 217 ms at s16 via XLA segment path)
 run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree
 run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree --load_balance xla_segment
+
+# 10. PPR Pallas frontier-sparse push (was 336 ms at s16 via XLA cumsum)
+run python benchmarks/run.py --algorithms ppr --rmat 16 --reorder degree
+run python benchmarks/run.py --algorithms ppr --rmat 16 --reorder degree --load_balance xla_segment
