@@ -115,8 +115,7 @@ def _mst_kernel_edges(src, dst, w, V: int, max_rounds: int | None = None):
             jnp.int32(V),
         )
     eid = jnp.arange(E, dtype=jnp.int32)
-    # log2(V) rounds suffice for Boruvka; +2 slack
-    max_r = (int(np.ceil(np.log2(max(V, 2)))) + 2) if max_rounds is None else max_rounds
+    del max_rounds  # the loop self-terminates on no-progress rounds
 
     def body(c):
         roots, weight, in_mst, n_comp, progress = c

@@ -162,16 +162,17 @@ def test_sharded_color_greedy_directed(mesh):
 
     g, A = random_graph(None, n=96, p=0.07, weighted=True, symmetric=False,
                         seed_offset=43)
-    sg = partition_sharded(g, N_DEV, mesh, use_halo=False)
-    colors, rounds = sharded.color_greedy(sg, mesh)
-    c = np.asarray(colors)
-    src = np.asarray(g.edge_src)
-    dst = np.asarray(g.col_indices)
-    off_diag = src != dst
-    assert (c >= 0).all()
-    assert (c[src[off_diag]] != c[dst[off_diag]]).all()
     want, _ = color_kernel_greedy(g)
-    assert (c == np.asarray(want)).all()
+    for use_halo in (False, True):
+        sg = partition_sharded(g, N_DEV, mesh, use_halo=use_halo)
+        colors, rounds = sharded.color_greedy(sg, mesh)
+        c = np.asarray(colors)
+        src = np.asarray(g.edge_src)
+        dst = np.asarray(g.col_indices)
+        off_diag = src != dst
+        assert (c >= 0).all(), use_halo
+        assert (c[src[off_diag]] != c[dst[off_diag]]).all(), use_halo
+        assert (c == np.asarray(want)).all(), use_halo
 
 
 def test_sharded_bc(sym_setup, mesh):
