@@ -15,16 +15,26 @@ from gunrock_tpu.io.parameters import parse
 
 
 def load_labels(path: str, n_vertices: int):
-    """Reference label file: `vertex latitude longitude` per line."""
+    """Reference labels file (geo.cu:12-100 semantics): ``%`` comments,
+    then ONE size line ``N L L``, then ``node_id lat lon`` lines with
+    0-BASED node ids; a line carrying only a node id means "coordinates
+    missing" (left invalid/NaN). The previous reader treated ids as
+    1-based and the size line as a label — vertex 0's label landed on
+    the last vertex via numpy's -1 wraparound."""
     lat = np.full(n_vertices, np.nan, np.float32)
     lon = np.full(n_vertices, np.nan, np.float32)
+    size_seen = False
     with open(path) as f:
         for line in f:
             if line.startswith("%") or not line.strip():
                 continue
+            if not size_seen:  # problem-description line: N L L
+                size_seen = True
+                continue
             parts = line.split()
-            v = int(parts[0]) - 1
-            lat[v], lon[v] = float(parts[1]), float(parts[2])
+            v = int(parts[0])
+            if len(parts) >= 3 and 0 <= v < n_vertices:
+                lat[v], lon[v] = float(parts[1]), float(parts[2])
     return lat, lon
 
 
