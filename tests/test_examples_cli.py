@@ -114,6 +114,21 @@ def test_example_driver_real_graph(algo, extra, capsys):
 
 
 REF_LABELS = "/root/reference/datasets/geolocation/locations.labels"
+REF_SPGEMM_A = "/root/reference/datasets/spgemm/a.mtx"
+REF_SPGEMM_B = "/root/reference/datasets/spgemm/b.mtx"
+
+
+def test_spgemm_two_matrix_cli(capsys):
+    """C = A.B with distinct inputs (the reference driver's two-filename
+    form, spgemm.cu:28-51, on its own vendored pair)."""
+    import os
+
+    if not os.path.exists(REF_SPGEMM_A):
+        pytest.skip("reference dataset not mounted")
+    _run("spgemm", ["--market", REF_SPGEMM_A, "--market_b", REF_SPGEMM_B,
+                    "--validate"])
+    out = capsys.readouterr().out
+    assert "FAILED" not in out
 
 
 def test_geo_labels_file_reference_format(capsys):
