@@ -10,7 +10,15 @@ from gunrock_tpu.io.parameters import parse
 
 
 def main(argv=None):
-    params = parse("tc", argv)
+    params = parse(
+        "tc", argv,
+        extra_args=[
+            (("-r", "--reduce"), dict(action="store_true",
+             help="print the single whole-graph triangle count "
+             "(reference tc.cu -r,--reduce; per-vertex counts are "
+             "always computed)")),
+        ],
+    )
     graph, _ = runner.load(params)
 
     times = []
@@ -21,8 +29,9 @@ def main(argv=None):
 
     runner.print_head(runner.to_original(params, result.vertex_triangles_count),
                       name="triangles")
-    print(f"total (3x triangles) = {result.total_triangles_count}; "
-          f"distinct triangles = {result.n_triangles}")
+    if params.extra.reduce:
+        print(f"total (3x triangles) = {result.total_triangles_count}; "
+              f"distinct triangles = {result.n_triangles}")
     runner.finish(params, "tc", graph, times)
 
     if params.validate:
