@@ -33,7 +33,7 @@ from gunrock_tpu.ops.configs import Options
 
 @dataclasses.dataclass
 class Param:
-    total_iterations: int = 3
+    total_iterations: int = 10
     spatial_iterations: int = 1000
 
 
@@ -87,7 +87,7 @@ def geo_kernel(
     graph: Graph,
     latitude,
     longitude,
-    total_iterations: int = 3,
+    total_iterations: int = 10,
     spatial_iterations: int = 1000,
     eps: float = 1e-3,
 ):
@@ -198,7 +198,7 @@ def run(
     graph: Graph,
     latitude,
     longitude,
-    total_iterations: int = 3,
+    total_iterations: int = 10,
     spatial_iterations: int = 1000,
     options: Options | None = None,
     warmup: bool = True,

@@ -43,7 +43,7 @@ def main(argv=None):
         "geo", argv,
         extra_args=[
             (("--labels",), dict(default="", help="label file (vertex lat lon)")),
-            (("--total_iterations",), dict(type=int, default=3)),
+            (("--total_iterations",), dict(type=int, default=10)),
             (("--spatial_iterations",), dict(type=int, default=1000)),
         ],
     )
