@@ -12,7 +12,7 @@ from gunrock_tpu.io.parameters import parse
 def main(argv=None):
     params = parse(
         "hits", argv,
-        extra_args=[(("--max_iterations",), dict(type=int, default=50))],
+        extra_args=[(("--max_iterations",), dict(type=int, default=20))],
     )
     graph, _ = runner.load(params)
 
