@@ -129,6 +129,57 @@ def test_spmm_unoccupied_row_windows():
     assert (Y[128:] == 0.0).all()
 
 
+def test_spmv_sparse_tail_grids_match_dense():
+    """Every frontier-sparse kernel now dispatches over tail grids
+    (n_chunks, /8, /64); a collapsed one-window frontier must select the
+    smallest grid and still match the dense kernel on masked input, for
+    all three semirings."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.semiring import (
+        _BIG, bucketed_semiring_spmv, bucketed_semiring_spmv_sparse,
+    )
+
+    rng = np.random.default_rng(11)
+    V, W, E = 1000, 128, 6000
+    rows = rng.integers(0, V, E)
+    cols = rng.integers(0, V, E)
+    vals = (rng.random(E) + 0.5).astype(np.float32)
+    x = (rng.random(V) + 0.5).astype(np.float32)
+    active = np.zeros(V, bool)
+    active[:100] = True  # one source window -> smallest grid branch
+    for sr, pad in (("plus_times", 0.0), ("min_plus", _BIG),
+                    ("max_times", 0.0)):
+        # inactive x slots must carry the GATHER identity (the documented
+        # contract): 0 for plus/max_times, +BIG for min_plus (as SSSP's
+        # unreached distances do)
+        xa = jnp.asarray(
+            np.where(active, x, _BIG if sr == "min_plus" else 0.0).astype(
+                np.float32
+            )
+        )
+        lay = build_bucketed_layout(rows, cols, vals, V, window=W,
+                                    chunk=128, pad_value=pad)
+        want = np.asarray(
+            bucketed_semiring_spmv(lay, xa, sr, interpret=True)
+        )
+        got = np.asarray(
+            bucketed_semiring_spmv_sparse(
+                lay, xa, jnp.asarray(active), sr, interpret=True
+            )
+        )
+        if sr == "min_plus":
+            # rows with no active in-edge: sparse returns inf (identity)
+            mask = np.isfinite(got)
+            np.testing.assert_allclose(got[mask], want[mask], rtol=1e-6)
+        else:
+            touched = got != 0
+            np.testing.assert_allclose(
+                got[touched], want[touched], rtol=1e-5
+            )
+
+
 def test_spmm_sparse_matches_dense():
     """bucketed_spmm_sparse == A @ X restricted to active sources, in
     both exact-bf16 and hi+lo modes, with out_mask row skipping and the
