@@ -77,3 +77,7 @@ run python benchmarks/ab_spgemm.py dense --scale 16 --block-rows 256
 # 10. MST/greedy at s18, tail-grid headline guard (cheap closers)
 run python benchmarks/run.py --algorithms mst --rmat 18 --reorder degree
 GUNROCK_TAIL_GRIDS="" run python bench.py
+
+# 11. scale-22 capability probe (67M edges single chip; W=16384 layout —
+#     expect ~15-20 MTEPS BFS if the SMEM/VMEM math holds)
+run python benchmarks/big_scale.py --algo bfs --scale 22 --degsort --num_runs 2
