@@ -267,6 +267,18 @@ def advance_semiring(
             )
         else:
             raise ValueError(f"advance_semiring does not dispatch {direction}")
+        if frontier is not None:
+            # frontier-sparse: chunks whose source window has no active
+            # vertex skip in-grid (and collapsed frontiers run a smaller
+            # compiled grid — semiring._tail_grid_dispatch), so operator
+            # users inherit the same sparsity the tuned algorithms use
+            from gunrock_tpu.ops.pallas.semiring import (
+                bucketed_semiring_spmv_sparse,
+            )
+
+            return bucketed_semiring_spmv_sparse(
+                layout, x, frontier, semiring, interpret=interpret
+            )
         return bucketed_semiring_spmv(layout, x, semiring, interpret=interpret)
 
     # XLA segmented path.
