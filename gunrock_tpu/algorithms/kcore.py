@@ -59,7 +59,17 @@ def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
     count. ``layout`` is threaded through (a jit argument at the call
     site, so Pallas layouts don't become HLO constants)."""
     V = graph.n_vertices
-    deg0 = graph.out_degrees().astype(jnp.int32)
+    # self loops are excluded from peel degrees (deviation from
+    # kcore.hxx:79-84, which counts them and disagrees with the standard
+    # core-number definition on non-simple inputs; matches networkx and
+    # this framework's other algorithms). A peeled vertex's self edge
+    # only ever decrements the vertex itself, whose degree is never
+    # consulted again — so only the INITIAL degrees need the correction.
+    self_loops = jax.ops.segment_sum(
+        (graph.edge_src == graph.col_indices).astype(jnp.int32),
+        graph.edge_src, num_segments=V, indices_are_sorted=True,
+    )
+    deg0 = graph.out_degrees().astype(jnp.int32) - self_loops
 
     if decrement_fn is None:
 

@@ -94,11 +94,18 @@ def tc(graph) -> np.ndarray:
 
 
 def kcore(graph) -> np.ndarray:
-    """Peeling from k=1 (reference semantics: isolated vertices get 1)."""
+    """Peeling from k=1 (reference semantics: isolated vertices get 1).
+    Self loops are excluded from degrees (deviation: kcore.hxx:79-84
+    counts them, which disagrees with the standard core-number
+    definition/networkx on non-simple inputs; every other algorithm here
+    already drops self loops)."""
     offs = hostcache.host(graph, "row_offsets")
     cols = hostcache.host(graph, "col_indices")
     V = graph.n_vertices
-    deg = np.diff(offs).astype(np.int64)
+    src = np.repeat(np.arange(V), np.diff(offs))
+    deg = np.diff(offs).astype(np.int64) - np.bincount(
+        src[src == cols], minlength=V
+    )
     cores = np.zeros(V, dtype=np.int32)
     alive = np.ones(V, dtype=bool)
     k = 1

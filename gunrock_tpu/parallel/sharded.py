@@ -473,8 +473,12 @@ def kcore(sg: ShardedGraph, mesh):
 
     def spmd(sg):
         vvalid, ids = _vvalid(sg, axis)
+        local_base = jax.lax.axis_index(axis).astype(jnp.int32) * sg.v_per_shard
+        # self loops excluded from peel degrees (matches the single-chip
+        # kernel's deviation from kcore.hxx — see algorithms/kcore.py)
+        not_loop = sg.d_src != sg.d_dst_local + local_base
         deg = _local_reduce(
-            sg, sg.d_valid.astype(jnp.int32), sg.d_valid, "sum"
+            sg, (sg.d_valid & not_loop).astype(jnp.int32), sg.d_valid, "sum"
         )
 
         def cond(c):

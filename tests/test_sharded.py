@@ -121,6 +121,23 @@ def test_sharded_kcore(sym_setup, mesh):
     assert degen == max(want.values())
 
 
+def test_sharded_kcore_self_loops(mesh):
+    """Self loops are excluded from peel degrees in the sharded kernel
+    too (must match the single-chip kernel on non-simple inputs)."""
+    from tests.test_fuzz import _odd_graph
+
+    from gunrock_tpu.algorithms.kcore import kcore_kernel
+    from gunrock_tpu.parallel import sharded
+    from gunrock_tpu.parallel.sharded import partition_sharded
+
+    g, _ = _odd_graph(104)  # contains self loops + isolated vertices
+    sg = partition_sharded(g, N_DEV, mesh, use_halo=False)
+    cores, degen = sharded.kcore(sg, mesh)
+    want, want_degen = kcore_kernel(g)
+    assert (np.asarray(cores) == np.asarray(want)).all()
+    assert degen == int(want_degen)
+
+
 def test_sharded_color(sym_setup, mesh):
     from gunrock_tpu.parallel import sharded
 
