@@ -108,6 +108,54 @@ def test_fuzz_color_kcore(seed):
         assert all(cores[v] == max(want[v], 1) for v in G.nodes), (seed, lb)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_tc_spmv(seed):
+    import networkx as nx
+
+    from gunrock_tpu.algorithms import spmv, tc
+
+    g, A = _odd_graph(seed + 300)
+    res = tc.run(g, warmup=False)
+    G = nx.from_scipy_sparse_array(A)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.triangles(G)
+    got = np.asarray(res.vertex_triangles_count)
+    assert all(got[v] == want[v] for v in G.nodes), seed
+
+    rng = np.random.default_rng(seed)
+    x = rng.random(g.n_vertices).astype(np.float32)
+    for lb in LBS:
+        y = np.asarray(
+            spmv.run(g, x, options=Options(load_balance=lb), warmup=False).y
+        )
+        np.testing.assert_allclose(
+            y, A @ x, rtol=2e-4, atol=1e-5, err_msg=f"{seed} {lb}"
+        )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_msbfs_matches_single(seed):
+    """Batched multi-source BFS (SpMM K-axis, exact-bf16 frontiers) ==
+    K independent single-source runs, on odd graphs."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.algorithms import bfs
+    from gunrock_tpu.algorithms.bfs import UNREACHED, msbfs_kernel
+
+    g, A = _odd_graph(seed + 400)
+    K = 8
+    rng = np.random.default_rng(seed)
+    srcs = rng.integers(0, g.n_vertices, K).astype(np.int32)
+    dist, _ = msbfs_kernel(g, jnp.asarray(srcs), interpret=True)
+    dist = np.asarray(dist)
+    for k, s in enumerate(srcs):
+        want = np.asarray(bfs.run(g, int(s), warmup=False).distances)
+        got = dist[:, k]
+        reach = want != int(UNREACHED)
+        assert (got[reach] == want[reach]).all(), (seed, k)
+        assert (got[~reach] == int(UNREACHED)).all(), (seed, k)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_mst_pr(seed):
     import scipy.sparse.csgraph as csg
