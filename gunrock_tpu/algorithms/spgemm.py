@@ -185,18 +185,25 @@ def _block_kernel(
     j = jnp.where(valid, b_col[b_e], jnp.int32(2**30))
     v = jnp.where(valid, av[a_id] * b_val[b_e], 0.0)
 
+    if count_only:
+        # structure analysis needs no materialization: the value payload
+        # stays OUT of the sort (the checksum is an order-invariant sum),
+        # cutting the sort to 2 operands, and the three compaction
+        # scatters + per-run segment sum are skipped entirely (scatters
+        # serialize at ~0.1 Gelem/s — they were most of the per-block
+        # cost)
+        i_s, j_s = jax.lax.sort((i, j), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), (i_s[1:] != i_s[:-1]) | (j_s[1:] != j_s[:-1])]
+        )
+        n_runs = jnp.sum((first & (i_s < sent)).astype(jnp.int32))
+        return n_runs, jnp.sum(v)
     i_s, j_s, v_s = jax.lax.sort((i, j, v), num_keys=2)
     first = jnp.concatenate(
         [jnp.ones(1, bool), (i_s[1:] != i_s[:-1]) | (j_s[1:] != j_s[:-1])]
     )
     run_valid = first & (i_s < sent)
     n_runs = jnp.sum(run_valid.astype(jnp.int32))
-    if count_only:
-        # structure analysis needs no materialization: skip the three
-        # compaction scatters and the per-run segment sum entirely
-        # (scatters serialize at ~0.1 Gelem/s — they were most of the
-        # per-block cost); the checksum is just the product sum
-        return n_runs, jnp.sum(v_s)
     run = jnp.cumsum(first.astype(jnp.int32)) - 1
     vals = jax.ops.segment_sum(v_s, run, num_segments=total, indices_are_sorted=True)
     is_end = jnp.concatenate([first[1:], jnp.ones(1, bool)])
