@@ -108,6 +108,59 @@ def test_fuzz_color_kcore(seed):
         assert all(cores[v] == max(want[v], 1) for v in G.nodes), (seed, lb)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_tc_directed(seed):
+    """Directed inputs: TC counts triangles of the symmetrized graph
+    (documented deviation; the reference silently miscounts)."""
+    import networkx as nx
+
+    from gunrock_tpu.algorithms import tc
+
+    rng = np.random.default_rng(seed + 700)
+    n = int(rng.integers(30, 70))
+    dense = (rng.random((n, n)) < 0.1).astype(np.float32)
+    np.fill_diagonal(dense, (rng.random(n) < 0.2))  # self loops too
+    sp_mat = sp.csr_matrix(dense)
+    coo = sp_mat.tocoo()
+    g = build_graph(
+        coo_to_csr(Coo(
+            n_rows=n, n_cols=n,
+            row_indices=coo.row.astype(np.int32),
+            col_indices=coo.col.astype(np.int32),
+            values=coo.data.astype(np.float32),
+        )),
+        GraphProperties(directed=True, weighted=False, symmetric=False),
+    )
+    res = tc.run(g, warmup=False)
+    G = nx.from_scipy_sparse_array(
+        sp.csr_matrix(np.maximum(dense, dense.T))
+    )
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.triangles(G)
+    got = np.asarray(res.vertex_triangles_count)
+    assert all(got[v] == want[v] for v in G.nodes), seed
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_sssp_delta_stepping(seed):
+    import scipy.sparse.csgraph as csg
+
+    from gunrock_tpu.algorithms import sssp
+    from gunrock_tpu.ops.configs import LoadBalance
+
+    g, A = _odd_graph(seed + 500)
+    src = (seed * 13) % g.n_vertices
+    want = csg.dijkstra(A, indices=src)
+    res = sssp.run(
+        g, src, options=Options(load_balance=LoadBalance.BUCKETING),
+        warmup=False,
+    )
+    got = np.asarray(res.distances)
+    reach = np.isfinite(want)
+    np.testing.assert_allclose(got[reach], want[reach], rtol=1e-5)
+    assert np.isinf(got[~reach]).all() or (got[~reach] > 1e37).all()
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_tc_spmv(seed):
     import networkx as nx
