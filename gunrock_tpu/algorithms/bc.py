@@ -280,12 +280,12 @@ def bc_batch_kernel(
 
     def fbody(c):
         it, front, labels, sigma = c
-        reached = (
-            bucketed_spmm(pull_layout, front, interpret=interpret) > 0.5
-        )
-        new = reached & (labels == -1)
-        labels = jnp.where(new, it + 1, labels)
+        # one pass per level: a positive sigma sum IS reachability
+        # (sigma >= 1 on the frontier), so the separate reach SpMM the
+        # round-1 kernel paid is gone
         sig_add = bucketed_spmm(pull_layout, front * sigma, interpret=interpret)
+        new = (sig_add > 0) & (labels == -1)
+        labels = jnp.where(new, it + 1, labels)
         sigma = jnp.where(new, sig_add, sigma)
         return it + 1, new.astype(jnp.float32), labels, sigma
 
