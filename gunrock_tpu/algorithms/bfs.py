@@ -366,7 +366,11 @@ def run(
         # layout rides as a jit ARGUMENT: closed-over device arrays become
         # HLO constants, and at scale 20 the embedded layout overflows the
         # axon remote-compile payload (HTTP 413)
-        fn = jax.jit(lambda g, s, lay: bfs_kernel_do(g, s, layout=lay))
+        from gunrock_tpu.utils.jitcache import cached_jit
+
+        fn = cached_jit(
+            "bfs_do", lambda: lambda g, s, lay: bfs_kernel_do(g, s, layout=lay)
+        )
         if warmup:
             jax.block_until_ready(fn(graph, single_source, layout))
         t0 = time.perf_counter()

@@ -205,10 +205,13 @@ def run(
 ) -> Result:
     """Role of reference ``geo::run`` (geo.hxx:417-447)."""
     del options
-    fn = jax.jit(
-        lambda g, la, lo: geo_kernel(
+    from gunrock_tpu.utils.jitcache import cached_jit
+
+    fn = cached_jit(
+        ("geo", total_iterations, spatial_iterations),
+        lambda: lambda g, la, lo: geo_kernel(
             g, la, lo, total_iterations, spatial_iterations
-        )
+        ),
     )
     args = (graph, jnp.asarray(latitude, jnp.float32), jnp.asarray(longitude, jnp.float32))
     if warmup:

@@ -144,32 +144,48 @@ def run(
 
     if options is None:
         options = default_options()
+    from gunrock_tpu.utils.jitcache import cached_jit
+
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
         import numpy as np
 
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_auto_layout
+        from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
 
         interpret = use_interpret()
-        ones = np.ones(graph.n_edges, np.float32)
-        ps_ = build_auto_layout(
-            hostcache.host(graph, "edge_src"), hostcache.host(graph, "col_indices"), ones,
-            graph.n_vertices, interpret=interpret,
+
+        def build_layouts():
+            ones = np.ones(graph.n_edges, np.float32)
+            ps = build_auto_layout(
+                hostcache.host(graph, "edge_src"),
+                hostcache.host(graph, "col_indices"), ones,
+                graph.n_vertices, interpret=interpret,
+            )
+            pl = build_auto_layout(
+                hostcache.host(graph, "col_indices"),
+                hostcache.host(graph, "edge_src"), ones,
+                graph.n_vertices, interpret=interpret,
+            )
+            return ps, pl
+
+        # layouts cached per graph; as jit ARGUMENTS (a closure would
+        # bake them into the HLO)
+        ps_, pl_ = cached_layout(
+            graph.col_indices, build_layouts, ("hits_layouts", interpret)
         )
-        pl_ = build_auto_layout(
-            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"), ones,
-            graph.n_vertices, interpret=interpret,
-        )
-        # layouts as jit arguments (closure would bake them into the HLO)
-        fn = jax.jit(
-            lambda g, ps, pl: hits_kernel_pallas(
+        fn = cached_jit(
+            ("hits_pallas", max_iterations, interpret),
+            lambda: lambda g, ps, pl: hits_kernel_pallas(
                 g, max_iterations, push_layout=ps, pull_layout=pl,
                 interpret=interpret,
-            )
+            ),
         )
     else:
         ps_ = pl_ = None
-        fn = jax.jit(lambda g, ps, pl: hits_kernel(g, max_iterations))
+        fn = cached_jit(
+            ("hits_xla", max_iterations),
+            lambda: lambda g, ps, pl: hits_kernel(g, max_iterations),
+        )
     if warmup:
         jax.block_until_ready(fn(graph, ps_, pl_))
     t0 = time.perf_counter()

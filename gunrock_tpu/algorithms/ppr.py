@@ -174,7 +174,12 @@ def run(
         )
         args = (graph, seed, layout)
     else:
-        fn = jax.jit(lambda g, s: ppr_kernel(g, s, alpha, epsilon))
+        from gunrock_tpu.utils.jitcache import cached_jit
+
+        fn = cached_jit(
+            ("ppr_xla", alpha, epsilon),
+            lambda: lambda g, s: ppr_kernel(g, s, alpha, epsilon),
+        )
         args = (graph, seed)
     if warmup:
         jax.block_until_ready(fn(*args))
@@ -266,24 +271,36 @@ def run_batch(
         from gunrock_tpu.ops.pallas import use_interpret
         from gunrock_tpu.ops.pallas.layout import build_auto_layout
 
+        from gunrock_tpu.ops.pallas.layout import cached_layout
+        from gunrock_tpu.utils.jitcache import cached_jit
+
         interpret = use_interpret()
-        layout = build_auto_layout(
-            hostcache.host(graph, "col_indices"), hostcache.host(graph, "edge_src"),
-            np.ones(graph.n_edges, np.float32), graph.n_vertices,
-            interpret=interpret,
+        layout = cached_layout(
+            graph.col_indices,
+            lambda: build_auto_layout(
+                hostcache.host(graph, "col_indices"),
+                hostcache.host(graph, "edge_src"),
+                np.ones(graph.n_edges, np.float32), graph.n_vertices,
+                interpret=interpret,
+            ),
+            ("ppr_batch_pull", interpret),
         )
         # layout as jit argument (closure would bake it into the HLO)
-        fn = jax.jit(
-            lambda g, ss, lay: ppr_batch_kernel_spmm(
+        fn = cached_jit(
+            ("ppr_batch_spmm", alpha, epsilon, interpret),
+            lambda: lambda g, ss, lay: ppr_batch_kernel_spmm(
                 g, ss, alpha, epsilon, layout=lay, interpret=interpret
-            )[0].T
+            )[0].T,
         )
     else:
+        from gunrock_tpu.utils.jitcache import cached_jit
+
         layout = None
-        fn = jax.jit(
-            lambda g, ss, lay: jax.vmap(
+        fn = cached_jit(
+            ("ppr_batch_vmap", alpha, epsilon),
+            lambda: lambda g, ss, lay: jax.vmap(
                 lambda s: ppr_kernel(g, s, alpha, epsilon)[0]
-            )(ss)
+            )(ss),
         )
     if warmup:
         jax.block_until_ready(fn(graph, seeds, layout))

@@ -154,8 +154,13 @@ def run(
 
         layout = pull_layout(graph)  # host-side; must precede tracing
         # layout as jit argument (closure would bake it into the HLO)
-        fn = jax.jit(
-            lambda g, lay: pr_kernel_pallas(g, alpha, tol, max_it, layout=lay)
+        from gunrock_tpu.utils.jitcache import cached_jit
+
+        fn = cached_jit(
+            ("pr_pallas", alpha, tol, max_it),
+            lambda: lambda g, lay: pr_kernel_pallas(
+                g, alpha, tol, max_it, layout=lay
+            ),
         )
         if warmup:
             jax.block_until_ready(fn(graph, layout))

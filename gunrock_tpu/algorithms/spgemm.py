@@ -245,17 +245,18 @@ def _run_streaming(
     ac_g = jnp.concatenate([A.col_indices, pad])
     av_g = jnp.concatenate([A.values, pad.astype(jnp.float32)])
 
-    fns = {}
+    from gunrock_tpu.utils.jitcache import cached_jit
 
     def get_fn(total):
-        if total not in fns:
-            fns[total] = jax.jit(
-                functools.partial(
-                    _block_kernel, total=total, n_rows=n_rows,
-                    count_only=count_only,
-                )
-            )
-        return fns[total]
+        # process-lifetime cache: repeat run() calls (benchmark loops)
+        # reuse the block executables instead of recompiling
+        return cached_jit(
+            ("spgemm_block", total, n_rows, count_only),
+            lambda: functools.partial(
+                _block_kernel, total=total, n_rows=n_rows,
+                count_only=count_only,
+            ),
+        )
 
     t0 = time.perf_counter()
     triples = {}  # plan index -> (rows, cols, vals) host arrays
@@ -456,15 +457,19 @@ def _run_dense(
     ac_g = jnp.concatenate([A.col_indices, pad])
     av_g = jnp.concatenate([A.values, pad.astype(jnp.float32)])
 
-    fn = jax.jit(
-        functools.partial(
+    from gunrock_tpu.utils.jitcache import cached_jit
+
+    fn = cached_jit(
+        ("spgemm_dense_block", V, block_rows,
+         0 if count_only else block_cap, pad_n, interpret),
+        lambda: functools.partial(
             _dense_block_kernel,
             n_vertices=V,
             block_rows=block_rows,
             cap=0 if count_only else block_cap,
             max_block_edges=pad_n,
             interpret=interpret,
-        )
+        ),
     )
     t0 = time.perf_counter()
     nnz_parts, csum_parts, triples = [], [], []
@@ -585,10 +590,13 @@ def run(
             elapsed_ms=0.0,
         )
 
-    fn = jax.jit(
-        lambda ar, ac, av, bo, bc, bv, eo: spgemm_kernel(
+    from gunrock_tpu.utils.jitcache import cached_jit
+
+    fn = cached_jit(
+        ("spgemm_oneshot", total),
+        lambda: lambda ar, ac, av, bo, bc, bv, eo: spgemm_kernel(
             ar, ac, av, bo, bc, bv, eo, total
-        )
+        ),
     )
     args = (
         A.edge_src,

@@ -89,13 +89,20 @@ def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) ->
         # layout built host-side before tracing (concrete graph required)
         layout = layout_for_graph(graph)
         interp = use_interpret()
+        from gunrock_tpu.utils.jitcache import cached_jit
+
         # layout as jit argument (closure would bake it into the HLO)
-        fn = jax.jit(
-            lambda g, xv, lay: bucketed_spmv(lay, xv, interpret=interp)
+        fn = cached_jit(
+            ("spmv_pallas", interp),
+            lambda: lambda g, xv, lay: bucketed_spmv(lay, xv, interpret=interp),
         )
     else:
+        from gunrock_tpu.utils.jitcache import cached_jit
+
         layout = None
-        fn = jax.jit(lambda g, xv, lay: spmv_kernel(g, xv))
+        fn = cached_jit(
+            "spmv_xla", lambda: lambda g, xv, lay: spmv_kernel(g, xv)
+        )
     if warmup:
         jax.block_until_ready(fn(graph, x, layout))
     t0 = time.perf_counter()

@@ -387,7 +387,11 @@ def run(
     if options.load_balance == LoadBalance.BUCKETING:
         import time
 
-        fn = jax.jit(lambda g, s: sssp_kernel_delta(g, s))
+        from gunrock_tpu.utils.jitcache import cached_jit
+
+        fn = cached_jit(
+            "sssp_delta", lambda: lambda g, s: sssp_kernel_delta(g, s)
+        )
         if warmup:
             jax.block_until_ready(fn(graph, single_source))
         t0 = time.perf_counter()
@@ -410,7 +414,11 @@ def run(
         # layout as jit ARGUMENT, not closure: closed-over device arrays
         # become HLO constants and overflow the axon remote-compile
         # payload at scale 20 (HTTP 413)
-        fn = jax.jit(lambda g, s, lay: sssp_kernel_do(g, s, layout=lay))
+        from gunrock_tpu.utils.jitcache import cached_jit
+
+        fn = cached_jit(
+            "sssp_do", lambda: lambda g, s, lay: sssp_kernel_do(g, s, layout=lay)
+        )
         if warmup:
             jax.block_until_ready(fn(graph, single_source, layout))
         t0 = time.perf_counter()

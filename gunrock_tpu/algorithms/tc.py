@@ -329,8 +329,13 @@ def run(
     offs = jnp.asarray(dag_offsets)
     adj = jnp.asarray(dag_adj if dag_adj.size else np.zeros(1, np.int32))
 
-    fn = jax.jit(
-        lambda o, a, u, v: tc_kernel(graph.n_vertices, o, a, u, v, D, chunk)
+    from gunrock_tpu.utils.jitcache import cached_jit
+
+    fn = cached_jit(
+        ("tc_membership", graph.n_vertices, D, chunk),
+        lambda: lambda o, a, u, v: tc_kernel(
+            graph.n_vertices, o, a, u, v, D, chunk
+        ),
     )
     if warmup:
         jax.block_until_ready(fn(offs, adj, eu, ev))
