@@ -213,16 +213,15 @@ def run(graph: Graph, single_source: int, options: Options | None = None,
         from gunrock_tpu.ops.pallas import use_interpret
         from gunrock_tpu.ops.pallas.layout import cached_layout
 
+        from gunrock_tpu.utils.jitcache import cached_jit
+
         interpret = use_interpret()
         pl_, ps_ = _bc_layouts(graph, interpret)
-        fn = cached_layout(
-            graph.col_indices,
-            lambda: jax.jit(
-                lambda g, s, a, b: bc_kernel_pallas(
-                    g, s, a, b, interpret=interpret
-                )
+        fn = cached_jit(
+            ("bc_pallas", interpret),
+            lambda: lambda g, s, a, b: bc_kernel_pallas(
+                g, s, a, b, interpret=interpret
             ),
-            ("bc_fn", interpret),
         )
         args = (graph, single_source, pl_, ps_)
     else:

@@ -156,16 +156,14 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
             )
             return jnp.round(cnt).astype(jnp.int32)
 
-    # one jitted executable per (graph, strategy): rebuilding the closure
-    # per call would recompile (~seconds over the axon tunnel)
-    from gunrock_tpu.ops.pallas.layout import cached_layout
+    # one jitted executable per strategy (decrement_fn closes over only
+    # the static interpret flag; graph and layout ride as arguments)
+    from gunrock_tpu.utils.jitcache import cached_jit
 
-    fn = cached_layout(
-        graph.col_indices,
-        lambda: jax.jit(
-            lambda g, lay: kcore_kernel(g, decrement_fn, layout=lay)
-        ),
-        ("kcore_fn", options.load_balance),
+    fn = cached_jit(
+        ("kcore", options.load_balance,
+         None if decrement_fn is None else ("pallas", interpret)),
+        lambda: lambda g, lay: kcore_kernel(g, decrement_fn, layout=lay),
     )
     if warmup:
         jax.block_until_ready(fn(graph, layout))

@@ -161,16 +161,15 @@ def run(
         from gunrock_tpu.ops.pallas.layout import cached_layout
         from gunrock_tpu.ops.pallas.semiring import pull_layout
 
+        from gunrock_tpu.utils.jitcache import cached_jit
+
         interpret = use_interpret()
         layout = pull_layout(graph, unit=True, interpret=interpret)
-        fn = cached_layout(
-            graph.col_indices,
-            lambda: jax.jit(
-                lambda g, s, lay: ppr_kernel_pallas(
-                    g, s, lay, alpha, epsilon, interpret=interpret
-                )
+        fn = cached_jit(
+            ("ppr_pallas", alpha, epsilon, interpret),
+            lambda: lambda g, s, lay: ppr_kernel_pallas(
+                g, s, lay, alpha, epsilon, interpret=interpret
             ),
-            ("ppr_fn", alpha, epsilon, interpret),
         )
         args = (graph, seed, layout)
     else:
