@@ -115,26 +115,15 @@ def bc_kernel(graph: Graph, single_source):
 
 
 def _bc_layouts(graph: Graph, interpret: bool):
-    """Unit-weight pull (rows=dst) + push (rows=src) layouts, cached."""
-    import numpy as np
+    """Unit-weight pull (rows=dst) + push (rows=src) layouts — the SAME
+    cache entries bfs/ppr/kcore/hits use (one E-sized layout per graph
+    per orientation, not one per algorithm)."""
+    from gunrock_tpu.ops.pallas.semiring import pull_layout, push_layout
 
-    from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
-
-    def build():
-        ones = np.ones(graph.n_edges, np.float32)
-        pull = build_auto_layout(
-            hostcache.host(graph, "col_indices"),
-            hostcache.host(graph, "edge_src"), ones,
-            graph.n_vertices, interpret=interpret,
-        )
-        push = build_auto_layout(
-            hostcache.host(graph, "edge_src"),
-            hostcache.host(graph, "col_indices"), ones,
-            graph.n_vertices, interpret=interpret,
-        )
-        return pull, push
-
-    return cached_layout(graph.col_indices, build, ("bc_layouts", interpret))
+    return (
+        pull_layout(graph, unit=True, interpret=interpret),
+        push_layout(graph, unit=True, interpret=interpret),
+    )
 
 
 def bc_kernel_pallas(
@@ -211,8 +200,6 @@ def run(graph: Graph, single_source: int, options: Options | None = None,
         options = default_options()
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import cached_layout
-
         from gunrock_tpu.utils.jitcache import cached_jit
 
         interpret = use_interpret()

@@ -393,7 +393,7 @@ def _greedy_color_setup(graph: Graph, interpret: bool):
 
 def color_kernel_greedy_pallas(
     graph: Graph,
-    rank: jax.Array,
+    rank: jax.Array | None = None,
     max_iterations: int | None = None,
     layout=None,
     interpret: bool | None = None,
@@ -433,8 +433,12 @@ def color_kernel_greedy_pallas(
     max_it = 4 * V if max_iterations is None else max_iterations
     if interpret is None:
         interpret = use_interpret()
-    if layout is None:
-        layout, rank = _greedy_color_setup(graph, interpret)
+    if layout is None or rank is None:
+        # derive only the missing piece (a caller-supplied rank must
+        # never be silently replaced); host-side — call outside jit
+        d_layout, d_rank = _greedy_color_setup(graph, interpret)
+        layout = d_layout if layout is None else layout
+        rank = d_rank if rank is None else rank
     lanes_k = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     colors0 = jnp.minimum(rank, K - 1)  # rank-init tentative coloring

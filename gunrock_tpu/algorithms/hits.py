@@ -147,32 +147,14 @@ def run(
     from gunrock_tpu.utils.jitcache import cached_jit
 
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
-        import numpy as np
-
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
+        from gunrock_tpu.ops.pallas.semiring import pull_layout, push_layout
 
         interpret = use_interpret()
-
-        def build_layouts():
-            ones = np.ones(graph.n_edges, np.float32)
-            ps = build_auto_layout(
-                hostcache.host(graph, "edge_src"),
-                hostcache.host(graph, "col_indices"), ones,
-                graph.n_vertices, interpret=interpret,
-            )
-            pl = build_auto_layout(
-                hostcache.host(graph, "col_indices"),
-                hostcache.host(graph, "edge_src"), ones,
-                graph.n_vertices, interpret=interpret,
-            )
-            return ps, pl
-
-        # layouts cached per graph; as jit ARGUMENTS (a closure would
-        # bake them into the HLO)
-        ps_, pl_ = cached_layout(
-            graph.col_indices, build_layouts, ("hits_layouts", interpret)
-        )
+        # the SAME per-graph cache entries every other algorithm uses;
+        # layouts ride as jit ARGUMENTS (a closure would bake them in)
+        ps_ = push_layout(graph, unit=True, interpret=interpret)
+        pl_ = pull_layout(graph, unit=True, interpret=interpret)
         fn = cached_jit(
             ("hits_pallas", max_iterations, interpret),
             lambda: lambda g, ps, pl: hits_kernel_pallas(

@@ -29,7 +29,6 @@ import time
 import jax
 import jax.numpy as jnp
 
-from gunrock_tpu.graph import hostcache
 
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
@@ -125,25 +124,16 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
     decrement_fn = None
     layout = None
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
-        import numpy as np
-
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
-        from gunrock_tpu.ops.pallas.semiring import bucketed_semiring_spmv_sparse
+        from gunrock_tpu.ops.pallas.semiring import (
+            bucketed_semiring_spmv_sparse,
+            pull_layout,
+        )
 
         interpret = use_interpret()
         # unit-weight pull layout: count peeled in-neighbors per vertex
-        layout = cached_layout(
-            graph.col_indices,
-            lambda: build_auto_layout(
-                hostcache.host(graph, "col_indices"),
-                hostcache.host(graph, "edge_src"),
-                np.ones(graph.n_edges, np.float32),
-                graph.n_vertices,
-                interpret=interpret,
-            ),
-            ("kcore_unit_pull", "auto", interpret),
-        )
+        # (the SAME per-graph cache entry bfs/bc/hits/ppr use)
+        layout = pull_layout(graph, unit=True, interpret=interpret)
 
         def decrement_fn(peel, alive, lay):
             # doubly frontier-sparse: peel waves are tiny in most rounds

@@ -158,9 +158,7 @@ def run(
         options = default_options()
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import cached_layout
         from gunrock_tpu.ops.pallas.semiring import pull_layout
-
         from gunrock_tpu.utils.jitcache import cached_jit
 
         interpret = use_interpret()
@@ -270,20 +268,11 @@ def run_batch(
         from gunrock_tpu.ops.pallas import use_interpret
         from gunrock_tpu.ops.pallas.layout import build_auto_layout
 
-        from gunrock_tpu.ops.pallas.layout import cached_layout
+        from gunrock_tpu.ops.pallas.semiring import pull_layout
         from gunrock_tpu.utils.jitcache import cached_jit
 
         interpret = use_interpret()
-        layout = cached_layout(
-            graph.col_indices,
-            lambda: build_auto_layout(
-                hostcache.host(graph, "col_indices"),
-                hostcache.host(graph, "edge_src"),
-                np.ones(graph.n_edges, np.float32), graph.n_vertices,
-                interpret=interpret,
-            ),
-            ("ppr_batch_pull", interpret),
-        )
+        layout = pull_layout(graph, unit=True, interpret=interpret)
         # layout as jit argument (closure would bake it into the HLO)
         fn = cached_jit(
             ("ppr_batch_spmm", alpha, epsilon, interpret),

@@ -154,10 +154,11 @@ def run(
 
         layout = pull_layout(graph)  # host-side; must precede tracing
         # layout as jit argument (closure would bake it into the HLO)
+        from gunrock_tpu.ops.pallas import use_interpret
         from gunrock_tpu.utils.jitcache import cached_jit
 
         fn = cached_jit(
-            ("pr_pallas", alpha, tol, max_it),
+            ("pr_pallas", alpha, tol, max_it, use_interpret()),
             lambda: lambda g, lay: pr_kernel_pallas(
                 g, alpha, tol, max_it, layout=lay
             ),

@@ -513,7 +513,9 @@ def _tail_grids_env():
     raw = os.environ.get("GUNROCK_TAIL_GRIDS", "8,64").strip()
     if not raw or raw == "0":
         return ()
-    return tuple(int(t) for t in raw.split(","))
+    return tuple(
+        g for g in (int(t) for t in raw.split(",") if t.strip()) if g > 1
+    )
 
 
 _TAIL_GRIDS = _tail_grids_env()
@@ -645,6 +647,53 @@ def bucketed_semiring_spmv_sparse_minmax(
     ymax3 = jnp.where(rb_touched[:, None, None], ymax3, 0.0)
     ymin3 = jnp.where(rb_touched[:, None, None], ymin3, _BIG)
     return ymax3.reshape(-1)[:V], ymin3.reshape(-1)[:V]
+
+
+def push_layout(
+    graph,
+    window: int | None = None,
+    chunk: int | None = None,
+    pad_value: float = 0.0,
+    unit: bool = False,
+    interpret: bool | None = None,
+):
+    """Bucketed layout of the CSR edge set (rows=src, cols=dst): push
+    advance — y[src] = reduce over out-edges of f(x[dst], w). Cached per
+    graph with the same contract as :func:`pull_layout`."""
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import (
+        build_auto_layout,
+        build_bucketed_layout,
+        cached_layout,
+    )
+
+    if interpret is None:
+        interpret = use_interpret()
+
+    def build():
+        rows = hostcache.host(graph, "edge_src")
+        cols = hostcache.host(graph, "col_indices")
+        vals = (
+            np.ones(graph.n_edges, np.float32)
+            if unit
+            else hostcache.host(graph, "values")
+        )
+        if window is None or chunk is None:
+            return build_auto_layout(
+                rows, cols, vals, graph.n_vertices, pad_value=pad_value,
+                interpret=interpret,
+            )
+        return build_bucketed_layout(
+            rows, cols, vals, graph.n_vertices,
+            window=window, chunk=chunk, pad_value=pad_value,
+        )
+
+    return cached_layout(
+        graph.col_indices,
+        build,
+        ("push", window, chunk, pad_value, unit),
+    )
 
 
 def pull_layout(

@@ -1,5 +1,11 @@
 """Process-lifetime jit executable cache.
 
+Role of the reference's compile-once kernel instantiation: its CUDA
+kernels are template-instantiated a single time per binary at C++
+compile time (framework/enactor.hxx:229-288 re-enters prebuilt kernels
+every iteration), whereas JAX recompiles whenever the jitted callable's
+identity changes.
+
 ``jax.jit(lambda ...)`` at a run()-call site creates a NEW Python
 callable per invocation, so jax's own jit cache misses and the kernel
 retraces + recompiles on EVERY call — ~90 s per compile over the axon
