@@ -42,8 +42,8 @@ def main():
         )
         from gunrock_tpu.utils.timer import force_real_execution
 
-    force_real_execution()
-    fn = jax.jit(
+        force_real_execution()
+        fn = jax.jit(
             lambda a: pr_batch_kernel_spmm(graph, a, tol=ns.tol, interpret=False)
         )
         p_, it = jax.block_until_ready(fn(alphas))
