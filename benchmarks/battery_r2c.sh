@@ -81,3 +81,9 @@ GUNROCK_TAIL_GRIDS="" run python bench.py
 # 11. scale-22 capability probe (67M edges single chip; W=16384 layout —
 #     expect ~15-20 MTEPS BFS if the SMEM/VMEM math holds)
 run python benchmarks/big_scale.py --algo bfs --scale 22 --degsort --num_runs 2
+
+# 12. lex-2pass sort strategy on the REAL workloads (probe #8 gives the
+#     isolated throughputs; these A/B the end-to-end TC/SpGEMM effect)
+GUNROCK_LEX2PASS=1 run python benchmarks/ab_tc.py total --scale 16
+GUNROCK_LEX2PASS=1 run python benchmarks/ab_tc.py counts --scale 16
+GUNROCK_LEX2PASS=1 run python benchmarks/ab_spgemm.py esc --scale 16

@@ -116,7 +116,9 @@ def spgemm_kernel(
     v = a_val[a_id] * b_val[b_e]
 
     # lexicographic sort by (i, j)
-    i_s, j_s, v_s = jax.lax.sort((i, j, v), num_keys=2)
+    from gunrock_tpu.ops.sort import lex_sort
+
+    i_s, j_s, v_s = lex_sort((i, j, v), num_keys=2)
 
     # contract equal (i, j) runs
     first = jnp.concatenate(
@@ -192,13 +194,17 @@ def _block_kernel(
         # scatters + per-run segment sum are skipped entirely (scatters
         # serialize at ~0.1 Gelem/s — they were most of the per-block
         # cost)
-        i_s, j_s = jax.lax.sort((i, j), num_keys=2)
+        from gunrock_tpu.ops.sort import lex_sort
+
+        i_s, j_s = lex_sort((i, j), num_keys=2)
         first = jnp.concatenate(
             [jnp.ones(1, bool), (i_s[1:] != i_s[:-1]) | (j_s[1:] != j_s[:-1])]
         )
         n_runs = jnp.sum((first & (i_s < sent)).astype(jnp.int32))
         return n_runs, jnp.sum(v)
-    i_s, j_s, v_s = jax.lax.sort((i, j, v), num_keys=2)
+    from gunrock_tpu.ops.sort import lex_sort
+
+    i_s, j_s, v_s = lex_sort((i, j, v), num_keys=2)
     first = jnp.concatenate(
         [jnp.ones(1, bool), (i_s[1:] != i_s[:-1]) | (j_s[1:] != j_s[:-1])]
     )

@@ -201,7 +201,9 @@ def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     a = jnp.concatenate([eu, wv])
     bt = jnp.concatenate([ev * 2, ww * 2 + 1])
     tag = jnp.concatenate([jnp.zeros(E, jnp.int32), wu + 1])
-    a_s, bt_s, tag_s = jax.lax.sort((a, bt, tag), num_keys=2)
+    from gunrock_tpu.ops.sort import lex_sort
+
+    a_s, bt_s, tag_s = lex_sort((a, bt, tag), num_keys=2)
     b_s = bt_s >> 1
     e_s = jnp.where((bt_s & 1) == 0, 1, 0)
     u_s = tag_s - 1
@@ -249,7 +251,9 @@ def tc_total_sortjoin(eu, ev, wv, ww, wu):
     E = eu.shape[0]
     a = jnp.concatenate([eu, wv])
     bt = jnp.concatenate([ev * 2, ww * 2 + 1])
-    a_s, bt_s = jax.lax.sort((a, bt), num_keys=2)
+    from gunrock_tpu.ops.sort import lex_sort
+
+    a_s, bt_s = lex_sort((a, bt), num_keys=2)
     b_s = bt_s >> 1
     e_s = jnp.where((bt_s & 1) == 0, 1, 0)
     is_start = jnp.concatenate(

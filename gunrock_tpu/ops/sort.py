@@ -1,27 +1,30 @@
-"""Sort support algorithms.
+"""Device sort strategies (role of reference algorithms/sort/
+radix_sort.hxx + stable_sort.hxx — thrust radix/stable wrappers; here
+``lax.sort`` is the primitive and the strategy knob picks HOW a
+lexicographic 2-key sort is lowered).
 
-Role of reference algorithms/sort/ (radix_sort.hxx:39-62 thrust radix
-sort, stable_sort.hxx): device sorts used by uniquify and SpGEMM. XLA's
-``lax.sort`` is the TPU radix/bitonic equivalent; multi-operand sorts
-give key-value and lexicographic behavior without 64-bit key packing.
+GUNROCK_LEX2PASS=1 selects the 2-pass stable-radix form: sort by the
+minor key, then STABLE-sort by the major key — two 1-key sorts can beat
+one 2-key sort when per-key comparator cost dominates (the open question
+benchmarks/probe_sort.py measures on chip). Resolved at trace time; A/B
+between settings = separate processes, like all axon benchmarking.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
-import jax.numpy as jnp
 
 
-def sort_keys(keys):
-    """Ascending key sort (reference sort::radix::sort_keys)."""
-    return jnp.sort(keys)
-
-
-def sort_pairs(keys, values):
-    """Key-value sort (reference sort::radix::sort_pairs)."""
-    return jax.lax.sort((keys, values), num_keys=1)
-
-
-def stable_sort_by(*keys_then_values, num_keys: int = 1):
-    """Lexicographic multi-key sort (reference sort::stable in spgemm)."""
-    return jax.lax.sort(keys_then_values, num_keys=num_keys)
+def lex_sort(operands: tuple, num_keys: int = 2):
+    """Lexicographic sort of ``operands`` by its first ``num_keys``
+    entries (the rest are payload). Same contract as ``jax.lax.sort``."""
+    if num_keys == 2 and os.environ.get("GUNROCK_LEX2PASS") == "1":
+        k0, k1, *rest = operands
+        k1s, k0s, *rests = jax.lax.sort(
+            (k1, k0, *rest), num_keys=1, is_stable=True
+        )
+        out = jax.lax.sort((k0s, k1s, *rests), num_keys=1, is_stable=True)
+        return out
+    return jax.lax.sort(operands, num_keys=num_keys)
