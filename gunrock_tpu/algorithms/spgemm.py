@@ -296,16 +296,21 @@ def _run_streaming(
         nps = np.asarray([p for p, _, _, _ in normal], np.int32)
 
         def fused(ar, ac, av, bo, bc, bv, offs, e0v, npv):
+            # per-block counts land in a stacked int32 vector and are
+            # summed on HOST in int64: count_only exists for products too
+            # big to materialize, where a device int32 total overflows
+            # silently (advisor round-2 finding)
             def body(b, carry):
-                nnz_acc, cs_acc = carry
+                nnz_vec, cs_acc = carry
                 n_runs, cs = _block_kernel(
                     ar, ac, av, bo, bc, bv, offs[b], e0v[b], npv[b],
                     total=budget, n_rows=n_rows, count_only=True,
                 )
-                return nnz_acc + n_runs, cs_acc + cs
+                return nnz_vec.at[b].set(n_runs), cs_acc + cs
 
             return jax.lax.fori_loop(
-                0, len(normal), body, (jnp.int32(0), jnp.float32(0.0))
+                0, len(normal), body,
+                (jnp.zeros(len(normal), jnp.int32), jnp.float32(0.0)),
             )
 
         nnz_f, cs_f = jax.jit(fused)(
@@ -346,8 +351,10 @@ def _run_streaming(
                 np.asarray(rows[:k]), np.asarray(cols[:k]), np.asarray(vals[:k])
             )
     jax.block_until_ready(nnz_parts)
-    nnz = int(np.sum([np.asarray(p) for p in nnz_parts]))
-    checksum = float(np.sum([np.asarray(p) for p in csum_parts]))
+    # per-part arrays may be scalars (per-block path) or the fused-loop
+    # int32 vector; sum each in host int64 before totalling
+    nnz = int(sum(int(np.asarray(p, np.int64).sum()) for p in nnz_parts))
+    checksum = float(sum(float(np.asarray(p).sum()) for p in csum_parts))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     if count_only:
         e = jnp.zeros(0)
@@ -504,8 +511,10 @@ def _run_dense(
                 (np.asarray(rows[:k]), np.asarray(cols[:k]), np.asarray(vals[:k]))
             )
     jax.block_until_ready(nnz_parts)
-    nnz = int(np.sum([np.asarray(p) for p in nnz_parts]))
-    checksum = float(np.sum([np.asarray(p) for p in csum_parts]))
+    # per-part arrays may be scalars (per-block path) or the fused-loop
+    # int32 vector; sum each in host int64 before totalling
+    nnz = int(sum(int(np.asarray(p, np.int64).sum()) for p in nnz_parts))
+    checksum = float(sum(float(np.asarray(p).sum()) for p in csum_parts))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     if count_only:
         e = jnp.zeros(0)

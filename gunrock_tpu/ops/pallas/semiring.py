@@ -412,6 +412,16 @@ def _sparse_chunk_select(layout: BucketedEdges, active, out_mask):
         .at[jnp.where(ch_act, pos, n_chunks)]
         .set(jnp.arange(n_chunks, dtype=jnp.int32), mode="drop")
     )
+    # Inactive tail slots (i >= count) must alias the LAST active chunk,
+    # not chunk 0: TPU output blocks are not read back from HBM on
+    # revisit, so a tail slot pointing at an earlier row block would
+    # flush the stale VMEM buffer over rows already computed. Extending
+    # the final contiguous run means the end-of-grid flush rewrites the
+    # (already correct) last block. count==0 leaves perm=0 everywhere;
+    # the undefined flush lands on a block rb_touched masks out anyway.
+    last_perm = perm[jnp.maximum(count - 1, 0)]
+    perm = jnp.where(jnp.arange(n_chunks, dtype=jnp.int32) < count,
+                     perm, last_perm)
     # packed (rb*65536 + cb), permuted active-first: one SMEM prefetch
     # array instead of two (1 MB SMEM cap; see bucketed_semiring_spmv)
     pk_r = (layout.chunk_rb * 65536 + layout.chunk_cb)[perm]

@@ -28,3 +28,26 @@ def lex_sort(operands: tuple, num_keys: int = 2):
         out = jax.lax.sort((k0s, k1s, *rests), num_keys=1, is_stable=True)
         return out
     return jax.lax.sort(operands, num_keys=num_keys)
+
+
+def sort_keys(keys):
+    """Ascending sort of a key array (reference radix_sort.hxx:39-47
+    ``sort::radix::sort_keys`` — thrust::sort wrapper; here one
+    ``lax.sort``, which XLA lowers to its on-device bitonic/radix path)."""
+    return jax.lax.sort(keys)
+
+
+def sort_pairs(keys, values):
+    """Key-value pair sort ascending by key (reference
+    radix_sort.hxx:49-62 ``sort::radix::sort_pairs``)."""
+    return jax.lax.sort((keys, values), num_keys=1, is_stable=True)
+
+
+def stable_sort_by(*operands, num_keys: int = 1):
+    """Stable lexicographic sort of ``operands`` by the first
+    ``num_keys`` entries (reference sort/stable_sort.hxx —
+    thrust::stable_sort_by_key). Routes through :func:`lex_sort` so the
+    GUNROCK_LEX2PASS strategy knob applies to 2-key calls."""
+    if num_keys == 2:
+        return lex_sort(tuple(operands), num_keys=2)
+    return jax.lax.sort(tuple(operands), num_keys=num_keys, is_stable=True)
