@@ -70,8 +70,15 @@ def bc_forward(graph: Graph, single_source):
         reached = _seg_count(active.astype(jnp.int32), graph.csc_offsets) > 0
         new = reached & (labels == -1)
         labels = jnp.where(new, it + 1, labels)
-        sig_add = _seg_count(
-            jnp.where(active, sigma[graph.csc_rows], 0.0), graph.csc_offsets
+        # sigma spans the graph's full path-count dynamic range (up to
+        # ~2^depth on meshes); the cumsum-difference reduction's GLOBAL
+        # prefix catastrophically cancels small segments (a sigma=1
+        # boundary vertex next to a sigma~1e17 hub in the same prefix),
+        # so sigma uses within-segment scatter-add like geo's dinv —
+        # error then accumulates only over each vertex's own in-edges
+        sig_add = jax.ops.segment_sum(
+            jnp.where(active, sigma[graph.csc_rows], 0.0),
+            graph.csc_dst, num_segments=V,
         )
         sigma = jnp.where(new, sig_add, sigma)
         return it + 1, new, labels, sigma
@@ -102,8 +109,9 @@ def bc_kernel(graph: Graph, single_source):
             sigma_safe[src] / sigma_safe[dst] * (1.0 + delta[dst]),
             0.0,
         )
-        ce = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(vals)])
-        add = ce[graph.row_offsets[1:]] - ce[graph.row_offsets[:-1]]
+        # within-segment sum (not cumsum-difference): see bc_forward —
+        # per-edge dependency terms inherit sigma's dynamic range
+        add = jax.ops.segment_sum(vals, src, num_segments=V)
         delta = jnp.where(labels == d, delta + add, delta)
         return d - 1, delta
 

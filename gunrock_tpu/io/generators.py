@@ -13,6 +13,12 @@ deterministic synthetic generators with the same structural families:
                 for delaunay/road-like low-variance-degree graphs.
 - ``grid2d``  — 2-D lattice, the stand-in for road networks (long diameter,
                 degree ≤ 4).
+- ``delaunay``— Delaunay triangulation of random points (the reference's
+                delaunay_n13/n21 family: planar mesh, long diameter).
+- ``sbm``     — stochastic block model (community structure the R-MAT
+                family lacks — coAuthorsDBLP/soc-LiveJournal1 proxy).
+- ``bipartite``— directed left->right bipartite (webbase/cit-Patents
+                proxy; separates HITS hub/authority roles).
 - ``points``  — 2-D point/star sets (reference io/points.hxx parity).
 
 All generators are numpy-only (host side), deterministic under ``seed``,
@@ -155,6 +161,126 @@ def grid2d_graph(side: int, weighted: bool = False, seed: int = 0) -> Graph:
     return build_graph(
         coo_to_csr(coo),
         GraphProperties(directed=False, weighted=weighted, symmetric=True),
+    )
+
+
+def delaunay_coo(n_points: int, seed: int = 0, weighted: bool = True) -> Coo:
+    """Delaunay triangulation of random 2-D points — the same family as
+    the reference's delaunay_n13/delaunay_n21 suite entries
+    (datasets/Makefile:5): planar mesh, degree ~6, long diameter. The
+    structural proxy for road networks that exercises deep BFS/SSSP
+    frontiers and low halo fractions in the sharded layer."""
+    from scipy.spatial import Delaunay
+
+    pts = np.random.default_rng(seed).random((n_points, 2))
+    tri = Delaunay(pts)
+    s = tri.simplices
+    rows = np.concatenate([s[:, 0], s[:, 1], s[:, 2]])
+    cols = np.concatenate([s[:, 1], s[:, 2], s[:, 0]])
+    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    rows, cols = _dedup_coo(rows, cols, n_points)
+    values = (
+        _symmetric_weights(rows, cols, seed)
+        if weighted
+        else np.ones(rows.size, dtype=np.float32)
+    )
+    return Coo(n_rows=n_points, n_cols=n_points, row_indices=rows,
+               col_indices=cols, values=values)
+
+
+def sbm_coo(
+    n: int,
+    n_blocks: int = 8,
+    avg_degree: int = 16,
+    mixing: float = 0.1,
+    seed: int = 0,
+    weighted: bool = True,
+) -> Coo:
+    """Stochastic-block-model community graph — the structural proxy for
+    the reference suite's community-structured social graphs
+    (coAuthorsDBLP, soc-LiveJournal1; datasets/Makefile:5). ``mixing`` is
+    the fraction of edge endpoints that cross community boundaries;
+    R-MAT alone cannot produce this locality (round-2 verdict item 6)."""
+    rng = np.random.default_rng(seed)
+    m = n * avg_degree // 2
+    block = rng.integers(0, n_blocks, n, dtype=np.int64)
+    # order vertices so communities are contiguous id ranges (what real
+    # community graphs look like after their natural crawl ordering)
+    order = np.argsort(block, kind="stable")
+    vid_of = np.empty(n, np.int64)
+    vid_of[order] = np.arange(n)
+    members = [np.where(block == b)[0] for b in range(n_blocks)]
+    src_b = rng.integers(0, n_blocks, m, dtype=np.int64)
+    cross = rng.random(m) < mixing
+    dst_b = np.where(cross, rng.integers(0, n_blocks, m, dtype=np.int64), src_b)
+    rows = np.empty(m, np.int64)
+    cols = np.empty(m, np.int64)
+    for b in range(n_blocks):
+        sm = src_b == b
+        rows[sm] = members[b][rng.integers(0, len(members[b]), int(sm.sum()))]
+        dm = dst_b == b
+        cols[dm] = members[b][rng.integers(0, len(members[b]), int(dm.sum()))]
+    rows, cols = vid_of[rows], vid_of[cols]
+    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    rows, cols = _dedup_coo(rows, cols, n)
+    values = (
+        _symmetric_weights(rows, cols, seed)
+        if weighted
+        else np.ones(rows.size, dtype=np.float32)
+    )
+    return Coo(n_rows=n, n_cols=n, row_indices=rows, col_indices=cols,
+               values=values)
+
+
+def bipartite_coo(
+    n_left: int,
+    n_right: int,
+    avg_degree: int = 8,
+    seed: int = 0,
+    weighted: bool = True,
+) -> Coo:
+    """Directed bipartite graph on n_left+n_right vertices (left ids
+    first): every edge goes left->right, so HITS hub/authority roles
+    separate cleanly and pull-mode kernels see an asymmetric CSC. The
+    proxy for the reference suite's web/bipartite graphs (webbase-1M,
+    cit-Patents; datasets/Makefile:5)."""
+    rng = np.random.default_rng(seed)
+    n = n_left + n_right
+    m = n_left * avg_degree
+    rows = rng.integers(0, n_left, m, dtype=np.int64)
+    cols = n_left + rng.integers(0, n_right, m, dtype=np.int64)
+    rows, cols = _dedup_coo(rows, cols, n)
+    values = (
+        (rng.random(rows.size).astype(np.float32) + 0.1)
+        if weighted
+        else np.ones(rows.size, dtype=np.float32)
+    )
+    return Coo(n_rows=n, n_cols=n, row_indices=rows, col_indices=cols,
+               values=values)
+
+
+def delaunay_graph(n_points: int, seed: int = 0, weighted: bool = True) -> Graph:
+    coo = delaunay_coo(n_points, seed=seed, weighted=weighted)
+    return build_graph(
+        coo_to_csr(coo),
+        GraphProperties(directed=False, weighted=weighted, symmetric=True),
+    )
+
+
+def sbm_graph(n: int, n_blocks: int = 8, avg_degree: int = 16,
+              mixing: float = 0.1, seed: int = 0, weighted: bool = True) -> Graph:
+    coo = sbm_coo(n, n_blocks, avg_degree, mixing, seed=seed, weighted=weighted)
+    return build_graph(
+        coo_to_csr(coo),
+        GraphProperties(directed=False, weighted=weighted, symmetric=True),
+    )
+
+
+def bipartite_graph(n_left: int, n_right: int, avg_degree: int = 8,
+                    seed: int = 0, weighted: bool = True) -> Graph:
+    coo = bipartite_coo(n_left, n_right, avg_degree, seed=seed, weighted=weighted)
+    return build_graph(
+        coo_to_csr(coo), GraphProperties(directed=True, weighted=weighted)
     )
 
 

@@ -290,15 +290,20 @@ def _seg(reduce: str):
     }[reduce]
 
 
-def _local_reduce(sg_local, edge_vals, active, reduce, side="d"):
+def _local_reduce(sg_local, edge_vals, active, reduce, side="d",
+                  exact=False):
     """Sorted segmented reduction of per-edge values into the local
-    vertex shard — NO collective (the reduction key is owner-local)."""
+    vertex shard — NO collective (the reduction key is owner-local).
+    ``exact=True`` forces within-segment scatter-add for sums whose
+    operands span a huge dynamic range (BC sigma ~2^depth, geo dinv
+    ~1e30): the cumsum-difference form's shard-wide prefix
+    catastrophically cancels small segments there."""
     from gunrock_tpu.utils.limits import reduce_identity
 
     seg = sg_local.d_dst_local if side == "d" else sg_local.s_src_local
     ident = reduce_identity(edge_vals.dtype, reduce)
     masked = jnp.where(active, edge_vals, ident)
-    if reduce in ("sum", "add"):
+    if reduce in ("sum", "add") and not exact:
         # cumsum-difference over the precomputed per-shard row splits
         # (CLAUDE.md convention: segment_* scatters serialize on TPU,
         # cumsum streams; min/max have no prefix form and stay scatters)
@@ -840,7 +845,8 @@ def bc(sg: ShardedGraph, src: int, mesh):
             new = reached & (labels == -1) & vvalid
             labels = jnp.where(new, it + 1, labels)
             sig_add = _local_reduce(
-                sg, jnp.where(active, fs_at_src, 0.0), active, "sum"
+                sg, jnp.where(active, fs_at_src, 0.0), active, "sum",
+                exact=True,  # sigma dynamic range: see _local_reduce
             )
             sigma = jnp.where(new, sig_add, sigma)
             return it + 1, new, labels, sigma
@@ -866,7 +872,8 @@ def bc(sg: ShardedGraph, src: int, mesh):
             q_at_dst = _gather(sg, q, axis, "s")
             on_level = sg.s_valid & (lab_at_dst == jnp.float32(d + 1))
             add = _local_reduce(
-                sg, jnp.where(on_level, q_at_dst, 0.0), on_level, "sum", "s"
+                sg, jnp.where(on_level, q_at_dst, 0.0), on_level, "sum", "s",
+                exact=True,  # q = (1+delta)/sigma inherits sigma's range
             )
             delta = jnp.where(
                 (labels == d) & vvalid, delta + sigma_safe * add, delta

@@ -23,6 +23,28 @@ def test_bc_single_source_matches_brandes():
     np.testing.assert_allclose(np.asarray(res.bc_values), want, atol=1e-4)
 
 
+def test_bc_deep_mesh_dynamic_range():
+    """High-diameter mesh: path counts reach ~2^depth (sigma spans 18+
+    orders of magnitude at side 48), which catastrophically cancelled the
+    old cumsum-difference segmented sums — BC was off by 1e13x on road-
+    network-shaped graphs (round-3 regression-suite find). Locks the
+    within-segment scatter-add form in bc.py AND parallel/sharded.py."""
+    from gunrock_tpu.algorithms import bc
+    from gunrock_tpu.examples import cpu_reference as cr
+    from gunrock_tpu.io.generators import grid2d_graph
+    from gunrock_tpu.parallel import sharded
+    from gunrock_tpu.parallel.mesh import make_mesh
+
+    g = grid2d_graph(48, weighted=True)
+    want = np.asarray(cr.bc(g, 0))
+    got = np.asarray(bc.run(g, 0, warmup=False).bc_values)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    mesh = make_mesh(8)
+    sg = sharded.partition_sharded(g, 8, mesh, use_halo=False)
+    sgot = np.asarray(sharded.bc(sg, 0, mesh))
+    np.testing.assert_allclose(sgot, want, rtol=1e-4, atol=1e-4)
+
+
 def test_bc_pallas_matches_xla():
     """The frontier-sparse Pallas BC path == the XLA segment path, on
     symmetric and directed inputs."""
