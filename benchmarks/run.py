@@ -225,6 +225,8 @@ def main(argv=None):
             print(json.dumps({"algorithm": algo, "error": str(e)[:200]}))
             continue
         avg = float(np.mean(times))
+        from gunrock_tpu.utils.roofline import roofline
+
         out = {
             "algorithm": algo,
             "dataset": dataset,
@@ -236,6 +238,10 @@ def main(argv=None):
             "num_runs": len(times),
             "mteps": round(edges / avg / 1000.0, 2) if avg > 0 else 0.0,
             "load_balance": ns.load_balance,
+            # bytes-moved lower bound + % of the measured ~90 GB/s
+            # streaming ceiling (the MFU/headroom column — utils/roofline)
+            **roofline(algo, graph.n_vertices, graph.n_edges, edges, avg,
+                       extra),
             **extra,
         }
         print(json.dumps(out))

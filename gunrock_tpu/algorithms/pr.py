@@ -45,6 +45,14 @@ class Result:
     elapsed_ms: float
 
 
+@dataclasses.dataclass
+class BatchResult:
+    p: jax.Array  # float32[V, K] — column k is the ranking for alphas[k]
+    alphas: tuple  # the K damping factors, column order
+    iterations: int
+    elapsed_ms: float
+
+
 def compute_iweights(graph: Graph, alpha: float):
     """``alpha / out_weight_sum`` per vertex, 0 if dangling (pr.hxx:78-92)."""
     out_wsum = jax.ops.segment_sum(
@@ -214,6 +222,113 @@ def pr_kernel_pallas(
         cond, body, (jnp.int32(0), p0, jnp.float32(jnp.inf))
     )
     return p, it
+
+
+def pr_batch_kernel_xla(
+    graph: Graph,
+    alphas,
+    tol: float = 1e-6,
+    max_iterations: int = 10_000,
+):
+    """[V, K] multi-damping power iteration on the XLA segment path (the
+    non-Pallas backend of :func:`run_batch`): one CSC gather feeds all K
+    columns, so the serialized scatter cost amortizes across the sweep.
+    Returns (p f32[V, K], iterations)."""
+    from gunrock_tpu.ops.segment import seg_sum_sorted
+
+    alphas = jnp.asarray(alphas, jnp.float32)
+    K = alphas.shape[0]
+    V = graph.n_vertices
+    out_wsum = jax.ops.segment_sum(
+        graph.values, graph.edge_src, num_segments=V, indices_are_sorted=True
+    )
+    inv_wsum = jnp.where(out_wsum != 0.0, 1.0 / out_wsum, 0.0)
+    dangling = out_wsum == 0.0
+    p0 = jnp.full((V, K), 1.0 / V, dtype=jnp.float32)
+
+    def cond(carry):
+        it, p, err = carry
+        return (err >= tol) & (it < max_iterations)
+
+    def body(carry):
+        it, p, _ = carry
+        plast = p
+        dsum = jnp.sum(jnp.where(dangling[:, None], plast, 0.0), axis=0) * alphas
+        base = (1.0 - alphas + dsum) / V  # [K]
+        x = plast * inv_wsum[:, None] * alphas[None, :]  # [V, K]
+        src = graph.csc_rows
+        contrib = x[src] * graph.csc_values[:, None]  # [E, K]
+        p = base[None, :] + seg_sum_sorted(contrib, graph.csc_offsets)
+        return it + 1, p, jnp.max(jnp.abs(p - plast))
+
+    it, p, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), p0, jnp.float32(jnp.inf))
+    )
+    return p, it
+
+
+def run_batch(
+    graph: Graph,
+    alphas,
+    tol: float = 1e-6,
+    options: Options | None = None,
+    warmup: bool = True,
+) -> BatchResult:
+    """Multi-damping PageRank sweep: all K alphas advance together with
+    the K axis riding the SpMM batch dimension (role of the reference's
+    batch operator, operators/batch/batch.hxx:61-84, which round-robins
+    *independent* runs over CPU threads; here the batch IS one kernel —
+    measured 2.5x per-alpha vs sequential runs in ab_pr_batch.py)."""
+    import time
+
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
+    from gunrock_tpu.utils.jitcache import cached_jit
+
+    alphas = tuple(float(a) for a in alphas)
+    if options is None:
+        options = default_options()
+    max_it = options.max_iterations or 10_000
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
+
+        interp = use_interpret()
+        # layout built host-side BEFORE tracing, passed as a jit argument
+        # (closing over it bakes it into the HLO — CLAUDE.md SMEM note)
+        layout = cached_layout(
+            graph.col_indices,
+            lambda: build_auto_layout(
+                hostcache.host(graph, "col_indices"),
+                hostcache.host(graph, "edge_src"),
+                hostcache.host(graph, "values"),
+                graph.n_vertices,
+                interpret=interp,
+            ),
+            ("pr_pull_unit", "auto", interp),
+        )
+        fn = cached_jit(
+            ("pr_batch_pallas", alphas, tol, max_it, interp),
+            lambda: lambda g, lay: pr_batch_kernel_spmm(
+                g, jnp.asarray(alphas, jnp.float32), tol, max_it,
+                layout=lay, interpret=interp,
+            ),
+        )
+        args = (graph, layout)
+    else:
+        fn = cached_jit(
+            ("pr_batch_xla", alphas, tol, max_it),
+            lambda: lambda g: pr_batch_kernel_xla(
+                g, jnp.asarray(alphas, jnp.float32), tol, max_it
+            ),
+        )
+        args = (graph,)
+    if warmup:
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    p, it = jax.block_until_ready(fn(*args))
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+    return BatchResult(p=p, alphas=alphas, iterations=int(it),
+                       elapsed_ms=elapsed_ms)
 
 
 def pr_batch_kernel_spmm(

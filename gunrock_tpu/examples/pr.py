@@ -15,10 +15,41 @@ def main(argv=None):
         argv,
         extra_args=[
             (("--alpha",), dict(type=float, default=0.85)),
+            (("--alphas",), dict(
+                type=str, default=None,
+                help="comma-separated damping sweep (e.g. 0.8,0.85,0.9): all "
+                     "K rankings computed in ONE batched [V,K] kernel")),
             (("--tol",), dict(type=float, default=1e-6)),
         ],
     )
     graph, _ = runner.load(params)
+
+    if params.extra.alphas:
+        alphas = [float(a) for a in params.extra.alphas.split(",") if a]
+        times, its = [], None
+        for _ in range(params.num_runs):
+            batch = pr.run_batch(graph, alphas, tol=params.extra.tol,
+                                 options=params.options)
+            times.append(batch.elapsed_ms)
+            its = batch.iterations
+        for k, a in enumerate(alphas):
+            runner.print_head(runner.to_original(params, batch.p[:, k]),
+                              name=f"rank[alpha={a}]")
+        runner.finish(params, "pr", graph, times, depths=[its],
+                      edges_visited=graph.n_edges * its * len(alphas),
+                      nodes_visited=graph.n_vertices)
+        if params.validate:
+            import numpy as np
+
+            bad = 0
+            for k, a in enumerate(alphas):
+                ref = cpu_reference.pr(graph, alpha=a, tol=params.extra.tol)
+                bad += runner.validate(
+                    f"pr[alpha={a}]", np.asarray(batch.p[:, k]), ref, atol=1e-4
+                )
+            if bad:
+                sys.exit(1)
+        return
 
     mesh, build_sharded = runner.maybe_mesh(params)
     times, depths = [], []

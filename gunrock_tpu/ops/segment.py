@@ -26,7 +26,8 @@ def seg_sum_sorted(values: jax.Array, offsets: jax.Array) -> jax.Array:
     ``jax.ops.segment_sum`` (exact per-segment accumulation) instead —
     see algorithms/geo.py and spgemm.py."""
     ce = jnp.concatenate(
-        [jnp.zeros(1, values.dtype), jnp.cumsum(values)]
+        [jnp.zeros((1,) + values.shape[1:], values.dtype),
+         jnp.cumsum(values, axis=0)]
     )
     return ce[offsets[1:]] - ce[offsets[:-1]]
 

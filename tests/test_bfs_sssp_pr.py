@@ -230,3 +230,34 @@ def test_pr_batch_multi_damping_spmm():
     for k, a in enumerate(alphas):
         want = np.asarray(pr.run(g, alpha=a, tol=1e-8, warmup=False).p)
         np.testing.assert_allclose(P[:, k], want, rtol=5e-3, atol=1e-6)
+
+
+def test_pr_run_batch_public_api():
+    """run_batch (the productized multi-damping sweep, reference batch
+    operator role batch.hxx:61-84): XLA path matches per-alpha single
+    runs tightly; BatchResult carries the column order."""
+    from gunrock_tpu.algorithms import pr
+    from tests.conftest import random_graph
+
+    g, A = random_graph(None, n=150, p=0.06, weighted=True, seed_offset=55)
+    alphas = [0.7, 0.85, 0.9]
+    batch = pr.run_batch(g, alphas, tol=1e-8, warmup=False)
+    assert batch.alphas == tuple(alphas)
+    P = np.asarray(batch.p)
+    assert P.shape == (g.n_vertices, 3)
+    for k, a in enumerate(alphas):
+        want = np.asarray(pr.run(g, alpha=a, tol=1e-8, warmup=False).p)
+        # columns share one convergence test (max over K), so fast
+        # columns run extra iterations — rounding-order differences only
+        np.testing.assert_allclose(P[:, k], want, rtol=1e-4, atol=1e-8)
+
+
+def test_pr_cli_alphas(capsys):
+    """--alphas CLI sweep validates every column against the CPU oracle."""
+    from gunrock_tpu.examples import pr as pr_cli
+
+    pr_cli.main(["--market", "/root/repo/datasets/chesapeake.mtx",
+                 "--alphas", "0.8,0.85", "--validate"])
+    out = capsys.readouterr().out
+    assert "FAILED" not in out
+    assert "rank[alpha=0.8]" in out

@@ -60,3 +60,25 @@ def test_dataset_generate_roundtrip(tmp_path):
 
     g, props = load_graph_file(out)
     assert g.n_vertices == 256 and g.n_edges > 0
+
+
+def test_roofline_model_vs_xla_cost_analysis():
+    """The analytical bytes-moved model (utils/roofline — the NVBench
+    HW-counter analog every benchmark row now carries) must sit within
+    3x of XLA's own bytes-accessed estimate for the one-shot SpMV kernel;
+    wildly-off models would make the pct_stream headroom column lie."""
+    from gunrock_tpu.algorithms.spmv import spmv_kernel
+    from gunrock_tpu.io.generators import rmat_graph
+    from gunrock_tpu.utils.roofline import cost_analysis_bytes, model_bytes, roofline
+
+    g = rmat_graph(scale=10, edge_factor=8, seed=2)
+    import jax.numpy as jnp
+
+    x = jnp.ones(g.n_vertices, jnp.float32)
+    xla_bytes = cost_analysis_bytes(lambda gg, xx: spmv_kernel(gg, xx), g, x)
+    model = model_bytes("spmv", g.n_vertices, g.n_edges, g.n_edges, {})
+    if xla_bytes is not None:
+        ratio = xla_bytes / model
+        assert 1 / 3 <= ratio <= 3, (xla_bytes, model)
+    row = roofline("spmv", g.n_vertices, g.n_edges, g.n_edges, 1.0, {})
+    assert row["gbps"] > 0 and 0 < row["pct_stream"] < 10000
