@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-3 measurement battery — runs AFTER battery_r2c.sh (which captures
+# the round-2 backlog). Each measurement is its own process (tunnel
+# executable isolation). Appends JSON lines to benchmarks/results_r3.jsonl.
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/results_r3.jsonl
+run() {
+  echo "== $*" >&2
+  timeout 1200 "$@" | tee -a "$OUT"
+}
+
+# 1. Frontier-sparse tail-slot fix sanity: the multi-row-block partial
+#    frontier case the advisor flagged (stale VMEM flush over chunk 0's
+#    row block) — smoke_pallas covers all kernels; a FAIL here means the
+#    perm-aliasing fix regressed something on real Mosaic.
+run python benchmarks/smoke_pallas.py
+
+# 2. Batched-K PageRank public API: K=8 sweep vs 8 sequential runs
+#    (round-2 A/B measured 2.5x per alpha; now productized as run_batch)
+run python benchmarks/ab_pr_batch.py batch --k 8 --scale 16
+run python benchmarks/ab_pr_batch.py single --k 8 --scale 16
+
+# 3. BC XLA path after the dynamic-range fix (segment_sum scatter
+#    replaced the cumsum-difference): quantify the XLA-path cost; the
+#    default Pallas path is untouched
+run python benchmarks/run.py --algorithms bc --rmat 16 --reorder degree --load_balance xla_segment
+
+# 4. Roofline columns on the full sweep (every row now carries
+#    model_mb/gbps/pct_stream — the BASELINE MFU column)
+run python benchmarks/run.py --all --rmat 16 --reorder degree
+
+# 5. Regression-family chip smoke: delaunay (deep mesh — exercises the
+#    tail grids + BC fix on hardware) and sbm (community locality)
+run python benchmarks/run.py --algorithms bfs,sssp,bc --market datasets/delaunay2k.mtx
+run python benchmarks/run.py --algorithms bfs,pr,color --market datasets/sbm2k.mtx

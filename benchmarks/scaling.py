@@ -24,10 +24,85 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def partition_stats(graph, n):
+    """Host-side (numpy, no devices) halo statistics of the vertex-
+    sharded partition for n chips: what parallel/sharded.py's
+    _halo_tables computes, minus the routing tables. Lets the analytical
+    model sweep n far beyond the devices present."""
+    import numpy as np
+
+    V = graph.n_vertices
+    Vs = -(-max(V, 1) // n)
+    src = np.asarray(graph.edge_src).astype(np.int64)
+    dst = np.asarray(graph.col_indices).astype(np.int64)
+    H = 1
+    tot_boundary = 0
+    for d in range(n):
+        m = dst // Vs == d  # dst-grouped edges owned by d
+        uniq = np.unique(src[m])
+        own = uniq // Vs
+        counts = np.bincount(own, minlength=n)
+        counts[d] = 0  # local reads are not boundary traffic
+        tot_boundary += int(counts.sum())
+        if counts.size:
+            H = max(H, int(counts.max()))
+    return {"v_per_shard": Vs, "halo_max_pair": H,
+            "boundary_vertices_total": tot_boundary}
+
+
+def model_efficiency(graph, sizes, stream_gbps=90.0, ici_gbps=100.0,
+                     ici_lat_us=5.0, exchanges_per_iter=1):
+    """Analytical scaling-efficiency prediction (the BASELINE >=70%
+    edges/s north-star, computable without a pod slice): per iteration,
+    T_comp(n) = (E/n * 12 B) / stream; comm is one boundary exchange —
+    all_gather moves (n-1)/n * V * 4 B through each chip's ICI in n-1
+    ring hops, the halo all_to_all moves n * H * 4 B in one hop.
+    eff(n) = T1 / (n * Tn). Parameters are explicit because this chip is
+    a single tunneled v5lite with no ICI to measure: stream_gbps is the
+    measured HBM ceiling, ici_gbps/lat are nominal-class numbers to be
+    replaced by pod measurements (scaling.py without --model)."""
+    E = graph.n_edges
+    V = graph.n_vertices
+    t1 = E * 12 / (stream_gbps * 1e9)
+    rows = []
+    for n in sizes:
+        st = partition_stats(graph, n)
+        t_comp = t1 / n
+        ag_bytes = (n - 1) / n * V * 4
+        halo_bytes = n * st["halo_max_pair"] * 4
+        t_ag = ag_bytes / (ici_gbps * 1e9) + (n - 1) * ici_lat_us * 1e-6
+        t_halo = halo_bytes / (ici_gbps * 1e9) + ici_lat_us * 1e-6
+        use_halo = st["halo_max_pair"] < st["v_per_shard"]
+        t_comm = (min(t_ag, t_halo) if use_halo else t_ag) * exchanges_per_iter
+        tn = t_comp + t_comm
+        rows.append({
+            "devices": n,
+            "predicted_efficiency": round(t1 / (n * tn), 3),
+            "t_comp_us": round(t_comp * 1e6, 1),
+            "t_comm_us": round(t_comm * 1e6, 1),
+            "exchange_mode": "halo" if (use_halo and t_halo < t_ag) else "all_gather",
+            "halo_max_pair": st["halo_max_pair"],
+            "v_per_shard": st["v_per_shard"],
+            "stream_gbps": stream_gbps,
+            "ici_gbps": ici_gbps,
+        })
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cpu", type=int, default=0,
                    help="force a virtual CPU mesh with this many devices")
+    p.add_argument("--model", action="store_true",
+                   help="emit the ANALYTICAL efficiency prediction "
+                   "(bytes x bandwidth, no devices needed) for n up to "
+                   "--model-max")
+    p.add_argument("--model-max", type=int, default=64)
+    p.add_argument("--ici-gbps", type=float, default=100.0,
+                   help="assumed per-chip ICI bandwidth (model mode)")
+    p.add_argument("--stream-gbps", type=float, default=90.0,
+                   help="measured per-chip HBM streaming rate")
+    p.add_argument("--ici-lat-us", type=float, default=5.0)
     p.add_argument("--rmat", type=int, default=14)
     p.add_argument("--edge_factor", type=int, default=16)
     p.add_argument("--algorithm", default="pagerank",
@@ -56,6 +131,16 @@ def main(argv=None):
 
     graph = rmat_graph(scale=ns.rmat, edge_factor=ns.edge_factor, seed=1)
     E = graph.n_edges
+
+    if ns.model:
+        sizes = [n for n in (2, 4, 8, 16, 32, 64) if n <= ns.model_max]
+        for row in model_efficiency(graph, sizes,
+                                    stream_gbps=ns.stream_gbps,
+                                    ici_gbps=ns.ici_gbps,
+                                    ici_lat_us=ns.ici_lat_us):
+            print(json.dumps({"rmat": ns.rmat, **row}))
+        return
+
     total_devices = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= total_devices]
 

@@ -11,7 +11,9 @@ while true; do
   if timeout 120 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1; then
     echo "[watch] tunnel UP $(date) — running battery" >> "$LOG"
     bash benchmarks/battery_r2c.sh >> "$LOG" 2>&1
-    echo "[watch] battery done $(date)" >> "$LOG"
+    echo "[watch] r2c battery done $(date)" >> "$LOG"
+    bash benchmarks/battery_r3.sh >> "$LOG" 2>&1
+    echo "[watch] r3 battery done $(date)" >> "$LOG"
     exit 0
   fi
   echo "[watch] down $(date)" >> "$LOG"
