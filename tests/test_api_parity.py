@@ -93,6 +93,15 @@ def test_sort_and_search_support():
     assert int(binary_search(arr, 5)) == 2
     assert int(bounded_binary_search(arr, 5, jnp.int32(0), jnp.int32(5))) == 2
 
+    # uniform random fill (reference generate/random.hxx:20-33)
+    from gunrock_tpu.ops.random import uniform, uniform_int
+
+    r = np.asarray(uniform(100, seed=3, low=2.0, high=5.0))
+    assert r.shape == (100,) and (r >= 2.0).all() and (r < 5.0).all()
+    np.testing.assert_array_equal(r, np.asarray(uniform(100, seed=3, low=2.0, high=5.0)))
+    ri = np.asarray(uniform_int(100, seed=3, low=10, high=20))
+    assert ((ri >= 10) & (ri < 20)).all()
+
 
 def test_graph_intersection_count():
     import networkx as nx
