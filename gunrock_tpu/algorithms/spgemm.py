@@ -486,30 +486,58 @@ def _run_dense(
     )
     t0 = time.perf_counter()
     nnz_parts, csum_parts, triples = [], [], []
-    for b in range(n_blocks):
-        out = fn(
+    if count_only and n_blocks:
+        # ONE dispatch for the whole sweep: the host loop paid ~10-50 ms
+        # tunnel dispatch per block (512 blocks at s16 = 5-25 s of pure
+        # dispatch). Per-block counts land in a stacked int32 vector,
+        # summed on host in int64 (same overflow contract as the ESC
+        # fused loop).
+        starts_d = jnp.asarray(starts[:-1].astype(np.int32))
+        rstarts_d = jnp.asarray(
+            (np.arange(n_blocks) * block_rows).astype(np.int32)
+        )
+
+        def fused(lay, ar, ac, av, st, rs):
+            def body(b, carry):
+                nnz_vec, cs = carry
+                n, c = _dense_block_kernel(
+                    lay, ar, ac, av, st[b], rs[b],
+                    n_vertices=V, block_rows=block_rows, cap=0,
+                    max_block_edges=pad_n, interpret=interpret,
+                )
+                return nnz_vec.at[b].set(n), cs + c
+
+            return jax.lax.fori_loop(
+                0, n_blocks, body,
+                (jnp.zeros(n_blocks, jnp.int32), jnp.float32(0.0)),
+            )
+
+        ffn = cached_jit(
+            ("spgemm_dense_fused", V, block_rows, pad_n, n_blocks, interpret),
+            lambda: fused,
+        )
+        nnz_vec, cs = ffn(layout, ar_g, ac_g, av_g, starts_d, rstarts_d)
+        nnz_parts.append(nnz_vec)
+        csum_parts.append(cs)
+    for b in range(0 if count_only else n_blocks):
+        rows, cols, vals, nnz, csum = fn(
             layout, ar_g, ac_g, av_g,
             jnp.int32(starts[b]), jnp.int32(b * block_rows),
         )
-        if count_only:
-            nnz_parts.append(out[0])
-            csum_parts.append(out[1])
-        else:
-            rows, cols, vals, nnz, csum = out
-            nnz_parts.append(nnz)
-            csum_parts.append(csum)
-            k = int(nnz)
-            if k > block_cap:
-                raise ValueError(
-                    f"dense SpGEMM block {b} produced {k} nonzeros > "
-                    f"block_cap={block_cap}; raise block_cap or lower "
-                    f"block_rows"
-                )
-            # slice on device THEN transfer (k is concrete post-sync) —
-            # np.asarray(rows)[:k] would ship the full cap-sized buffer
-            triples.append(
-                (np.asarray(rows[:k]), np.asarray(cols[:k]), np.asarray(vals[:k]))
+        nnz_parts.append(nnz)
+        csum_parts.append(csum)
+        k = int(nnz)
+        if k > block_cap:
+            raise ValueError(
+                f"dense SpGEMM block {b} produced {k} nonzeros > "
+                f"block_cap={block_cap}; raise block_cap or lower "
+                f"block_rows"
             )
+        # slice on device THEN transfer (k is concrete post-sync) —
+        # np.asarray(rows)[:k] would ship the full cap-sized buffer
+        triples.append(
+            (np.asarray(rows[:k]), np.asarray(cols[:k]), np.asarray(vals[:k]))
+        )
     jax.block_until_ready(nnz_parts)
     # per-part arrays may be scalars (per-block path) or the fused-loop
     # int32 vector; sum each in host int64 before totalling
