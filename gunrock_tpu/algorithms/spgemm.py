@@ -603,8 +603,23 @@ def run(
     ``strategy="dense"``: dense row blocks through the bucketed SpMM
     kernel — cost ~(V_A/128) passes over E_B, independent of the
     partial-product count; wins on power-law squares where
-    products/E >> V/128 makes ESC sort/gather-bound (see _run_dense)."""
+    products/E >> V/128 makes ESC sort/gather-bound (see _run_dense).
+
+    ``strategy="auto"``: picks by the cost-model crossover — ESC work
+    scales with the partial-product count (sort + per-product ops),
+    dense with (V_A/128) passes over E_B. Dense is chosen when
+    products > K * (V_A/128) * E_B with K = GUNROCK_SPGEMM_AUTO_K
+    (default 4 — ESC's per-product constant vs the SpMM per-edge-pass
+    constant; calibrated by benchmarks/ab_spgemm.py on chip)."""
     del options
+    if strategy == "auto":
+        import os
+
+        k = float(os.environ.get("GUNROCK_SPGEMM_AUTO_K", "4"))
+        deg_b_auto = np.diff(np.asarray(B.row_offsets)).astype(np.int64)
+        products = int(deg_b_auto[np.asarray(A.col_indices)].sum())
+        dense_work = (-(-A.n_vertices // 128)) * max(B.n_edges, 1)
+        strategy = "dense" if products > k * dense_work else "esc"
     if strategy == "dense":
         return _run_dense(A, B, count_only, warmup)
     if strategy != "esc":

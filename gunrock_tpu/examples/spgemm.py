@@ -19,8 +19,9 @@ def main(argv=None):
         extra_args=[
             (("--market_b",), dict(default="", help="B matrix (default: A)")),
             (("--strategy",), dict(
-                default="esc", choices=("esc", "dense"),
-                help="esc = expand-sort-contract; dense = row-blocked SpMM",
+                default="esc", choices=("esc", "dense", "auto"),
+                help="esc = expand-sort-contract; dense = row-blocked "
+                     "SpMM; auto = cost-model pick (GUNROCK_SPGEMM_AUTO_K)",
             )),
         ],
     )

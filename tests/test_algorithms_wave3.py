@@ -248,3 +248,27 @@ def test_spgemm_piecewise_expand_matches_gathers():
     )
     np.testing.assert_array_equal(np.asarray(i), want_i)
     np.testing.assert_array_equal(np.asarray(b_e), want_b)
+
+
+def test_spgemm_auto_strategy():
+    """strategy="auto" picks by the products-vs-dense-work crossover and
+    produces the same counts either way."""
+    import os
+
+    from gunrock_tpu.algorithms import spgemm
+    from tests.conftest import random_graph
+
+    g, A = random_graph(None, n=200, p=0.05, weighted=True, seed_offset=61)
+    want = (A @ A).nnz
+    auto = spgemm.run(g, g, warmup=False, strategy="auto", count_only=True)
+    assert auto.nnz == want
+    # force each branch through the knob
+    os.environ["GUNROCK_SPGEMM_AUTO_K"] = "1e-9"  # everything -> dense
+    try:
+        d = spgemm.run(g, g, warmup=False, strategy="auto", count_only=True)
+        assert d.nnz == want
+        os.environ["GUNROCK_SPGEMM_AUTO_K"] = "1e9"  # everything -> esc
+        e = spgemm.run(g, g, warmup=False, strategy="auto", count_only=True)
+        assert e.nnz == want
+    finally:
+        del os.environ["GUNROCK_SPGEMM_AUTO_K"]
