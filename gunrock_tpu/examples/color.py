@@ -27,10 +27,29 @@ def main(argv=None):
 
     times = []
     result = None
-    for i in range(params.num_runs):
-        result = color.run(graph, seed=i, options=params.options,
-                           strategy=params.extra.strategy)
-        times.append(result.elapsed_ms)
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        fn = (sharded.color_greedy if params.extra.strategy == "greedy"
+              else sharded.color)
+        for i in range(params.num_runs):
+            t0 = _time.perf_counter()
+            if params.extra.strategy == "greedy":
+                cvec, rounds = fn(sg, mesh)
+            else:
+                cvec, rounds = fn(sg, mesh, seed=i)
+            times.append((_time.perf_counter() - t0) * 1e3)
+        result = color.Result(colors=cvec, iterations=int(rounds),
+                              elapsed_ms=times[-1])
+    else:
+        for i in range(params.num_runs):
+            result = color.run(graph, seed=i, options=params.options,
+                               strategy=params.extra.strategy)
+            times.append(result.elapsed_ms)
 
     colors = np.asarray(result.colors)
     runner.print_head(runner.to_original(params, colors), name="colors")

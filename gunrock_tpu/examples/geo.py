@@ -65,12 +65,30 @@ def main(argv=None):
 
     times = []
     result = None
-    for _ in range(params.num_runs):
-        result = geo.run(graph, lat, lon,
-                         total_iterations=params.extra.total_iterations,
-                         spatial_iterations=params.extra.spatial_iterations,
-                         options=params.options)
-        times.append(result.elapsed_ms)
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            glat, glon = sharded.geo(
+                sg, lat, lon, mesh,
+                total_iterations=params.extra.total_iterations,
+                spatial_iterations=params.extra.spatial_iterations,
+            )
+            times.append((_time.perf_counter() - t0) * 1e3)
+        result = geo.Result(latitude=glat, longitude=glon,
+                            elapsed_ms=times[-1])
+    else:
+        for _ in range(params.num_runs):
+            result = geo.run(graph, lat, lon,
+                             total_iterations=params.extra.total_iterations,
+                             spatial_iterations=params.extra.spatial_iterations,
+                             options=params.options)
+            times.append(result.elapsed_ms)
 
     labeled = int((~np.isnan(np.asarray(result.latitude))).sum())
     print(f"located {labeled}/{V} vertices")

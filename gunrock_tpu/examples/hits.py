@@ -18,10 +18,26 @@ def main(argv=None):
 
     times = []
     result = None
-    for _ in range(params.num_runs):
-        result = hits.run(graph, max_iterations=params.extra.max_iterations,
-                          options=params.options)
-        times.append(result.elapsed_ms)
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            auth, hub, it = sharded.hits(
+                sg, mesh, max_iterations=params.extra.max_iterations
+            )
+            times.append((_time.perf_counter() - t0) * 1e3)
+        result = hits.Result(auth=auth, hub=hub, iterations=int(it),
+                             elapsed_ms=times[-1])
+    else:
+        for _ in range(params.num_runs):
+            result = hits.run(graph, max_iterations=params.extra.max_iterations,
+                              options=params.options)
+            times.append(result.elapsed_ms)
 
     runner.print_head(runner.to_original(params, result.auth), name="auth")
     runner.print_head(runner.to_original(params, result.hub), name="hub")

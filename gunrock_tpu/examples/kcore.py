@@ -15,9 +15,23 @@ def main(argv=None):
 
     times = []
     result = None
-    for _ in range(params.num_runs):
-        result = kcore.run(graph, options=params.options)
-        times.append(result.elapsed_ms)
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            cores, degen = sharded.kcore(sg, mesh)
+            times.append((_time.perf_counter() - t0) * 1e3)
+        result = kcore.Result(k_cores=cores, degeneracy=int(degen),
+                              elapsed_ms=times[-1])
+    else:
+        for _ in range(params.num_runs):
+            result = kcore.run(graph, options=params.options)
+            times.append(result.elapsed_ms)
 
     runner.print_head(runner.to_original(params, result.k_cores), name="k_cores")
     print(f"degeneracy = {result.degeneracy}")

@@ -15,12 +15,30 @@ def main(argv=None):
 
     times = []
     result = None
-    for _ in range(params.num_runs):
-        result = mst.run(graph, options=params.options)
-        times.append(result.elapsed_ms)
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
 
-    print(f"mst weight = {result.mst_weight:.6f} "
-          f"({result.n_components} component(s))")
+        import jax.numpy as jnp
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            weight, rounds = sharded.mst(sg, mesh)
+            times.append((_time.perf_counter() - t0) * 1e3)
+        result = mst.Result(mst_weight=float(weight),
+                            mst_edges=jnp.zeros(0, bool), n_components=-1,
+                            elapsed_ms=times[-1])
+        print(f"mst weight = {result.mst_weight:.6f} (distributed)")
+    else:
+        for _ in range(params.num_runs):
+            result = mst.run(graph, options=params.options)
+            times.append(result.elapsed_ms)
+
+        print(f"mst weight = {result.mst_weight:.6f} "
+              f"({result.n_components} component(s))")
     runner.finish(params, "mst", graph, times)
 
     if params.validate:

@@ -23,7 +23,21 @@ def main(argv=None):
 
     times, depths = [], []
     result = None
-    if len(run_seeds) > 1:
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph)
+        for seed in run_seeds:
+            t0 = _time.perf_counter()
+            p, it = sharded.ppr(sg, seed, mesh, alpha=params.extra.alpha,
+                                epsilon=params.extra.epsilon)
+            times.append((_time.perf_counter() - t0) * 1e3)
+            depths.append(int(it))
+        runner.print_head(runner.to_original(params, p), name="p")
+    elif len(run_seeds) > 1:
         p, elapsed = ppr.run_batch(
             graph, run_seeds, alpha=params.extra.alpha, epsilon=params.extra.epsilon
         )

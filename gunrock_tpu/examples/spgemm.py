@@ -34,15 +34,53 @@ def main(argv=None):
 
     times = []
     result = None
-    for _ in range(params.num_runs):
-        result = spgemm.run(
-            graph_a, graph_b, options=params.options,
-            strategy=params.extra.strategy,
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from gunrock_tpu.parallel import sharded
+
+        sg = build_sharded(graph_a)
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            # distributed mode is structure analysis: nnz + checksum
+            # (materializing C across shards is a host concatenation the
+            # reference cannot do at all — advance.hxx rejects >1 GPU)
+            nnz, csum = sharded.spgemm_count(sg, graph_b, mesh)
+            times.append((_time.perf_counter() - t0) * 1e3)
+        e = jnp.zeros(0)
+        result = spgemm.Result(
+            row_indices=e.astype(jnp.int32), col_indices=e.astype(jnp.int32),
+            values=jnp.asarray([float(csum)], jnp.float32), nnz=int(nnz),
+            elapsed_ms=times[-1],
         )
-        times.append(result.elapsed_ms)
+        if params.validate:
+            print("note: --devices runs count-only; --validate checks "
+                  "nnz/checksum against the CPU product")
+    else:
+        for _ in range(params.num_runs):
+            result = spgemm.run(
+                graph_a, graph_b, options=params.options,
+                strategy=params.extra.strategy,
+            )
+            times.append(result.elapsed_ms)
 
     print(f"C nnz = {result.nnz}")
     runner.finish(params, "spgemm", graph_a, times)
+
+    if params.validate and mesh is not None:
+        want = cpu_reference.spgemm(graph_a, graph_b)
+        want_nnz = int((np.abs(want) > 0).sum())
+        want_sum = float(want.sum())
+        ok = result.nnz == want_nnz and abs(
+            float(np.asarray(result.values)[0]) - want_sum
+        ) <= 1e-3 * max(1.0, abs(want_sum))
+        print(f"spgemm validation: {'PASSED' if ok else 'FAILED'}")
+        if not ok:
+            sys.exit(1)
+        return
 
     if params.validate:
         want = cpu_reference.spgemm(graph_a, graph_b)

@@ -23,9 +23,27 @@ def main(argv=None):
 
     times = []
     result = None
-    for _ in range(params.num_runs):
-        result = tc.run(graph, options=params.options)
-        times.append(result.elapsed_ms)
+    mesh, build_sharded = runner.maybe_mesh(params)
+    if mesh is not None:
+        import time as _time
+
+        import numpy as _np
+
+        from gunrock_tpu.parallel import sharded
+
+        for _ in range(params.num_runs):
+            t0 = _time.perf_counter()
+            # ring-rotation sharded DAG: per-device residency 2E/n
+            counts, total = sharded.tc_ring(graph, mesh)
+            times.append((_time.perf_counter() - t0) * 1e3)
+        total = int(total)
+        result = tc.Result(vertex_triangles_count=counts,
+                           total_triangles_count=total,
+                           n_triangles=total // 3, elapsed_ms=times[-1])
+    else:
+        for _ in range(params.num_runs):
+            result = tc.run(graph, options=params.options)
+            times.append(result.elapsed_ms)
 
     runner.print_head(runner.to_original(params, result.vertex_triangles_count),
                       name="triangles")

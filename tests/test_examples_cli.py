@@ -255,3 +255,27 @@ def test_example_driver_distributed(algo, extra, capsys):
     _run(algo, ["--market", CHESAPEAKE, "--devices", "8"] + extra)
     out = capsys.readouterr().out
     assert "FAILED" not in out
+
+
+@pytest.mark.parametrize(
+    "algo,extra",
+    [
+        ("kcore", ["--validate"]),
+        ("bc", ["--src", "3", "--validate"]),
+        ("color", []),
+        ("color", ["--strategy", "greedy"]),
+        ("hits", ["--validate", "--max_iterations", "20"]),
+        ("mst", ["--validate"]),
+        ("geo", ["--spatial_iterations", "25"]),
+        ("ppr", ["--src", "0"]),
+        ("tc", ["--validate", "-r"]),
+        ("spgemm", ["--validate"]),
+    ],
+)
+def test_example_driver_distributed(algo, extra, capsys):
+    """--devices 8: every CLI rides the vertex-sharded shard_map suite on
+    the virtual mesh (round 3 — previously only bfs/sssp/pr/spmv had the
+    flag wired; the reference rejects >1 GPU outright, advance.hxx:129)."""
+    _run(algo, ["--market", CHESAPEAKE, "--devices", "8"] + extra)
+    out = capsys.readouterr().out
+    assert "FAILED" not in out
