@@ -34,3 +34,15 @@ run python benchmarks/run.py --all --rmat 16 --reorder degree
 #    tail grids + BC fix on hardware) and sbm (community locality)
 run python benchmarks/run.py --algorithms bfs,sssp,bc --market datasets/delaunay2k.mtx
 run python benchmarks/run.py --algorithms bfs,pr,color --market datasets/sbm2k.mtx
+
+# 6. Paged-metadata kernel (the SMEM-wall escape hatch, design.md §12).
+#    First Mosaic compile check at small scale, then the predicted-win
+#    points: s20 degsort W=2048 paged (frag x W 4.0K) vs auto SMEM
+#    (6.5K), and the s22 capability point W=4096 (7.3K vs 25.8K).
+run python benchmarks/ab_paged.py paged --scale 16 --window 2048
+run python benchmarks/ab_paged.py smem  --scale 16
+run python benchmarks/ab_paged.py paged --scale 20 --window 2048 --degsort
+run python benchmarks/ab_paged.py paged --scale 20 --window 4096 --degsort
+run python benchmarks/ab_paged.py smem  --scale 20 --degsort
+run python benchmarks/ab_paged.py paged --scale 22 --window 4096 --degsort --iters 3
+run python benchmarks/ab_paged.py smem  --scale 22 --degsort --iters 3

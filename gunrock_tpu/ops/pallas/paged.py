@@ -1,0 +1,238 @@
+"""Paged-metadata bucketed semiring kernel (round 3) — the big-graph
+escape hatch for the SMEM scalar-prefetch wall (docs/design.md §12).
+
+The SMEM design (semiring.py) caps chunk metadata at ~125K chunks
+(1 MB SMEM), forcing ``auto_window_chunk`` to double the window W above
+scale 19. The per-edge one-hot compare cost is fragmentation×W; once the
+bucket grid stops being saturated (above ~s21) each doubling doubles
+every dense pass. Host-measured on rmat s22 + degree-sort:
+W=2048/C=256 needs 840K chunks (6.7 MB of metadata — 6.7x over SMEM)
+but costs 6.8K compare-ops/edge, vs 25.8K for the SMEM-feasible
+W=16384/C=2048 — a 3.8x compute reduction IF metadata can ride
+somewhere other than SMEM. This kernel pages it:
+
+- 2-D grid (page, chunk-in-page). Each page's metadata block
+  (PAGE×8 int32, 16 KB) is a pipelined **SMEM-blocked input** — far
+  under budget and double-buffered by the normal Pallas pipeline.
+- Edge chunks are pipelined **VMEM-blocked inputs** indexed by the flat
+  grid step (their index needs no metadata).
+- The two data-DEPENDENT accesses are **manual DMAs**: the x window
+  (``x[cb]`` → double-buffered VMEM scratch; chunk j+1's load overlaps
+  chunk j's compute) and the output row block (a VMEM accumulator per
+  contiguous rb run, DMA'd to the ANY-space output at run end —
+  synchronous: the 8-64 KB writeback is ~1 µs against ~5 µs/chunk of
+  compute, so run-end stalls are noise and the single-accumulator
+  design needs no parity/drain bookkeeping).
+
+meta fields per chunk: [rb, cb, first, last, 0, 0, 0, 0] — first/last
+delimit the contiguous rb run (chunks are sorted by (rb, cb), exactly
+as in layout.build_bucketed_layout, whose arrays this layout repacks).
+Padding chunks (to a whole page): first=last=0, rb=cb=0, values at the
+semiring pad identity — they accumulate identity into an already-
+flushed accumulator and never write back.
+
+Role: same advance contract as semiring.bucketed_semiring_spmv
+(reference merge_path.hxx), selected via GUNROCK_PAGED_META=1 or
+explicitly; chip A/B in benchmarks/ab_paged.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gunrock_tpu.ops.pallas.semiring import _BIG, _SEMIRINGS
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["meta", "rowcol", "values", "rb_occupied"],
+    meta_fields=["window", "chunk", "page", "n_pages", "n_chunks",
+                 "n_row_blocks", "n_col_blocks", "n_vertices"],
+)
+@dataclasses.dataclass(frozen=True)
+class PagedEdges:
+    meta: jax.Array  # int32[n_pages*page, 8] — rb, cb, first, last, 0...
+    rowcol: jax.Array  # int32[n_chunks_pad, 2, chunk] — row_local, col_local
+    values: jax.Array  # float32[n_chunks_pad, 1, chunk]
+    rb_occupied: jax.Array  # bool[n_row_blocks]
+    window: int
+    chunk: int
+    page: int
+    n_pages: int
+    n_chunks: int  # real (pre-padding) chunk count
+    n_row_blocks: int
+    n_col_blocks: int
+    n_vertices: int
+
+
+def build_paged_layout(
+    rows, cols, values, n_vertices: int,
+    window: int = 2048, chunk: int = 256, page: int = 512,
+    pad_value: float = 0.0,
+) -> PagedEdges:
+    """Repack layout.build_bucketed_layout's chunked arrays into the
+    paged form (host-side, numpy). No SMEM chunk-count ceiling."""
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+
+    b = build_bucketed_layout(
+        rows, cols, values, n_vertices,
+        window=window, chunk=chunk, pad_value=pad_value,
+    )
+    n_chunks = b.n_chunks
+    n_pages = max(1, -(-n_chunks // page))
+    n_pad = n_pages * page
+
+    rb = np.asarray(b.chunk_rb, np.int32)
+    cb = np.asarray(b.chunk_cb, np.int32)
+    first = np.empty(n_chunks, np.int32)
+    last = np.empty(n_chunks, np.int32)
+    if n_chunks:
+        first[0] = 1
+        first[1:] = (rb[1:] != rb[:-1]).astype(np.int32)
+        last[:-1] = first[1:]
+        last[-1] = 1
+    meta = np.zeros((n_pad, 8), np.int32)
+    meta[:n_chunks, 0] = rb
+    meta[:n_chunks, 1] = cb
+    meta[:n_chunks, 2] = first
+    meta[:n_chunks, 3] = last
+
+    rl = np.asarray(b.row_local).reshape(n_chunks, chunk)
+    cl = np.asarray(b.col_local).reshape(n_chunks, chunk)
+    vals = np.asarray(b.values).reshape(n_chunks, chunk)
+    rowcol = np.zeros((n_pad, 2, chunk), np.int32)
+    rowcol[:n_chunks, 0] = rl
+    rowcol[:n_chunks, 1] = cl
+    vpad = np.full((n_pad, 1, chunk), pad_value, np.float32)
+    vpad[:n_chunks, 0] = vals
+    return PagedEdges(
+        meta=jnp.asarray(meta),
+        rowcol=jnp.asarray(rowcol),
+        values=jnp.asarray(vpad),
+        rb_occupied=b.rb_occupied,
+        window=window, chunk=chunk, page=page, n_pages=n_pages,
+        n_chunks=n_chunks, n_row_blocks=b.n_row_blocks,
+        n_col_blocks=b.n_col_blocks, n_vertices=n_vertices,
+    )
+
+
+def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
+    ident, _ = _SEMIRINGS[semiring]
+    W = S * 128
+
+    def kernel(meta_ref, rc_ref, val_ref, x_any, y_any, xbuf, acc, xsem,
+               ysem):
+        j = pl.program_id(1)
+
+        def x_dma(jj, slot):
+            return pltpu.make_async_copy(
+                x_any.at[meta_ref[jj, 1]], xbuf.at[slot], xsem.at[slot]
+            )
+
+        @pl.when(j == 0)
+        def _():
+            x_dma(0, 0).start()
+
+        @pl.when(j + 1 < PAGE)
+        def _():
+            x_dma(j + 1, (j + 1) % 2).start()
+
+        rb = meta_ref[j, 0]
+        first = meta_ref[j, 2]
+        last = meta_ref[j, 3]
+
+        @pl.when(first == 1)
+        def _():
+            acc[...] = jnp.full_like(acc, ident)
+
+        x_dma(j, j % 2).wait()
+
+        row = rc_ref[0, 0, :]
+        col = rc_ref[0, 1, :]
+        val = val_ref[0, 0, :]
+        xw = xbuf[j % 2].reshape(1, W)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+        xg = jnp.sum(jnp.where(col[:, None] == lanes, xw, 0.0), axis=1)
+        if semiring == "min_plus":
+            msg = jnp.minimum(val + xg, _BIG)
+            scat = jnp.where(row[:, None] == lanes, msg[:, None], _BIG)
+            y_add = jnp.min(scat, axis=0).reshape(S, 128)
+            acc[...] = jnp.minimum(acc[...], y_add)
+        elif semiring == "max_times":
+            msg = val * xg
+            scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
+            y_add = jnp.max(scat, axis=0).reshape(S, 128)
+            acc[...] = jnp.maximum(acc[...], y_add)
+        else:
+            msg = val * xg
+            scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
+            y_add = jnp.sum(scat, axis=0).reshape(S, 128)
+            acc[...] = acc[...] + y_add
+
+        # synchronous run-end writeback: start + wait in-step (the
+        # 8-64 KB DMA is noise next to per-chunk compute, and a single
+        # accumulator then needs no cross-run bookkeeping)
+        @pl.when(last == 1)
+        def _():
+            w = pltpu.make_async_copy(acc, y_any.at[rb], ysem)
+            w.start()
+            w.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+def paged_semiring_spmv(
+    layout: PagedEdges,
+    x: jax.Array,
+    semiring: str = "plus_times",
+    interpret: bool = False,
+):
+    """Dense semiring advance over a PagedEdges layout — identical result
+    contract to semiring.bucketed_semiring_spmv."""
+    W, C, PAGE = layout.window, layout.chunk, layout.page
+    S = W // 128
+    V = layout.n_vertices
+    ident, _ = _SEMIRINGS[semiring]
+    x_pad = jnp.full(layout.n_col_blocks * W, 0.0, jnp.float32).at[:V].set(x)
+    x3 = x_pad.reshape(layout.n_col_blocks, S, 128)
+
+    y3 = pl.pallas_call(
+        _make_paged_kernel(semiring, S, C, PAGE),
+        out_shape=jax.ShapeDtypeStruct(
+            (layout.n_row_blocks, S, 128), jnp.float32
+        ),
+        grid=(layout.n_pages, PAGE),
+        in_specs=[
+            pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, C), lambda i, j: (i * PAGE + j, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, j: (i * PAGE + j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, 128), jnp.float32),  # x double buffer
+            pltpu.VMEM((S, 128), jnp.float32),  # rb-run accumulator
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(layout.meta, layout.rowcol, layout.values, x3)
+    y3 = jnp.where(layout.rb_occupied[:, None, None], y3, ident)
+    y = y3.reshape(-1)[:V]
+    if semiring == "min_plus":
+        y = jnp.where(y >= _BIG, jnp.inf, y)
+    return y

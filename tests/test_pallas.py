@@ -460,3 +460,71 @@ def test_sparse_kernels_zero_chunk_layout():
     ymax, ymin = bucketed_semiring_spmv_sparse_minmax(layout, x, act, interpret=True)
     np.testing.assert_array_equal(np.asarray(ymax), 0.0)
     np.testing.assert_array_equal(np.asarray(ymin), np.float32(_BIG))
+
+
+def test_paged_semiring_matches_bucketed():
+    """Paged-metadata kernel (ops/pallas/paged.py — the SMEM-wall escape
+    hatch, docs/design.md §12) must match the scalar-prefetch kernel and
+    scipy on every semiring, across page boundaries and rb runs."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.paged import (build_paged_layout,
+                                              paged_semiring_spmv)
+    from gunrock_tpu.ops.pallas.semiring import _BIG
+
+    g, A = random_graph(None, n=700, p=0.02, weighted=True, seed_offset=90)
+    rows = hostcache.host(g, "edge_src")
+    cols = hostcache.host(g, "col_indices")
+    vals = hostcache.host(g, "values")
+    x = np.random.default_rng(1).random(g.n_vertices).astype(np.float32)
+    Ad = np.asarray(A.todense())
+
+    lay = build_paged_layout(rows, cols, vals, g.n_vertices,
+                             window=128, chunk=256, page=8)
+    y = np.asarray(paged_semiring_spmv(lay, jnp.asarray(x), "plus_times",
+                                       interpret=True))
+    np.testing.assert_allclose(y, Ad @ x, rtol=1e-5, atol=1e-5)
+
+    ymax = np.asarray(paged_semiring_spmv(lay, jnp.asarray(x), "max_times",
+                                          interpret=True))
+    want_max = np.where((Ad != 0).any(1), (Ad * x[None, :]).max(1,
+                        initial=0.0, where=Ad != 0), 0.0)
+    np.testing.assert_allclose(ymax, want_max, rtol=1e-5, atol=1e-6)
+
+    layb = build_paged_layout(rows, cols, vals, g.n_vertices,
+                              window=128, chunk=256, page=8, pad_value=_BIG)
+    xc = np.where(x > 0.5, x, _BIG).astype(np.float32)
+    y2 = np.asarray(paged_semiring_spmv(layb, jnp.asarray(xc), "min_plus",
+                                        interpret=True))
+    w2 = np.full(g.n_vertices, np.inf)
+    for r in range(g.n_vertices):
+        nz = Ad[r] != 0
+        if nz.any():
+            w2[r] = (Ad[r][nz] + xc[nz]).min()
+    w2 = np.where(w2 >= _BIG, np.inf, w2)
+    assert (np.isinf(y2) == np.isinf(w2)).all()
+    m = ~np.isinf(w2)
+    np.testing.assert_allclose(y2[m], w2[m], rtol=1e-5)
+
+
+def test_paged_layout_pages_and_runs():
+    """Page padding chunks are inert (first=last=0) and run flags
+    delimit contiguous rb runs exactly."""
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.paged import build_paged_layout
+
+    g, A = random_graph(None, n=300, p=0.03, weighted=True, seed_offset=91)
+    lay = build_paged_layout(
+        hostcache.host(g, "edge_src"), hostcache.host(g, "col_indices"),
+        hostcache.host(g, "values"), g.n_vertices,
+        window=128, chunk=256, page=8,
+    )
+    meta = np.asarray(lay.meta)
+    n = lay.n_chunks
+    assert meta.shape[0] == lay.n_pages * lay.page >= n
+    assert (meta[n:, 2:4] == 0).all()  # padding never inits or flushes
+    rb = meta[:n, 0]
+    assert meta[0, 2] == 1 and meta[n - 1, 3] == 1
+    np.testing.assert_array_equal(meta[1:n, 2], (rb[1:] != rb[:-1]))
+    np.testing.assert_array_equal(meta[: n - 1, 3], (rb[1:] != rb[:-1]))
