@@ -46,3 +46,9 @@ run python benchmarks/ab_paged.py paged --scale 20 --window 4096 --degsort
 run python benchmarks/ab_paged.py smem  --scale 20 --degsort
 run python benchmarks/ab_paged.py paged --scale 22 --window 4096 --degsort --iters 3
 run python benchmarks/ab_paged.py smem  --scale 22 --degsort --iters 3
+
+# 7. Sparse paged path end-to-end: BFS at s20/s22 with paged layouts
+#    (GUNROCK_PAGED_META=1 pages metadata instead of doubling W above
+#    the SMEM budget). Compare against the battery's SMEM rows above.
+GUNROCK_PAGED_META=1 run python benchmarks/run.py --algorithms bfs,sssp --rmat 20 --reorder degree
+GUNROCK_PAGED_META=1 run python benchmarks/big_scale.py --algo bfs --scale 22 --degsort --num_runs 2

@@ -183,13 +183,32 @@ def build_auto_layout(
     estimated chunk count exceeds ``max_chunks`` — on a degree-sorted
     graph (graph/reorder.py) scale 20 fits at W=2048 (~123K chunks);
     under a random vertex permutation the saturated bucket grid forces
-    W=4096. Estimation is one bincount, so the real build happens once."""
+    W=4096. Estimation is one bincount, so the real build happens once.
+
+    GUNROCK_PAGED_META=1: when the chunk count at W=2048 exceeds the
+    SMEM budget, build a paged-metadata layout (ops/pallas/paged.py) at
+    W=2048 instead of doubling W — the per-edge one-hot cost is frag*W,
+    so above ~s21 paging is worth ~2-4x per dense pass (docs/design.md
+    §12; chip A/B in benchmarks/ab_paged.py). Off by default until
+    Mosaic-validated on hardware."""
+    import os
+
     if interpret:
         return build_bucketed_layout(
             rows, cols, values, n_vertices, window=128, chunk=256,
             pad_value=pad_value,
         )
     W, C = 2048, 256
+    if (
+        os.environ.get("GUNROCK_PAGED_META") == "1"
+        and estimate_chunks(rows, cols, n_vertices, W, C) > max_chunks
+    ):
+        from gunrock_tpu.ops.pallas.paged import build_paged_layout
+
+        return build_paged_layout(
+            rows, cols, values, n_vertices, window=W, chunk=C,
+            pad_value=pad_value,
+        )
     while (
         W < 65536
         and estimate_chunks(rows, cols, n_vertices, W, C) > max_chunks

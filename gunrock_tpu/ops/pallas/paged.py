@@ -124,6 +124,24 @@ def build_paged_layout(
     )
 
 
+def _chunk_compute(semiring, row, col, val, xw, C, W):
+    """The windowed one-hot gather+reduce shared by the dense and sparse
+    paged kernels (same math as semiring._make_flat_kernel v1)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+    xg = jnp.sum(jnp.where(col[:, None] == lanes, xw, 0.0), axis=1)
+    if semiring == "min_plus":
+        msg = jnp.minimum(val + xg, _BIG)
+        scat = jnp.where(row[:, None] == lanes, msg[:, None], _BIG)
+        return jnp.min(scat, axis=0)
+    if semiring == "max_times":
+        msg = val * xg
+        scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
+        return jnp.max(scat, axis=0)
+    msg = val * xg
+    scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
+    return jnp.sum(scat, axis=0)
+
+
 def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
     ident, _ = _SEMIRINGS[semiring]
     W = S * 128
@@ -159,22 +177,14 @@ def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
         col = rc_ref[0, 1, :]
         val = val_ref[0, 0, :]
         xw = xbuf[j % 2].reshape(1, W)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-        xg = jnp.sum(jnp.where(col[:, None] == lanes, xw, 0.0), axis=1)
+        y_add = _chunk_compute(semiring, row, col, val, xw, C, W).reshape(
+            S, 128
+        )
         if semiring == "min_plus":
-            msg = jnp.minimum(val + xg, _BIG)
-            scat = jnp.where(row[:, None] == lanes, msg[:, None], _BIG)
-            y_add = jnp.min(scat, axis=0).reshape(S, 128)
             acc[...] = jnp.minimum(acc[...], y_add)
         elif semiring == "max_times":
-            msg = val * xg
-            scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
-            y_add = jnp.max(scat, axis=0).reshape(S, 128)
             acc[...] = jnp.maximum(acc[...], y_add)
         else:
-            msg = val * xg
-            scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
-            y_add = jnp.sum(scat, axis=0).reshape(S, 128)
             acc[...] = acc[...] + y_add
 
         # synchronous run-end writeback: start + wait in-step (the
@@ -187,6 +197,221 @@ def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
             w.wait()
 
     return kernel
+
+
+def _make_paged_sparse_kernel(semiring: str, S: int, C: int, PAGE: int):
+    """Frontier-sparse paged kernel: metadata (incl. the active-first
+    chunk permutation) is computed ON DEVICE per call and paged through
+    SMEM exactly like the dense variant's — but edge chunks are now
+    data-dependent (permuted), so rowcol/values also arrive by manual
+    double-buffered DMA. Inactive slots (slot >= active count) do
+    nothing at all — no DMA, no compute, no write (the output is
+    ANY-space and manually written, so the scalar-prefetch kernel's
+    stale-VMEM-flush hazard class does not exist here).
+
+    meta fields: [rb, cb, first, last, active, chunk_idx, 0, 0]."""
+    ident, _ = _SEMIRINGS[semiring]
+    W = S * 128
+
+    def kernel(meta_ref, rc_any, val_any, x_any, y_any, xbuf, ebuf, vbuf,
+               acc, xsem, esem, vsem, ysem):
+        j = pl.program_id(1)
+
+        def dmas(jj, slot):
+            return (
+                pltpu.make_async_copy(
+                    x_any.at[meta_ref[jj, 1]], xbuf.at[slot], xsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    rc_any.at[meta_ref[jj, 5]], ebuf.at[slot], esem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    val_any.at[meta_ref[jj, 5]], vbuf.at[slot], vsem.at[slot]
+                ),
+            )
+
+        def start(jj, slot):
+            a, b, c = dmas(jj, slot)
+            a.start()
+            b.start()
+            c.start()
+
+        @pl.when((j == 0) & (meta_ref[0, 4] == 1))
+        def _():
+            start(0, 0)
+
+        @pl.when((j + 1 < PAGE) & (meta_ref[j + 1, 4] == 1))
+        def _():
+            start(j + 1, (j + 1) % 2)
+
+        active = meta_ref[j, 4] == 1
+
+        @pl.when(active & (meta_ref[j, 2] == 1))
+        def _():
+            acc[...] = jnp.full_like(acc, ident)
+
+        @pl.when(active)
+        def _():
+            a, b, c = dmas(j, j % 2)
+            a.wait()
+            b.wait()
+            c.wait()
+            row = ebuf[j % 2, 0, :]
+            col = ebuf[j % 2, 1, :]
+            val = vbuf[j % 2, 0, :]
+            xw = xbuf[j % 2].reshape(1, W)
+            y_add = _chunk_compute(semiring, row, col, val, xw, C, W
+                                   ).reshape(S, 128)
+            if semiring == "min_plus":
+                acc[...] = jnp.minimum(acc[...], y_add)
+            elif semiring == "max_times":
+                acc[...] = jnp.maximum(acc[...], y_add)
+            else:
+                acc[...] = acc[...] + y_add
+
+        @pl.when(active & (meta_ref[j, 3] == 1))
+        def _():
+            w = pltpu.make_async_copy(acc, y_any.at[meta_ref[j, 0]], ysem)
+            w.start()
+            w.wait()
+
+    return kernel
+
+
+def _sparse_meta(layout: PagedEdges, active, out_mask):
+    """Device-side active-chunk selection + paged-meta packing (the
+    paged analog of semiring._sparse_chunk_select). A chunk runs iff its
+    SOURCE window holds an ``active`` vertex (and, when given, its DEST
+    window holds an ``out_mask`` vertex). Returns (meta int32[n_pad, 8],
+    count, rb_touched)."""
+    W = layout.window
+    n_pad = layout.n_pages * layout.page
+    n_cb = layout.n_col_blocks
+    n_rb = layout.n_row_blocks
+    V = layout.n_vertices
+    chunk_rb = layout.meta[:, 0]
+    chunk_cb = layout.meta[:, 1]
+    # real chunks only: padding rows of layout.meta carry rb=cb=0 and
+    # must never activate
+    is_real = (
+        jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(layout.n_chunks)
+    )
+
+    act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
+    act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
+    ch_act = act_cb[chunk_cb] & is_real
+    if out_mask is not None:
+        om_pad = jnp.zeros(n_rb * W, bool).at[:V].set(out_mask)
+        out_rb = jnp.any(om_pad.reshape(n_rb, W), axis=1)
+        ch_act = ch_act & out_rb[chunk_rb]
+    pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
+    count = (pos[-1] + 1).astype(jnp.int32)
+    perm = (
+        jnp.zeros(n_pad, jnp.int32)
+        .at[jnp.where(ch_act, pos, n_pad)]
+        .set(jnp.arange(n_pad, dtype=jnp.int32), mode="drop")
+    )
+    rb_p = chunk_rb[perm]
+    cb_p = chunk_cb[perm]
+    slot = jnp.arange(n_pad, dtype=jnp.int32)
+    is_act = slot < count
+    prev_rb = jnp.concatenate([jnp.full(1, -1, jnp.int32), rb_p[:-1]])
+    next_rb = jnp.concatenate([rb_p[1:], jnp.full(1, -1, jnp.int32)])
+    first = (is_act & (rb_p != prev_rb)).astype(jnp.int32)
+    last = (is_act & ((slot == count - 1) | (rb_p != next_rb))).astype(
+        jnp.int32
+    )
+    meta = jnp.stack(
+        [rb_p, cb_p, first, last, is_act.astype(jnp.int32), perm,
+         jnp.zeros(n_pad, jnp.int32), jnp.zeros(n_pad, jnp.int32)],
+        axis=1,
+    )
+    rb_touched = (
+        jnp.zeros(n_rb, bool)
+        .at[jnp.where(ch_act, chunk_rb, n_rb)]
+        .set(True, mode="drop")
+    )
+    return meta, count, rb_touched
+
+
+@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+def paged_semiring_spmv_sparse(
+    layout: PagedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    semiring: str = "plus_times",
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+):
+    """Frontier-sparse paged advance — same contract as
+    semiring.bucketed_semiring_spmv_sparse (chunks whose source window
+    holds no active vertex are skipped; the smallest precompiled page
+    grid holding the active count runs)."""
+    W, C, PAGE = layout.window, layout.chunk, layout.page
+    S = W // 128
+    V = layout.n_vertices
+    ident, _ = _SEMIRINGS[semiring]
+    if layout.n_chunks == 0:
+        fill = jnp.inf if semiring == "min_plus" else ident
+        return jnp.full(V, fill, jnp.float32)
+
+    meta, count, rb_touched = _sparse_meta(layout, active, out_mask)
+    x_pad = jnp.full(layout.n_col_blocks * W, 0.0, jnp.float32).at[:V].set(x)
+    x3 = x_pad.reshape(layout.n_col_blocks, S, 128)
+
+    def call(n_pages):
+        return pl.pallas_call(
+            _make_paged_sparse_kernel(semiring, S, C, PAGE),
+            out_shape=jax.ShapeDtypeStruct(
+                (layout.n_row_blocks, S, 128), jnp.float32
+            ),
+            grid=(n_pages, PAGE),
+            in_specs=[
+                pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, S, 128), jnp.float32),
+                pltpu.VMEM((2, 2, C), jnp.int32),
+                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((S, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                has_side_effects=True,
+            ),
+            interpret=interpret,
+        )(meta, layout.rowcol, layout.values, x3)
+
+    # tail-grid dispatch over PAGE granularity (semiring._TAIL_GRIDS)
+    from gunrock_tpu.ops.pallas.semiring import _TAIL_GRIDS
+
+    n_pages = layout.n_pages
+    grids = sorted({max(1, n_pages // g) for g in _TAIL_GRIDS} | {n_pages})
+    pages_needed = (count + PAGE - 1) // PAGE
+
+    def dispatch(idx):
+        if idx == len(grids) - 1:
+            return lambda: call(grids[idx])
+        return lambda: jax.lax.cond(
+            pages_needed <= grids[idx], lambda: call(grids[idx]),
+            dispatch(idx + 1),
+        )
+
+    y3 = dispatch(0)()
+    y3 = jnp.where(rb_touched[:, None, None], y3, ident)
+    y = y3.reshape(-1)[:V]
+    if semiring == "min_plus":
+        y = jnp.where(y >= _BIG, jnp.inf, y)
+    return y
 
 
 @functools.partial(jax.jit, static_argnames=("semiring", "interpret"))

@@ -275,7 +275,15 @@ def bucketed_semiring_spmv(
     ``version`` (or GUNROCK_SEMIRING_KERNEL) is resolved OUTSIDE the jit
     cache: with the env read inside a trace keyed on version=None, an
     in-process A/B that flips the env var between calls would silently
-    reuse the first executable."""
+    reuse the first executable.
+
+    Accepts a :class:`~gunrock_tpu.ops.pallas.paged.PagedEdges` layout
+    too (the big-graph paged-metadata form, GUNROCK_PAGED_META) — every
+    caller inherits the paged kernel transparently."""
+    from gunrock_tpu.ops.pallas.paged import PagedEdges, paged_semiring_spmv
+
+    if isinstance(layout, PagedEdges):
+        return paged_semiring_spmv(layout, x, semiring, interpret=interpret)
     if version is None:
         version = _default_version()
     return _bucketed_semiring_spmv_impl(layout, x, semiring, interpret, version)
@@ -478,7 +486,17 @@ def bucketed_semiring_spmv_sparse(
     read — chunks whose destination window contains no masked vertex are
     also skipped, and those rows return the semiring identity (direction-
     optimized BFS's late levels: most vertices already reached, their
-    pull rows never recomputed)."""
+    pull rows never recomputed).
+
+    Accepts a PagedEdges layout (GUNROCK_PAGED_META) transparently."""
+    from gunrock_tpu.ops.pallas.paged import (PagedEdges,
+                                              paged_semiring_spmv_sparse)
+
+    if isinstance(layout, PagedEdges):
+        return paged_semiring_spmv_sparse(
+            layout, x, active, semiring, interpret=interpret,
+            out_mask=out_mask,
+        )
     W = layout.window
     S = W // 128
     n_chunks = layout.n_chunks
@@ -626,6 +644,17 @@ def bucketed_semiring_spmv_sparse_minmax(
     val*x[col_e]) with the same chunk-skipping contract as
     :func:`bucketed_semiring_spmv_sparse`. ``y_min`` rows with no positive
     contribution return ``_BIG``. Requires x >= 0 (0 = inactive)."""
+    from gunrock_tpu.ops.pallas.paged import PagedEdges
+
+    if isinstance(layout, PagedEdges):
+        # Luby coloring's fused pass has no paged variant; run two
+        # paged passes (max_times + positives-min via min_plus on
+        # log-transformed values would change semantics) — callers at
+        # paged scale should use strategy="rank"/"greedy" instead.
+        raise NotImplementedError(
+            "sparse_minmax has no paged-metadata variant — use coloring "
+            "strategy 'rank' or 'greedy' on paged layouts"
+        )
     W = layout.window
     S = W // 128
     n_chunks = layout.n_chunks

@@ -528,3 +528,81 @@ def test_paged_layout_pages_and_runs():
     assert meta[0, 2] == 1 and meta[n - 1, 3] == 1
     np.testing.assert_array_equal(meta[1:n, 2], (rb[1:] != rb[:-1]))
     np.testing.assert_array_equal(meta[: n - 1, 3], (rb[1:] != rb[:-1]))
+
+
+def test_paged_sparse_matches_dense():
+    """Frontier-sparse paged kernel == dense paged kernel on active
+    frontiers, all semirings, out_mask and empty-frontier cases."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.paged import (build_paged_layout,
+                                              paged_semiring_spmv,
+                                              paged_semiring_spmv_sparse)
+    from gunrock_tpu.ops.pallas.semiring import _BIG
+
+    g, A = random_graph(None, n=700, p=0.02, weighted=True, seed_offset=90)
+    rows = hostcache.host(g, "edge_src")
+    cols = hostcache.host(g, "col_indices")
+    vals = hostcache.host(g, "values")
+    rng = np.random.default_rng(5)
+    for sem, pad in (("plus_times", 0.0), ("min_plus", _BIG),
+                     ("max_times", 0.0)):
+        lay = build_paged_layout(rows, cols, vals, g.n_vertices,
+                                 window=128, chunk=256, page=8,
+                                 pad_value=pad)
+        act = rng.random(g.n_vertices) < 0.3
+        base = _BIG if sem == "min_plus" else 0.0
+        x = np.where(act, rng.random(g.n_vertices), base).astype(np.float32)
+        dense = np.asarray(paged_semiring_spmv(lay, jnp.asarray(x), sem,
+                                               interpret=True))
+        sparse = np.asarray(paged_semiring_spmv_sparse(
+            lay, jnp.asarray(x), jnp.asarray(act), sem, interpret=True))
+        d = np.where(np.isinf(dense), 1e30, dense)
+        s = np.where(np.isinf(sparse), 1e30, sparse)
+        np.testing.assert_allclose(s, d, rtol=1e-5, atol=1e-5)
+        om = rng.random(g.n_vertices) < 0.5
+        s2 = np.asarray(paged_semiring_spmv_sparse(
+            lay, jnp.asarray(x), jnp.asarray(act), sem, interpret=True,
+            out_mask=jnp.asarray(om)))
+        s2 = np.where(np.isinf(s2), 1e30, s2)
+        np.testing.assert_allclose(s2[om], d[om], rtol=1e-5, atol=1e-5)
+    z = np.asarray(paged_semiring_spmv_sparse(
+        lay, jnp.zeros(g.n_vertices), jnp.zeros(g.n_vertices, bool),
+        "plus_times", interpret=True))
+    assert (z == 0).all()
+
+
+def test_paged_layout_through_algorithms():
+    """BFS-DO and SSSP-DO run unchanged on a PagedEdges layout (the
+    bucketed_semiring_spmv(_sparse) entry points dispatch by type)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.algorithms.bfs import bfs_kernel_do
+    from gunrock_tpu.algorithms.sssp import sssp_kernel_do
+    from gunrock_tpu.examples import cpu_reference as cr
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.paged import build_paged_layout
+    from gunrock_tpu.ops.pallas.semiring import _BIG
+
+    g, A = random_graph(None, n=500, p=0.03, weighted=True, seed_offset=93)
+    cols = hostcache.host(g, "col_indices")
+    srcs = hostcache.host(g, "edge_src")
+    # pull orientation (rows=dst, cols=src) like semiring.pull_layout
+    unit = np.ones(g.n_edges, np.float32)
+    lay_bfs = build_paged_layout(cols, srcs, unit, g.n_vertices,
+                                 window=128, chunk=256, page=8)
+    dist, depth = bfs_kernel_do(g, 0, layout=lay_bfs, interpret=True)
+    want = np.asarray(cr.bfs(g, 0))
+    np.testing.assert_array_equal(np.asarray(dist), want)
+
+    vals = hostcache.host(g, "values")
+    lay_sssp = build_paged_layout(cols, srcs, vals, g.n_vertices,
+                                  window=128, chunk=256, page=8,
+                                  pad_value=_BIG)
+    sdist, _ = sssp_kernel_do(g, 0, layout=lay_sssp, interpret=True)
+    import scipy.sparse.csgraph as csg
+
+    swant = csg.dijkstra(A, indices=0)
+    np.testing.assert_allclose(np.asarray(sdist), swant, rtol=1e-5,
+                               atol=1e-5)
