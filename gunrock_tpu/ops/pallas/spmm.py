@@ -208,6 +208,13 @@ def bucketed_spmm_sparse(
     Collapsed frontiers run on a smaller compiled grid (see
     semiring._tail_grid_dispatch), cutting the per-call floor of
     iterating 10k+ predicated-off slots."""
+    from gunrock_tpu.ops.pallas.paged import PagedEdges
+
+    if isinstance(layout, PagedEdges):
+        raise NotImplementedError(
+            "bucketed_spmm_sparse has no paged-metadata variant yet — "
+            "build the batch layout with GUNROCK_PAGED_META unset"
+        )
     from gunrock_tpu.ops.pallas.semiring import _sparse_chunk_select
 
     W, C = layout.window, layout.chunk
