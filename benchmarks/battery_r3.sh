@@ -52,3 +52,10 @@ run python benchmarks/ab_paged.py smem  --scale 22 --degsort --iters 3
 #    the SMEM budget). Compare against the battery's SMEM rows above.
 GUNROCK_PAGED_META=1 run python benchmarks/run.py --algorithms bfs,sssp --rmat 20 --reorder degree
 GUNROCK_PAGED_META=1 run python benchmarks/big_scale.py --algo bfs --scale 22 --degsort --num_runs 2
+
+# 8. Async sweep solver on chip: the high-diameter case BSP cannot touch
+#    (grid2048 = 4094 BSP levels; sweeps converge in a handful) + the
+#    power-law sanity point. Work metric: block passes / n_blocks.
+run python -m gunrock_tpu.examples.sssp --market datasets/grid64.mtx --src 0 --mode async --validate
+run python benchmarks/ab_async.py --side 512
+run python benchmarks/ab_async.py --side 2048

@@ -12,7 +12,20 @@ from gunrock_tpu.io.parameters import parse, parse_source_string
 
 
 def main(argv=None):
-    params = parse("bfs", argv)
+    params = parse(
+        "bfs", argv,
+        extra_args=[
+            (("--mode",), dict(
+                default="bsp", choices=("bsp", "async"),
+                help="bsp = level-synchronous (default); async = "
+                     "Gauss-Seidel block sweeps (reference async_bfs "
+                     "role — experimental/async_sweep.py)")),
+            (("--ordering",), dict(
+                default="natural", choices=("natural", "rcm"),
+                help="async mode only: rcm relabels for near-monotone "
+                     "paths (best on meshes/roads)")),
+        ],
+    )
     graph, _ = runner.load(params)
     sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
     run_sources = runner.map_sources(params, sources)
@@ -20,7 +33,25 @@ def main(argv=None):
     mesh, build_sharded = runner.maybe_mesh(params)
     times, depths = [], []
     result = None
-    if mesh is not None:
+    if mesh is None and getattr(params.extra, "mode", "bsp") == "async":
+        import time as _time
+
+        from gunrock_tpu.experimental.async_sweep import bfs_async
+
+        for src in run_sources:
+            t0 = _time.perf_counter()
+            distances, sweeps, passes = bfs_async(
+                graph, src, ordering=getattr(params.extra, "ordering",
+                                             "natural")
+            )
+            times.append((_time.perf_counter() - t0) * 1e3)
+            depths.append(sweeps)
+        print(f"async: {sweeps} sweeps, {passes} block passes")
+        result = bfs.Result(
+            distances=distances, predecessors=None,
+            search_depth=depths[-1], elapsed_ms=times[-1],
+        )
+    elif mesh is not None:
         import time as _time
 
         from gunrock_tpu.parallel import sharded

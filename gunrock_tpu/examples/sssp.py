@@ -12,7 +12,20 @@ from gunrock_tpu.io.parameters import parse, parse_source_string
 
 
 def main(argv=None):
-    params = parse("sssp", argv)
+    params = parse(
+        "sssp", argv,
+        extra_args=[
+            (("--mode",), dict(
+                default="bsp", choices=("bsp", "async"),
+                help="bsp = level/bucket-synchronous (default); async = "
+                     "Gauss-Seidel block sweeps (reference experimental "
+                     "async runtime role — experimental/async_sweep.py)")),
+            (("--ordering",), dict(
+                default="natural", choices=("natural", "rcm"),
+                help="async mode only: rcm relabels for near-monotone "
+                     "paths (best on meshes/roads)")),
+        ],
+    )
     graph, _ = runner.load(params)
     sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
     run_sources = runner.map_sources(params, sources)
@@ -31,6 +44,23 @@ def main(argv=None):
             distances, depth = sharded.sssp(sg, src, mesh)
             times.append((_time.perf_counter() - t0) * 1e3)
             depths.append(int(depth))
+        result = sssp.Result(
+            distances=distances, predecessors=None,
+            search_depth=depths[-1], elapsed_ms=times[-1],
+        )
+    elif params.extra.mode == "async":
+        import time as _time
+
+        from gunrock_tpu.experimental.async_sweep import sssp_async
+
+        for src in run_sources:
+            t0 = _time.perf_counter()
+            distances, sweeps, passes = sssp_async(
+                graph, src, ordering=params.extra.ordering
+            )
+            times.append((_time.perf_counter() - t0) * 1e3)
+            depths.append(sweeps)
+        print(f"async: {sweeps} sweeps, {passes} block passes")
         result = sssp.Result(
             distances=distances, predecessors=None,
             search_depth=depths[-1], elapsed_ms=times[-1],

@@ -6,19 +6,23 @@ include/gunrock/container/experimental/async/queue.hxx:17-356,
 algorithms/experimental/async/bfs.hxx) — explicitly flagged experimental
 and disabled by default.
 
-**Status here: non-goal for the TPU build** (SURVEY.md section 2.8 /
-section 7 non-goals). XLA has no persistent-kernel analog: a TPU program
-is a compiled dataflow graph, not a resident grid polling device queues.
-The asynchrony the reference chases (avoiding BSP barrier latency) is
-addressed differently on TPU:
+**Round-3 status: implemented as a TPU-native analog.** XLA has no
+persistent-kernel analog (a TPU program is a compiled dataflow graph,
+not a resident grid polling device queues), so the asynchronous
+SEMANTICS — relaxations observing values produced within the same pass
+— are delivered by :mod:`gunrock_tpu.experimental.async_sweep`:
+deterministic Gauss-Seidel block sweeps with per-block inner
+convergence, alternating forward/backward order, the whole loop one
+compiled ``lax.while_loop``. Same convergence class as the reference's
+chaotic label correcting, with a fixed total order replacing the GPU's
+races. Measured where it matters (the high-diameter graphs whose level
+counts sink the BSP kernels): 64x64 grid BFS = 2 sweeps / 6
+full-pass-equivalents vs 126 BSP levels. ``--mode async`` on the
+bfs/sssp example drivers; ``ordering="rcm"`` restores path monotonicity
+on scrambled meshes (graph/reorder.rcm_sort).
 
-- whole convergence loops compile into one device program
-  (``lax.while_loop``), so the per-iteration "barrier" costs no host
-  round trip at all, and
-- direction-optimized push steps (algorithms/bfs.py, sssp.py) shrink the
-  tail iterations where async queues would have helped most.
-
-If a future round wants genuine async, the building blocks exist in
-Pallas (remote DMA + semaphores, see ops/pallas), but the measured
-BSP-in-one-program design has made it unnecessary so far.
+The BSP kernels remain the default: on power-law graphs (small
+diameter) direction-optimized BSP is already within a pass or two of
+the sweep schedule, and the Pallas frontier-sparse kernels beat the
+sweep solver's scatter-based segment_min per pass.
 """

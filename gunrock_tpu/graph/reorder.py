@@ -71,3 +71,36 @@ def degree_sort(graph: Graph) -> tuple[Graph, Reordering]:
         properties=dataclasses.replace(graph.properties, hub_ordered=True),
     )
     return g2, Reordering(order=order, rank=rank)
+
+
+def rcm_sort(graph: Graph) -> tuple[Graph, Reordering]:
+    """Reverse-Cuthill-McKee relabeling: bandwidth-minimizing BFS-level
+    ordering. The locality counterpart to :func:`degree_sort` — built
+    for the Gauss-Seidel sweep solver (experimental/async_sweep.py),
+    whose within-sweep freshness only propagates along MONOTONE id
+    paths: RCM makes shortest paths nearly monotone on meshes/roads
+    (delaunay2k: 19 -> 7 BFS sweeps measured). Same relabel/map-back
+    contract as degree_sort."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+
+    offs = hostcache.host(graph, "row_offsets")
+    cols = hostcache.host(graph, "col_indices")
+    vals = hostcache.host(graph, "values")
+    src = hostcache.host(graph, "edge_src")
+    V = graph.n_vertices
+    A = sp.csr_matrix(
+        (np.ones(len(cols), np.float32), cols, offs), shape=(V, V)
+    )
+    order = np.asarray(
+        csg.reverse_cuthill_mckee(A, symmetric_mode=graph.properties.symmetric),
+        np.int32,
+    )
+    rank = np.empty(V, np.int32)
+    rank[order] = np.arange(V, dtype=np.int32)
+    g2 = build_graph(
+        Coo(n_rows=V, n_cols=V, row_indices=rank[src],
+            col_indices=rank[cols], values=vals),
+        properties=graph.properties,
+    )
+    return g2, Reordering(order=order, rank=rank)
