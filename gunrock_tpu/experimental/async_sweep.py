@@ -210,3 +210,106 @@ def bfs_async(
         dist.astype(jnp.int32),
     )
     return depth, int(sweeps), int(passes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "vb_max", "e_max", "max_sweeps")
+)
+def _pr_gs_kernel(
+    csc_rows, csc_vals, csc_dst, v_starts, e_starts, iweights, dangling,
+    p0, n_blocks: int, vb_max: int, e_max: int, max_sweeps: int,
+    alpha: float, tol: float,
+):
+    """Gauss-Seidel PageRank sweeps: block b's ranks update from ranks
+    ALREADY refreshed by earlier blocks of the same sweep (the classic
+    ~2x iteration cut over Jacobi power iteration — same unique fixed
+    point). The dangling-mass term is maintained incrementally."""
+    V = p0.shape[0]
+    E = csc_rows.shape[0]
+    pad = jnp.zeros(e_max, jnp.int32)
+    rows_p = jnp.concatenate([csc_rows, pad])
+    vals_p = jnp.concatenate([csc_vals, jnp.zeros(e_max, jnp.float32)])
+    dst_p = jnp.concatenate([csc_dst, jnp.full(e_max, 0, jnp.int32)])
+    p_pad = jnp.concatenate([p0, jnp.zeros(vb_max, jnp.float32)])
+    dang_pad = jnp.concatenate([dangling, jnp.zeros(vb_max, jnp.bool_)])
+    iw_pad = jnp.concatenate([iweights, jnp.zeros(vb_max, jnp.float32)])
+    eidx = jnp.arange(e_max, dtype=jnp.int32)
+    dsum0 = jnp.sum(jnp.where(dang_pad, alpha * p_pad, 0.0))
+
+    def relax_block(b, carry):
+        p, dsum, err = carry
+        e0 = e_starts[b]
+        v0 = v_starts[b]
+        n_v = v_starts[b + 1] - v0
+        n_e = jnp.where(
+            b + 1 < n_blocks, e_starts[b + 1] - e0, jnp.int32(E) - e0
+        )
+        src = jax.lax.dynamic_slice(rows_p, (e0,), (e_max,))
+        w = jax.lax.dynamic_slice(vals_p, (e0,), (e_max,))
+        dst = jax.lax.dynamic_slice(dst_p, (e0,), (e_max,))
+        valid = eidx < n_e
+        contrib = jnp.where(valid, p[src] * iw_pad[src] * w, 0.0)
+        loc = jnp.where(valid, dst - v0, vb_max)
+        summed = jax.ops.segment_sum(
+            contrib, loc, num_segments=vb_max + 1, indices_are_sorted=True
+        )[:vb_max]
+        base = (1.0 - alpha + dsum) / V
+        vmask = jnp.arange(vb_max, dtype=jnp.int32) < n_v
+        cur = jax.lax.dynamic_slice(p, (v0,), (vb_max,))
+        new = jnp.where(vmask, base + summed, cur)
+        # incremental dangling-mass update for this block's delta
+        dmask = jax.lax.dynamic_slice(dang_pad, (v0,), (vb_max,))
+        dsum = dsum + alpha * jnp.sum(jnp.where(dmask, new - cur, 0.0))
+        err = jnp.maximum(err, jnp.max(jnp.abs(new - cur)))
+        return jax.lax.dynamic_update_slice(p, new, (v0,)), dsum, err
+
+    def sweep(c):
+        k, p, dsum, _ = c
+        fwd = k % 2 == 0
+
+        def body(i, carry):
+            b = jnp.where(fwd, i, n_blocks - 1 - i)
+            return relax_block(b, carry)
+
+        p, dsum, err = jax.lax.fori_loop(
+            0, n_blocks, body, (p, dsum, jnp.float32(0.0))
+        )
+        return k + 1, p, dsum, err
+
+    def cond(c):
+        k, _, _, err = c
+        return (err >= tol) & (k < max_sweeps)
+
+    sweeps, p, _, _ = jax.lax.while_loop(
+        cond, sweep, (jnp.int32(0), p_pad, dsum0, jnp.float32(jnp.inf))
+    )
+    return p[:V], sweeps
+
+
+def pr_async(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    n_blocks: int = 32,
+    max_sweeps: int = 10_000,
+):
+    """Gauss-Seidel PageRank (async-semantics sweeps). Returns
+    (p f32[V], sweeps) — the same fixed point as algorithms/pr.run in
+    measurably fewer passes over E (freshness within a sweep)."""
+    from gunrock_tpu.algorithms.pr import compute_iweights
+
+    V = graph.n_vertices
+    n_blocks = max(1, min(n_blocks, V))
+    v_starts, vb_max, e_starts, e_max = _block_plan(graph, n_blocks)
+    # 1/out_wsum per vertex; alpha is folded into the edge weights below
+    iweights = compute_iweights(graph, 1.0)
+    dangling = iweights == 0.0
+    p0 = jnp.full(V, 1.0 / V, jnp.float32)
+    p, sweeps = _pr_gs_kernel(
+        graph.csc_rows, graph.csc_values * jnp.float32(alpha),
+        graph.csc_dst,
+        jnp.asarray(v_starts), jnp.asarray(e_starts), iweights, dangling,
+        p0, n_blocks=n_blocks, vb_max=vb_max, e_max=e_max,
+        max_sweeps=max_sweeps, alpha=alpha, tol=tol,
+    )
+    return p, int(sweeps)

@@ -94,3 +94,36 @@ def test_async_cli_flags():
                   "--validate"])
     sssp_cli.main(["--market", chesapeake, "--src", "0", "--mode", "async",
                    "--ordering", "rcm", "--validate"])
+
+
+def test_async_pagerank_gauss_seidel():
+    """Gauss-Seidel PR sweeps: same unique fixed point as the Jacobi
+    power iteration, and measurably CLOSER to the f64 fixed point at the
+    same nominal tol (Jacobi's consecutive-iterate delta underestimates
+    the distance to the fixed point by ~1/(1-alpha); GS's within-sweep
+    freshness does not). n_blocks=1 must reduce exactly to Jacobi."""
+    from gunrock_tpu.algorithms import pr
+    from gunrock_tpu.experimental.async_sweep import pr_async
+    from gunrock_tpu.io.generators import rmat_graph
+
+    g = rmat_graph(10, 8, seed=2)
+    A = _to_scipy(g).astype(np.float64)
+    V = g.n_vertices
+    outw = np.asarray(A.sum(axis=1)).ravel()
+    iw = np.where(outw != 0, 1 / np.maximum(outw, 1e-300), 0.0)
+    p = np.full(V, 1 / V)
+    for _ in range(2000):
+        dsum = 0.85 * p[outw == 0].sum()
+        pn = (1 - 0.85 + dsum) / V + 0.85 * A.T.dot(p * iw)
+        if np.abs(pn - p).max() < 1e-13:
+            break
+        p = pn
+
+    p_gs, sweeps = pr_async(g, tol=1e-7, n_blocks=16)
+    gs_err = float(np.max(np.abs(np.asarray(p_gs, np.float64) - p) / p))
+    assert gs_err < 1e-4, gs_err
+    ref = pr.run(g, tol=1e-7, warmup=False)
+    np.testing.assert_allclose(np.asarray(p_gs), np.asarray(ref.p),
+                               rtol=1e-2, atol=1e-6)
+    p1, s1 = pr_async(g, tol=1e-6, n_blocks=1)
+    assert s1 == pr.run(g, tol=1e-6, warmup=False).iterations
