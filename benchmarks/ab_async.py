@@ -2,7 +2,7 @@
 on high-diameter grids (the async runtime's reason to exist: a side-S
 grid costs 2(S-1) BSP levels but a handful of sweeps).
 
-Usage: python benchmarks/ab_async.py --side 512 [--weighted]
+Usage: python benchmarks/ab_async.py --side 512 [--n_blocks 32]
 """
 
 from __future__ import annotations

@@ -174,9 +174,15 @@ def main(argv=None):
         print(f"[{fam}] invariants: {recorded[fam]}")
 
     if ns.record:
+        # merge into existing records: --record with a --families subset
+        # must not wipe the other families' invariants
+        merged = {}
+        if os.path.exists(EXPECTED):
+            merged = json.load(open(EXPECTED))
+        merged.update(recorded)
         with open(EXPECTED, "w") as f:
-            json.dump(recorded, f, indent=1, sort_keys=True)
-        print(f"recorded -> {EXPECTED}")
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"recorded {sorted(recorded)} -> {EXPECTED}")
     elif os.path.exists(EXPECTED):
         want = json.load(open(EXPECTED))
         for fam in names:

@@ -78,7 +78,7 @@ def bc_forward(graph: Graph, single_source):
         # error then accumulates only over each vertex's own in-edges
         sig_add = jax.ops.segment_sum(
             jnp.where(active, sigma[graph.csc_rows], 0.0),
-            graph.csc_dst, num_segments=V,
+            graph.csc_dst, num_segments=V, indices_are_sorted=True,
         )
         sigma = jnp.where(new, sig_add, sigma)
         return it + 1, new, labels, sigma
@@ -111,7 +111,8 @@ def bc_kernel(graph: Graph, single_source):
         )
         # within-segment sum (not cumsum-difference): see bc_forward —
         # per-edge dependency terms inherit sigma's dynamic range
-        add = jax.ops.segment_sum(vals, src, num_segments=V)
+        add = jax.ops.segment_sum(vals, src, num_segments=V,
+                                  indices_are_sorted=True)
         delta = jnp.where(labels == d, delta + add, delta)
         return d - 1, delta
 

@@ -267,6 +267,26 @@ def pr_batch_kernel_xla(
     return p, it
 
 
+def _pr_pull_layout(graph: Graph, interpret: bool):
+    """Weighted pull layout shared by run_batch and pr_batch_kernel_spmm
+    (one cache entry per graph; the key name predates the weighted
+    values it carries — kept for cache continuity)."""
+    from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
+
+    return cached_layout(
+        graph.col_indices,
+        lambda: build_auto_layout(
+            hostcache.host(graph, "col_indices"),  # rows = destinations (pull)
+            hostcache.host(graph, "edge_src"),
+            hostcache.host(graph, "values"),
+            graph.n_vertices,
+            interpret=interpret,
+        ),
+        ("pr_pull_unit", "auto", interpret),
+    )
+
+
+
 def run_batch(
     graph: Graph,
     alphas,
@@ -290,22 +310,11 @@ def run_batch(
     max_it = options.max_iterations or 10_000
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
         from gunrock_tpu.ops.pallas import use_interpret
-        from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
 
         interp = use_interpret()
         # layout built host-side BEFORE tracing, passed as a jit argument
         # (closing over it bakes it into the HLO — CLAUDE.md SMEM note)
-        layout = cached_layout(
-            graph.col_indices,
-            lambda: build_auto_layout(
-                hostcache.host(graph, "col_indices"),
-                hostcache.host(graph, "edge_src"),
-                hostcache.host(graph, "values"),
-                graph.n_vertices,
-                interpret=interp,
-            ),
-            ("pr_pull_unit", "auto", interp),
-        )
+        layout = _pr_pull_layout(graph, interp)
         fn = cached_jit(
             ("pr_batch_pallas", alphas, tol, max_it, interp),
             lambda: lambda g, lay: pr_batch_kernel_spmm(
@@ -354,17 +363,7 @@ def pr_batch_kernel_spmm(
     if interpret is None:
         interpret = use_interpret()
     if layout is None:
-        layout = cached_layout(
-            graph.col_indices,
-            lambda: build_auto_layout(
-                hostcache.host(graph, "col_indices"),  # rows = destinations (pull)
-                hostcache.host(graph, "edge_src"),
-                hostcache.host(graph, "values"),
-                graph.n_vertices,
-                interpret=interpret,
-            ),
-            ("pr_pull_unit", "auto", interpret),
-        )
+        layout = _pr_pull_layout(graph, interpret)
     alphas = jnp.asarray(alphas, jnp.float32)
     K = alphas.shape[0]
     V = graph.n_vertices

@@ -615,9 +615,11 @@ def run(
     if strategy == "auto":
         import os
 
+        from gunrock_tpu.graph import hostcache
+
         k = float(os.environ.get("GUNROCK_SPGEMM_AUTO_K", "4"))
-        deg_b_auto = np.diff(np.asarray(B.row_offsets)).astype(np.int64)
-        products = int(deg_b_auto[np.asarray(A.col_indices)].sum())
+        deg_b_auto = np.diff(hostcache.host(B, "row_offsets")).astype(np.int64)
+        products = int(deg_b_auto[hostcache.host(A, "col_indices")].sum())
         dense_work = (-(-A.n_vertices // 128)) * max(B.n_edges, 1)
         strategy = "dense" if products > k * dense_work else "esc"
     if strategy == "dense":

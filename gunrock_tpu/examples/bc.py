@@ -24,17 +24,14 @@ def main(argv=None):
         times.append(result.elapsed_ms)
         sources = []
     elif mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
         run_sources = runner.map_sources(params, sources)
         sg = build_sharded(graph)
         for src in run_sources:
-            t0 = _time.perf_counter()
-            vals = sharded.bc(sg, src, mesh)
-            times.append((_time.perf_counter() - t0) * 1e3)
+            t, vals = runner.timed_runs(1, lambda: sharded.bc(sg, src, mesh))
+            times += t
         result = bc.Result(bc_values=vals, elapsed_ms=times[-1])
     else:
         sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)

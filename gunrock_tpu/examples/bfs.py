@@ -30,6 +30,10 @@ def main(argv=None):
     sources = parse_source_string(params.sources, graph.n_vertices, params.num_runs)
     run_sources = runner.map_sources(params, sources)
 
+    if (getattr(params.extra, "devices", 0) or 0) > 1 and \
+            params.extra.mode == "async":
+        print("Error: --mode async is single-chip; drop --devices")
+        sys.exit(1)
     mesh, build_sharded = runner.maybe_mesh(params)
     times, depths = [], []
     result = None
@@ -52,19 +56,15 @@ def main(argv=None):
             search_depth=depths[-1], elapsed_ms=times[-1],
         )
     elif mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
         distances = None
         for src in run_sources:
-            t0 = _time.perf_counter()
-            distances, depth = sharded.bfs(sg, src, mesh)
-            times.append((_time.perf_counter() - t0) * 1e3)
+            t, (distances, depth) = runner.timed_runs(
+                1, lambda src=src: sharded.bfs(sg, src, mesh))
+            times += t
             depths.append(int(depth))
-        import dataclasses as _dc
-
         result = bfs.Result(
             distances=distances,
             predecessors=None,

@@ -29,20 +29,17 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        fn = (sharded.color_greedy if params.extra.strategy == "greedy"
-              else sharded.color)
         for i in range(params.num_runs):
-            t0 = _time.perf_counter()
             if params.extra.strategy == "greedy":
-                cvec, rounds = fn(sg, mesh)
+                t, (cvec, rounds) = runner.timed_runs(
+                    1, lambda: sharded.color_greedy(sg, mesh))
             else:
-                cvec, rounds = fn(sg, mesh, seed=i)
-            times.append((_time.perf_counter() - t0) * 1e3)
+                t, (cvec, rounds) = runner.timed_runs(
+                    1, lambda i=i: sharded.color(sg, mesh, seed=i))
+            times += t
         result = color.Result(colors=cvec, iterations=int(rounds),
                               elapsed_ms=times[-1])
     else:

@@ -67,19 +67,16 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            glat, glon = sharded.geo(
+        times, (glat, glon) = runner.timed_runs(
+            params.num_runs,
+            lambda: sharded.geo(
                 sg, lat, lon, mesh,
                 total_iterations=params.extra.total_iterations,
-                spatial_iterations=params.extra.spatial_iterations,
-            )
-            times.append((_time.perf_counter() - t0) * 1e3)
+                spatial_iterations=params.extra.spatial_iterations),
+        )
         result = geo.Result(latitude=glat, longitude=glon,
                             elapsed_ms=times[-1])
     else:

@@ -20,17 +20,14 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            auth, hub, it = sharded.hits(
-                sg, mesh, max_iterations=params.extra.max_iterations
-            )
-            times.append((_time.perf_counter() - t0) * 1e3)
+        times, (auth, hub, it) = runner.timed_runs(
+            params.num_runs,
+            lambda: sharded.hits(
+                sg, mesh, max_iterations=params.extra.max_iterations),
+        )
         result = hits.Result(auth=auth, hub=hub, iterations=int(it),
                              elapsed_ms=times[-1])
     else:

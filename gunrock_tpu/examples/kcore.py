@@ -17,15 +17,12 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            cores, degen = sharded.kcore(sg, mesh)
-            times.append((_time.perf_counter() - t0) * 1e3)
+        times, (cores, degen) = runner.timed_runs(
+            params.num_runs, lambda: sharded.kcore(sg, mesh)
+        )
         result = kcore.Result(k_cores=cores, degeneracy=int(degen),
                               elapsed_ms=times[-1])
     else:

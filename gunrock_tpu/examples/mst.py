@@ -17,17 +17,14 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
         import jax.numpy as jnp
 
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            weight, rounds = sharded.mst(sg, mesh)
-            times.append((_time.perf_counter() - t0) * 1e3)
+        times, (weight, rounds) = runner.timed_runs(
+            params.num_runs, lambda: sharded.mst(sg, mesh)
+        )
         result = mst.Result(mst_weight=float(weight),
                             mst_edges=jnp.zeros(0, bool), n_components=-1,
                             elapsed_ms=times[-1])

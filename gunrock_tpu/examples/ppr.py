@@ -25,16 +25,15 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
         for seed in run_seeds:
-            t0 = _time.perf_counter()
-            p, it = sharded.ppr(sg, seed, mesh, alpha=params.extra.alpha,
-                                epsilon=params.extra.epsilon)
-            times.append((_time.perf_counter() - t0) * 1e3)
+            t, (p, it) = runner.timed_runs(
+                1, lambda seed=seed: sharded.ppr(
+                    sg, seed, mesh, alpha=params.extra.alpha,
+                    epsilon=params.extra.epsilon))
+            times += t
             depths.append(int(it))
         runner.print_head(runner.to_original(params, p), name="p")
     elif len(run_seeds) > 1:

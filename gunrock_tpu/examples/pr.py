@@ -25,6 +25,10 @@ def main(argv=None):
     graph, _ = runner.load(params)
 
     if params.extra.alphas:
+        if (getattr(params.extra, "devices", 0) or 0) > 1:
+            print("Error: --alphas (batched single-chip sweep) and "
+                  "--devices are mutually exclusive")
+            sys.exit(1)
         alphas = [float(a) for a in params.extra.alphas.split(",") if a]
         times, its = [], None
         for _ in range(params.num_runs):
@@ -55,18 +59,15 @@ def main(argv=None):
     times, depths = [], []
     result = None
     if mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            p, it = sharded.pagerank(
-                sg, mesh, alpha=params.extra.alpha, tol=params.extra.tol
-            )
-            times.append((_time.perf_counter() - t0) * 1e3)
-            depths.append(int(it))
+        times, (p, it) = runner.timed_runs(
+            params.num_runs,
+            lambda: sharded.pagerank(
+                sg, mesh, alpha=params.extra.alpha, tol=params.extra.tol),
+        )
+        depths.append(int(it))
         result = pr.Result(p=p, iterations=depths[-1], elapsed_ms=times[-1])
     else:
         for _ in range(params.num_runs):

@@ -104,6 +104,24 @@ def validate(name: str, computed, reference, **kw) -> int:
     return n
 
 
+def timed_runs(n_runs: int, fn):
+    """Timed loop for the distributed CLI branches: each run is fenced
+    with block_until_ready so the time covers EXECUTION, not just the
+    async dispatch (on a real TPU an unfenced perf_counter pair measures
+    ~nothing — round-3 code-review finding). Returns (times_ms, last)."""
+    import time
+
+    import jax
+
+    times, out = [], None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)  # pytree-aware; non-arrays ignored
+        times.append((time.perf_counter() - t0) * 1e3)
+    return times, out
+
+
 def maybe_mesh(params: Parameters):
     """(mesh, sharded_graph_builder) for --devices N > 1, else (None, None).
     The distributed path runs the vertex-sharded shard_map suite

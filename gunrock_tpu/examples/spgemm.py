@@ -36,20 +36,17 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
         import jax.numpy as jnp
 
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph_a)
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            # distributed mode is structure analysis: nnz + checksum
-            # (materializing C across shards is a host concatenation the
-            # reference cannot do at all — advance.hxx rejects >1 GPU)
-            nnz, csum = sharded.spgemm_count(sg, graph_b, mesh)
-            times.append((_time.perf_counter() - t0) * 1e3)
+        # distributed mode is structure analysis: nnz + checksum
+        # (materializing C across shards is a host concatenation the
+        # reference cannot do at all — advance.hxx rejects >1 GPU)
+        times, (nnz, csum) = runner.timed_runs(
+            params.num_runs, lambda: sharded.spgemm_count(sg, graph_b, mesh)
+        )
         e = jnp.zeros(0)
         result = spgemm.Result(
             row_indices=e.astype(jnp.int32), col_indices=e.astype(jnp.int32),

@@ -23,15 +23,12 @@ def main(argv=None):
     times = []
     result = None
     if mesh is not None:
-        import time as _time
-
         from gunrock_tpu.parallel import sharded
 
         sg = build_sharded(graph)
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            y = sharded.spmv(sg, x, mesh)
-            times.append((_time.perf_counter() - t0) * 1e3)
+        times, y = runner.timed_runs(
+            params.num_runs, lambda: sharded.spmv(sg, x, mesh)
+        )
         result = spmv.Result(y=y, elapsed_ms=times[-1])
     else:
         for _ in range(params.num_runs):

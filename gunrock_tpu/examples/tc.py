@@ -25,17 +25,12 @@ def main(argv=None):
     result = None
     mesh, build_sharded = runner.maybe_mesh(params)
     if mesh is not None:
-        import time as _time
-
-        import numpy as _np
-
         from gunrock_tpu.parallel import sharded
 
-        for _ in range(params.num_runs):
-            t0 = _time.perf_counter()
-            # ring-rotation sharded DAG: per-device residency 2E/n
-            counts, total = sharded.tc_ring(graph, mesh)
-            times.append((_time.perf_counter() - t0) * 1e3)
+        # ring-rotation sharded DAG: per-device residency 2E/n
+        times, (counts, total) = runner.timed_runs(
+            params.num_runs, lambda: sharded.tc_ring(graph, mesh)
+        )
         total = int(total)
         result = tc.Result(vertex_triangles_count=counts,
                            total_triangles_count=total,

@@ -210,16 +210,28 @@ def sbm_coo(
     vid_of = np.empty(n, np.int64)
     vid_of[order] = np.arange(n)
     members = [np.where(block == b)[0] for b in range(n_blocks)]
-    src_b = rng.integers(0, n_blocks, m, dtype=np.int64)
+    # an empty block (possible at small n / many blocks) cannot host
+    # endpoints: remap its draws to block 0 (never empty after the
+    # fallback below) instead of crashing rng.integers(high=0)
+    if members[0].size == 0:
+        members[0] = np.asarray([0], np.int64)
+    occupied = np.asarray(
+        [b if members[b].size else 0 for b in range(n_blocks)], np.int64
+    )
+    src_b = occupied[rng.integers(0, n_blocks, m, dtype=np.int64)]
     cross = rng.random(m) < mixing
-    dst_b = np.where(cross, rng.integers(0, n_blocks, m, dtype=np.int64), src_b)
+    dst_b = np.where(
+        cross, occupied[rng.integers(0, n_blocks, m, dtype=np.int64)], src_b
+    )
     rows = np.empty(m, np.int64)
     cols = np.empty(m, np.int64)
     for b in range(n_blocks):
         sm = src_b == b
-        rows[sm] = members[b][rng.integers(0, len(members[b]), int(sm.sum()))]
+        if sm.any():
+            rows[sm] = members[b][rng.integers(0, len(members[b]), int(sm.sum()))]
         dm = dst_b == b
-        cols[dm] = members[b][rng.integers(0, len(members[b]), int(dm.sum()))]
+        if dm.any():
+            cols[dm] = members[b][rng.integers(0, len(members[b]), int(dm.sum()))]
     rows, cols = vid_of[rows], vid_of[cols]
     rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
     rows, cols = _dedup_coo(rows, cols, n)

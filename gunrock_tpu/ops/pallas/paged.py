@@ -240,9 +240,15 @@ def _make_paged_sparse_kernel(semiring: str, S: int, C: int, PAGE: int):
         def _():
             start(0, 0)
 
-        @pl.when((j + 1 < PAGE) & (meta_ref[j + 1, 4] == 1))
+        # `&` does not short-circuit and pl.when predicates are built
+        # eagerly: the meta row index must be clamped or j == PAGE-1
+        # reads SMEM row PAGE (undefined on real Mosaic; interpret mode
+        # clamps and hides it — code-review round-3 finding)
+        jn = jnp.minimum(j + 1, PAGE - 1)
+
+        @pl.when((j + 1 < PAGE) & (meta_ref[jn, 4] == 1))
         def _():
-            start(j + 1, (j + 1) % 2)
+            start(jn, (j + 1) % 2)
 
         active = meta_ref[j, 4] == 1
 

@@ -272,7 +272,7 @@ def test_example_driver_distributed(algo, extra, capsys):
         ("spgemm", ["--validate"]),
     ],
 )
-def test_example_driver_distributed(algo, extra, capsys):
+def test_example_driver_distributed_round3(algo, extra, capsys):
     """--devices 8: every CLI rides the vertex-sharded shard_map suite on
     the virtual mesh (round 3 — previously only bfs/sssp/pr/spmv had the
     flag wired; the reference rejects >1 GPU outright, advance.hxx:129)."""
