@@ -233,3 +233,74 @@ def test_fuzz_mst_pr(seed):
         )
         assert np.isfinite(p).all() and (p >= 0).all(), (seed, lb)
         assert abs(p.sum() - 1.0) < 1e-3, (seed, lb)
+
+
+@pytest.mark.parametrize("seed", range(210, 216))
+def test_fuzz_paged_kernels(seed):
+    """Paged-metadata kernels vs scipy on odd shapes (self loops,
+    isolated blocks, stars): dense and frontier-sparse, plus_times and
+    min_plus, at a tiny window/page so every boundary case (partial
+    pages, single-chunk runs, empty row blocks) is exercised."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.paged import (build_paged_layout,
+                                              paged_semiring_spmv,
+                                              paged_semiring_spmv_sparse)
+    from gunrock_tpu.ops.pallas.semiring import _BIG
+
+    g, sp_mat = _odd_graph(seed)
+    rng = np.random.default_rng(seed)
+    rows = hostcache.host(g, "edge_src")
+    cols = hostcache.host(g, "col_indices")
+    vals = hostcache.host(g, "values")
+    x = rng.random(g.n_vertices).astype(np.float32)
+    Ad = np.asarray(sp_mat.todense())
+
+    lay = build_paged_layout(rows, cols, vals, g.n_vertices,
+                             window=128, chunk=256, page=4)
+    y = np.asarray(paged_semiring_spmv(lay, jnp.asarray(x), "plus_times",
+                                       interpret=True))
+    np.testing.assert_allclose(y, Ad @ x, rtol=1e-4, atol=1e-5)
+
+    act = rng.random(g.n_vertices) < 0.4
+    xs = np.where(act, x, 0.0).astype(np.float32)
+    ys = np.asarray(paged_semiring_spmv_sparse(
+        lay, jnp.asarray(xs), jnp.asarray(act), "plus_times",
+        interpret=True))
+    np.testing.assert_allclose(ys, Ad @ xs, rtol=1e-4, atol=1e-5)
+
+    layb = build_paged_layout(rows, cols, vals, g.n_vertices,
+                              window=128, chunk=256, page=4,
+                              pad_value=_BIG)
+    xm = np.where(act, x, _BIG).astype(np.float32)
+    ym = np.asarray(paged_semiring_spmv_sparse(
+        layb, jnp.asarray(xm), jnp.asarray(act), "min_plus",
+        interpret=True))
+    w = np.full(g.n_vertices, np.inf)
+    for r in range(g.n_vertices):
+        nz = Ad[r] != 0
+        if nz.any():
+            w[r] = (Ad[r][nz] + xm[nz]).min()
+    w = np.where(w >= _BIG, np.inf, w)
+    assert (np.isinf(ym) == np.isinf(w)).all()
+    m = ~np.isinf(w)
+    np.testing.assert_allclose(ym[m], w[m], rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(220, 226))
+def test_fuzz_async_sweeps(seed):
+    """Async Gauss-Seidel sweeps vs oracles on odd shapes, both
+    orderings and odd block counts."""
+    import scipy.sparse.csgraph as csg
+
+    from gunrock_tpu.examples import cpu_reference as cr
+    from gunrock_tpu.experimental.async_sweep import bfs_async, sssp_async
+
+    g, sp_mat = _odd_graph(seed)
+    nb = int(np.random.default_rng(seed).integers(1, 17))
+    d, _, _ = sssp_async(g, 0, n_blocks=nb)
+    want = csg.dijkstra(sp_mat, indices=0)
+    np.testing.assert_allclose(np.asarray(d), want, rtol=1e-5, atol=1e-5)
+    dep, _, _ = bfs_async(g, 0, n_blocks=nb, ordering="rcm")
+    np.testing.assert_array_equal(np.asarray(dep), np.asarray(cr.bfs(g, 0)))
