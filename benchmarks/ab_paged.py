@@ -29,7 +29,7 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("variant", choices=("paged", "smem"))
+    p.add_argument("variant", choices=("paged", "smem", "paged-spmm", "smem-spmm"))
     p.add_argument("--scale", type=int, default=20)
     p.add_argument("--edge_factor", type=int, default=16)
     p.add_argument("--window", type=int, default=0, help="0 = auto")
@@ -37,6 +37,7 @@ def main(argv=None):
     p.add_argument("--page", type=int, default=512)
     p.add_argument("--degsort", action="store_true")
     p.add_argument("--semiring", default="plus_times")
+    p.add_argument("--k", type=int, default=32, help="SpMM batch width")
     p.add_argument("--iters", type=int, default=8)
     ns = p.parse_args(argv)
 
@@ -63,7 +64,40 @@ def main(argv=None):
     )
     force_real_execution()
 
-    if ns.variant == "paged":
+    if ns.variant.endswith("spmm"):
+        import jax.numpy as _jnp
+
+        x = _jnp.asarray(np.random.default_rng(0).random(
+            (g.n_vertices, ns.k)).astype(np.float32))
+    if ns.variant == "paged-spmm":
+        from gunrock_tpu.ops.pallas.paged import build_paged_layout, paged_spmm
+
+        if ns.window == 0:
+            ns.window = 2048
+        t0 = time.perf_counter()
+        lay = build_paged_layout(rows, cols, vals, g.n_vertices,
+                                 window=ns.window, chunk=ns.chunk,
+                                 page=ns.page)
+        build_s = time.perf_counter() - t0
+        fn = lambda xx: paged_spmm(lay, xx, interpret=interp)
+        n_chunks = lay.n_chunks
+        W = ns.window
+    elif ns.variant == "smem-spmm":
+        from gunrock_tpu.ops.pallas.layout import (build_auto_layout,
+                                                   build_bucketed_layout)
+        from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+        t0 = time.perf_counter()
+        if ns.window:
+            lay = build_bucketed_layout(rows, cols, vals, g.n_vertices,
+                                        window=ns.window, chunk=ns.chunk)
+        else:
+            lay = build_auto_layout(rows, cols, vals, g.n_vertices)
+        build_s = time.perf_counter() - t0
+        fn = lambda xx: bucketed_spmm(lay, xx, interpret=interp)
+        n_chunks = lay.n_chunks
+        W = lay.window
+    elif ns.variant == "paged":
         from gunrock_tpu.ops.pallas.paged import (build_paged_layout,
                                                   paged_semiring_spmv)
 

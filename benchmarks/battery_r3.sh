@@ -59,3 +59,10 @@ GUNROCK_PAGED_META=1 run python benchmarks/big_scale.py --algo bfs --scale 22 --
 run python -m gunrock_tpu.examples.sssp --market datasets/grid64.mtx --src 0 --mode async --validate
 run python benchmarks/ab_async.py --side 512
 run python benchmarks/ab_async.py --side 2048
+
+# 9. Paged SpMM: the batch family at paged scale (msbfs/bc_batch/
+#    pr_batch dense passes). K=32 A/B vs the SMEM SpMM at s18/s20.
+run python benchmarks/ab_paged.py paged-spmm --scale 18 --window 2048 --degsort
+run python benchmarks/ab_paged.py smem-spmm  --scale 18 --degsort
+run python benchmarks/ab_paged.py paged-spmm --scale 20 --window 2048 --degsort --iters 3
+run python benchmarks/ab_paged.py smem-spmm  --scale 20 --degsort --iters 3

@@ -467,3 +467,129 @@ def paged_semiring_spmv(
     if semiring == "min_plus":
         y = jnp.where(y >= _BIG, jnp.inf, y)
     return y
+
+
+def _make_paged_spmm_kernel(S: int, C: int, PAGE: int, K: int, exact: bool):
+    """Dense paged SpMM kernel: same page/run structure as
+    _make_paged_kernel, but the one-hot masks are bf16 MXU matmuls
+    against all K columns (spmm._make_kernel math) and the x window /
+    accumulator carry a K axis. ``exact``: single bf16 x operand
+    (bf16-exact small integers); else hi+lo split recovers f32."""
+    W = S * 128
+    n_x = 1 if exact else 2
+
+    def kernel(meta_ref, rc_ref, val_ref, x_any, y_any, xbuf, acc, xsem,
+               ysem):
+        j = pl.program_id(1)
+
+        def x_dma(jj, slot):
+            return pltpu.make_async_copy(
+                x_any.at[meta_ref[jj, 1]], xbuf.at[slot], xsem.at[slot]
+            )
+
+        @pl.when(j == 0)
+        def _():
+            x_dma(0, 0).start()
+
+        jn = jnp.minimum(j + 1, PAGE - 1)
+
+        @pl.when(j + 1 < PAGE)
+        def _():
+            x_dma(jn, (j + 1) % 2).start()
+
+        rb = meta_ref[j, 0]
+        first = meta_ref[j, 2]
+        last = meta_ref[j, 3]
+
+        @pl.when(first == 1)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        x_dma(j, j % 2).wait()
+
+        row = rc_ref[0, 0, :]
+        col = rc_ref[0, 1, :]
+        val = val_ref[0, 0, :]
+        lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+        col_mask = (col[:, None] == lanes_cw).astype(jnp.bfloat16)
+        xw = xbuf[j % 2]  # (n_x, W, K) bf16
+        xg = jnp.dot(col_mask, xw[0], preferred_element_type=jnp.float32)
+        if not exact:
+            xg = xg + jnp.dot(col_mask, xw[1],
+                              preferred_element_type=jnp.float32)
+        msg = xg * val[:, None]  # [C, K] f32
+        lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+        row_mask_t = (row[None, :] == lanes_wc).astype(jnp.bfloat16)
+        mh = msg.astype(jnp.bfloat16)
+        y_add = jnp.dot(row_mask_t, mh, preferred_element_type=jnp.float32)
+        if not exact:
+            ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+            y_add = y_add + jnp.dot(row_mask_t, ml,
+                                    preferred_element_type=jnp.float32)
+        acc[...] = acc[...] + y_add
+
+        @pl.when(last == 1)
+        def _():
+            w = pltpu.make_async_copy(acc, y_any.at[rb], ysem)
+            w.start()
+            w.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+def paged_spmm(
+    layout: PagedEdges,
+    x: jax.Array,
+    interpret: bool = False,
+    exact: bool = False,
+):
+    """Dense Y = A.X over a PagedEdges layout — same contract as
+    spmm.bucketed_spmm (plus_times, K columns on the MXU)."""
+    from gunrock_tpu.ops.pallas.spmm import _split_bf16
+
+    W, C, PAGE = layout.window, layout.chunk, layout.page
+    S = W // 128
+    V = layout.n_vertices
+    K = x.shape[1]
+    x_pad = jnp.zeros((layout.n_col_blocks * W, K), jnp.float32).at[:V].set(x)
+    if exact:
+        x3 = x_pad.astype(jnp.bfloat16).reshape(
+            layout.n_col_blocks, 1, W, K
+        )
+    else:
+        xh, xl = _split_bf16(x_pad)
+        x3 = jnp.stack(
+            [xh.reshape(layout.n_col_blocks, W, K),
+             xl.reshape(layout.n_col_blocks, W, K)], axis=1
+        )
+    n_x = 1 if exact else 2
+
+    y3 = pl.pallas_call(
+        _make_paged_spmm_kernel(S, C, PAGE, K, exact),
+        out_shape=jax.ShapeDtypeStruct(
+            (layout.n_row_blocks, W, K), jnp.float32
+        ),
+        grid=(layout.n_pages, PAGE),
+        in_specs=[
+            pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, C), lambda i, j: (i * PAGE + j, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i, j: (i * PAGE + j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_x, W, K), jnp.bfloat16),  # x double buffer
+            pltpu.VMEM((W, K), jnp.float32),  # rb-run accumulator
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(layout.meta, layout.rowcol, layout.values, x3)
+    y3 = jnp.where(layout.rb_occupied[:, None, None], y3, 0.0)
+    return y3.reshape(-1, K)[:V]

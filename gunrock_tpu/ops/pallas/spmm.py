@@ -88,14 +88,10 @@ def bucketed_spmm(layout: BucketedEdges, x: jax.Array, interpret: bool = False,
     ``exact=True``: x values are bf16-exact small integers (|x| <= 256,
     integral — e.g. BFS reachability one-hots), skipping the hi+lo
     split."""
-    from gunrock_tpu.ops.pallas.paged import PagedEdges
+    from gunrock_tpu.ops.pallas.paged import PagedEdges, paged_spmm
 
     if isinstance(layout, PagedEdges):
-        raise NotImplementedError(
-            "bucketed_spmm has no paged-metadata variant yet — build the "
-            "batch layout with GUNROCK_PAGED_META unset (the SpMM K-axis "
-            "amortizes the larger window the SMEM path escalates to)"
-        )
+        return paged_spmm(layout, x, interpret=interpret, exact=exact)
     W, C = layout.window, layout.chunk
     n_chunks = layout.n_chunks
     V = layout.n_vertices

@@ -606,3 +606,34 @@ def test_paged_layout_through_algorithms():
     swant = csg.dijkstra(A, indices=0)
     np.testing.assert_allclose(np.asarray(sdist), swant, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_paged_spmm_matches_smem_spmm():
+    """Dense paged SpMM == the scalar-prefetch SpMM bit-for-bit (same
+    bf16 MXU math, metadata paged) in both hi/lo and exact modes, and
+    bucketed_spmm dispatches PagedEdges transparently."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.paged import build_paged_layout
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+
+    g, A = random_graph(None, n=700, p=0.02, weighted=True, seed_offset=90)
+    rows = hostcache.host(g, "edge_src")
+    cols = hostcache.host(g, "col_indices")
+    vals = hostcache.host(g, "values")
+    play = build_paged_layout(rows, cols, vals, g.n_vertices,
+                              window=128, chunk=256, page=8)
+    slay = build_bucketed_layout(rows, cols, vals, g.n_vertices,
+                                 window=128, chunk=256)
+    rng = np.random.default_rng(2)
+    for exact, X in (
+        (False, rng.random((g.n_vertices, 8)).astype(np.float32)),
+        (True, rng.integers(0, 2, (g.n_vertices, 8)).astype(np.float32)),
+    ):
+        Yp = np.asarray(bucketed_spmm(play, jnp.asarray(X), interpret=True,
+                                      exact=exact))
+        Ys = np.asarray(bucketed_spmm(slay, jnp.asarray(X), interpret=True,
+                                      exact=exact))
+        np.testing.assert_array_equal(Yp, Ys)
