@@ -593,3 +593,172 @@ def paged_spmm(
     )(layout.meta, layout.rowcol, layout.values, x3)
     y3 = jnp.where(layout.rb_occupied[:, None, None], y3, 0.0)
     return y3.reshape(-1, K)[:V]
+
+
+def _make_paged_spmm_sparse_kernel(S: int, C: int, PAGE: int, K: int,
+                                   exact: bool):
+    """Frontier-sparse paged SpMM: _make_paged_sparse_kernel's structure
+    (device-computed permuted metadata, manual edge DMA, inert inactive
+    slots) with the K-column MXU math of _make_paged_spmm_kernel."""
+    W = S * 128
+    n_x = 1 if exact else 2
+
+    def kernel(meta_ref, rc_any, val_any, x_any, y_any, xbuf, ebuf, vbuf,
+               acc, xsem, esem, vsem, ysem):
+        j = pl.program_id(1)
+
+        def dmas(jj, slot):
+            return (
+                pltpu.make_async_copy(
+                    x_any.at[meta_ref[jj, 1]], xbuf.at[slot], xsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    rc_any.at[meta_ref[jj, 5]], ebuf.at[slot], esem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    val_any.at[meta_ref[jj, 5]], vbuf.at[slot], vsem.at[slot]
+                ),
+            )
+
+        def start(jj, slot):
+            a, b, c = dmas(jj, slot)
+            a.start()
+            b.start()
+            c.start()
+
+        @pl.when((j == 0) & (meta_ref[0, 4] == 1))
+        def _():
+            start(0, 0)
+
+        jn = jnp.minimum(j + 1, PAGE - 1)
+
+        @pl.when((j + 1 < PAGE) & (meta_ref[jn, 4] == 1))
+        def _():
+            start(jn, (j + 1) % 2)
+
+        active = meta_ref[j, 4] == 1
+
+        @pl.when(active & (meta_ref[j, 2] == 1))
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        @pl.when(active)
+        def _():
+            a, b, c = dmas(j, j % 2)
+            a.wait()
+            b.wait()
+            c.wait()
+            row = ebuf[j % 2, 0, :]
+            col = ebuf[j % 2, 1, :]
+            val = vbuf[j % 2, 0, :]
+            lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+            col_mask = (col[:, None] == lanes_cw).astype(jnp.bfloat16)
+            xw = xbuf[j % 2]  # (n_x, W, K) bf16
+            xg = jnp.dot(col_mask, xw[0],
+                         preferred_element_type=jnp.float32)
+            if not exact:
+                xg = xg + jnp.dot(col_mask, xw[1],
+                                  preferred_element_type=jnp.float32)
+            msg = xg * val[:, None]
+            lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+            row_mask_t = (row[None, :] == lanes_wc).astype(jnp.bfloat16)
+            mh = msg.astype(jnp.bfloat16)
+            y_add = jnp.dot(row_mask_t, mh,
+                            preferred_element_type=jnp.float32)
+            if not exact:
+                ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+                y_add = y_add + jnp.dot(row_mask_t, ml,
+                                        preferred_element_type=jnp.float32)
+            acc[...] = acc[...] + y_add
+
+        @pl.when(active & (meta_ref[j, 3] == 1))
+        def _():
+            w = pltpu.make_async_copy(acc, y_any.at[meta_ref[j, 0]], ysem)
+            w.start()
+            w.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+def paged_spmm_sparse(
+    layout: PagedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+    exact: bool = False,
+):
+    """Frontier-sparse Y = A.X over a PagedEdges layout — same contract
+    as spmm.bucketed_spmm_sparse."""
+    from gunrock_tpu.ops.pallas.semiring import _TAIL_GRIDS
+    from gunrock_tpu.ops.pallas.spmm import _split_bf16
+
+    W, C, PAGE = layout.window, layout.chunk, layout.page
+    S = W // 128
+    V = layout.n_vertices
+    K = x.shape[1]
+    if layout.n_chunks == 0:
+        return jnp.zeros((V, K), jnp.float32)
+
+    meta, count, rb_touched = _sparse_meta(layout, active, out_mask)
+    x_pad = jnp.zeros((layout.n_col_blocks * W, K), jnp.float32).at[:V].set(x)
+    if exact:
+        x3 = x_pad.astype(jnp.bfloat16).reshape(
+            layout.n_col_blocks, 1, W, K
+        )
+    else:
+        xh, xl = _split_bf16(x_pad)
+        x3 = jnp.stack(
+            [xh.reshape(layout.n_col_blocks, W, K),
+             xl.reshape(layout.n_col_blocks, W, K)], axis=1
+        )
+    n_x = 1 if exact else 2
+
+    def call(n_pages):
+        return pl.pallas_call(
+            _make_paged_spmm_sparse_kernel(S, C, PAGE, K, exact),
+            out_shape=jax.ShapeDtypeStruct(
+                (layout.n_row_blocks, W, K), jnp.float32
+            ),
+            grid=(n_pages, PAGE),
+            in_specs=[
+                pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_x, W, K), jnp.bfloat16),
+                pltpu.VMEM((2, 2, C), jnp.int32),
+                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((W, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                has_side_effects=True,
+            ),
+            interpret=interpret,
+        )(meta, layout.rowcol, layout.values, x3)
+
+    n_pages = layout.n_pages
+    grids = sorted({max(1, n_pages // g) for g in _TAIL_GRIDS} | {n_pages})
+    pages_needed = (count + PAGE - 1) // PAGE
+
+    def dispatch(idx):
+        if idx == len(grids) - 1:
+            return lambda: call(grids[idx])
+        return lambda: jax.lax.cond(
+            pages_needed <= grids[idx], lambda: call(grids[idx]),
+            dispatch(idx + 1),
+        )
+
+    y3 = dispatch(0)()
+    y3 = jnp.where(rb_touched[:, None, None], y3, 0.0)
+    return y3.reshape(-1, K)[:V]

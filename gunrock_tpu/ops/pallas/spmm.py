@@ -204,13 +204,11 @@ def bucketed_spmm_sparse(
     Collapsed frontiers run on a smaller compiled grid (see
     semiring._tail_grid_dispatch), cutting the per-call floor of
     iterating 10k+ predicated-off slots."""
-    from gunrock_tpu.ops.pallas.paged import PagedEdges
+    from gunrock_tpu.ops.pallas.paged import PagedEdges, paged_spmm_sparse
 
     if isinstance(layout, PagedEdges):
-        raise NotImplementedError(
-            "bucketed_spmm_sparse has no paged-metadata variant yet — "
-            "build the batch layout with GUNROCK_PAGED_META unset"
-        )
+        return paged_spmm_sparse(layout, x, active, interpret=interpret,
+                                 out_mask=out_mask, exact=exact)
     from gunrock_tpu.ops.pallas.semiring import _sparse_chunk_select
 
     W, C = layout.window, layout.chunk

@@ -637,3 +637,40 @@ def test_paged_spmm_matches_smem_spmm():
         Ys = np.asarray(bucketed_spmm(slay, jnp.asarray(X), interpret=True,
                                       exact=exact))
         np.testing.assert_array_equal(Yp, Ys)
+
+
+def test_paged_spmm_sparse_matches_smem():
+    """Frontier-sparse paged SpMM == the scalar-prefetch sparse SpMM
+    bit-for-bit (both modes, with and without out_mask) through the
+    bucketed_spmm_sparse type dispatch."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.paged import build_paged_layout
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm_sparse
+
+    g, A = random_graph(None, n=700, p=0.02, weighted=True, seed_offset=90)
+    rows = hostcache.host(g, "edge_src")
+    cols = hostcache.host(g, "col_indices")
+    vals = hostcache.host(g, "values")
+    play = build_paged_layout(rows, cols, vals, g.n_vertices,
+                              window=128, chunk=256, page=8)
+    slay = build_bucketed_layout(rows, cols, vals, g.n_vertices,
+                                 window=128, chunk=256)
+    rng = np.random.default_rng(3)
+    act = rng.random(g.n_vertices) < 0.3
+    om = rng.random(g.n_vertices) < 0.5
+    for exact in (False, True):
+        X = (rng.integers(0, 2, (g.n_vertices, 8)) if exact
+             else rng.random((g.n_vertices, 8))).astype(np.float32)
+        X = np.where(act[:, None], X, 0.0).astype(np.float32)
+        for kw in ({}, {"out_mask": jnp.asarray(om)}):
+            Yp = np.asarray(bucketed_spmm_sparse(
+                play, jnp.asarray(X), jnp.asarray(act), interpret=True,
+                exact=exact, **kw))
+            Ys = np.asarray(bucketed_spmm_sparse(
+                slay, jnp.asarray(X), jnp.asarray(act), interpret=True,
+                exact=exact, **kw))
+            rows_cmp = om if kw else np.ones(g.n_vertices, bool)
+            np.testing.assert_array_equal(Yp[rows_cmp], Ys[rows_cmp])
