@@ -113,9 +113,13 @@ def bc_run(graph, single_source, options=None):
     return _bc.run(graph, single_source, options=options)
 
 
-def pr_run(graph, alpha=0.85, tol=1e-6, options=None):
+def pr_run(graph, alpha=0.85, tol=1e-6, options=None, alphas=None):
+    """``alphas=[...]`` runs the batched multi-damping sweep
+    (pr.run_batch — one [V, K] kernel for all K dampings)."""
     from gunrock_tpu.algorithms import pr as _pr
 
+    if alphas is not None:
+        return _pr.run_batch(graph, alphas, tol=tol, options=options)
     return _pr.run(graph, alpha=alpha, tol=tol, options=options)
 
 

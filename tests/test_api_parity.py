@@ -45,6 +45,13 @@ def test_run_wrappers_exist():
     ):
         assert callable(getattr(gunrock_tpu, name))
 
+    # pr_run grows the batched multi-damping sweep (round 3)
+    from gunrock_tpu.io.sample import graph as sample_graph
+
+    g = sample_graph()
+    b = gunrock_tpu.pr_run(g, alphas=[0.8, 0.9], tol=1e-6)
+    assert np.asarray(b.p).shape == (g.n_vertices, 2)
+
 
 def test_device_properties_and_launch_params():
     from gunrock_tpu.device import get_device_properties, launch_params
