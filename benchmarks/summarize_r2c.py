@@ -25,6 +25,8 @@ def main():
                 continue
             key = (
                 row.get("metric")
+                or (row["ab"] + ":" + row.get("variant", "")
+                    if "ab" in row else None)
                 or row.get("probe")
                 or row.get("algo")
                 or row.get("algorithm")
