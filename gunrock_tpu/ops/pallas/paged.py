@@ -762,3 +762,167 @@ def paged_spmm_sparse(
     y3 = dispatch(0)()
     y3 = jnp.where(rb_touched[:, None, None], y3, 0.0)
     return y3.reshape(-1, K)[:V]
+
+
+def _make_paged_minmax_kernel(S: int, C: int, PAGE: int):
+    """Fused max/positives-min sparse paged kernel (Luby coloring's
+    paired neighbor scan — semiring._sparse_minmax_kernel's math over
+    the paged sparse structure; two accumulators, two outputs)."""
+    W = S * 128
+
+    def kernel(meta_ref, rc_any, val_any, x_any, ymax_any, ymin_any,
+               xbuf, ebuf, vbuf, accx, accn, xsem, esem, vsem, ysem):
+        j = pl.program_id(1)
+
+        def dmas(jj, slot):
+            return (
+                pltpu.make_async_copy(
+                    x_any.at[meta_ref[jj, 1]], xbuf.at[slot], xsem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    rc_any.at[meta_ref[jj, 5]], ebuf.at[slot], esem.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    val_any.at[meta_ref[jj, 5]], vbuf.at[slot], vsem.at[slot]
+                ),
+            )
+
+        def start(jj, slot):
+            a, b, c = dmas(jj, slot)
+            a.start()
+            b.start()
+            c.start()
+
+        @pl.when((j == 0) & (meta_ref[0, 4] == 1))
+        def _():
+            start(0, 0)
+
+        jn = jnp.minimum(j + 1, PAGE - 1)
+
+        @pl.when((j + 1 < PAGE) & (meta_ref[jn, 4] == 1))
+        def _():
+            start(jn, (j + 1) % 2)
+
+        active = meta_ref[j, 4] == 1
+
+        @pl.when(active & (meta_ref[j, 2] == 1))
+        def _():
+            accx[...] = jnp.zeros_like(accx)
+            accn[...] = jnp.full_like(accn, _BIG)
+
+        @pl.when(active)
+        def _():
+            a, b, c = dmas(j, j % 2)
+            a.wait()
+            b.wait()
+            c.wait()
+            row = ebuf[j % 2, 0, :]
+            col = ebuf[j % 2, 1, :]
+            val = vbuf[j % 2, 0, :]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
+            xw = xbuf[j % 2].reshape(1, W)
+            xg = jnp.sum(jnp.where(col[:, None] == lanes, xw, 0.0), axis=1)
+            msg = val * xg
+            onehot = row[:, None] == lanes
+            scat_max = jnp.where(onehot, msg[:, None], 0.0)
+            accx[...] = jnp.maximum(
+                accx[...], jnp.max(scat_max, axis=0).reshape(S, 128)
+            )
+            msgm = jnp.where(msg > 0.0, msg, _BIG)
+            scat_min = jnp.where(onehot, msgm[:, None], _BIG)
+            accn[...] = jnp.minimum(
+                accn[...], jnp.min(scat_min, axis=0).reshape(S, 128)
+            )
+
+        @pl.when(active & (meta_ref[j, 3] == 1))
+        def _():
+            rb = meta_ref[j, 0]
+            w1 = pltpu.make_async_copy(accx, ymax_any.at[rb], ysem)
+            w1.start()
+            w1.wait()
+            w2 = pltpu.make_async_copy(accn, ymin_any.at[rb], ysem)
+            w2.start()
+            w2.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_semiring_spmv_sparse_minmax(
+    layout: PagedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+):
+    """Fused (y_max, y_min) over a PagedEdges layout — same contract as
+    semiring.bucketed_semiring_spmv_sparse_minmax."""
+    from gunrock_tpu.ops.pallas.semiring import _TAIL_GRIDS
+
+    W, C, PAGE = layout.window, layout.chunk, layout.page
+    S = W // 128
+    V = layout.n_vertices
+    if layout.n_chunks == 0:
+        return jnp.zeros(V, jnp.float32), jnp.full(V, _BIG, jnp.float32)
+
+    meta, count, rb_touched = _sparse_meta(layout, active, out_mask)
+    x_pad = jnp.full(layout.n_col_blocks * W, 0.0, jnp.float32).at[:V].set(x)
+    x3 = x_pad.reshape(layout.n_col_blocks, S, 128)
+
+    def call(n_pages):
+        return pl.pallas_call(
+            _make_paged_minmax_kernel(S, C, PAGE),
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (layout.n_row_blocks, S, 128), jnp.float32
+                ),
+                jax.ShapeDtypeStruct(
+                    (layout.n_row_blocks, S, 128), jnp.float32
+                ),
+            ),
+            grid=(n_pages, PAGE),
+            in_specs=[
+                pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, S, 128), jnp.float32),
+                pltpu.VMEM((2, 2, C), jnp.int32),
+                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((S, 128), jnp.float32),
+                pltpu.VMEM((S, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                has_side_effects=True,
+            ),
+            interpret=interpret,
+        )(meta, layout.rowcol, layout.values, x3)
+
+    n_pages = layout.n_pages
+    grids = sorted({max(1, n_pages // g) for g in _TAIL_GRIDS} | {n_pages})
+    pages_needed = (count + PAGE - 1) // PAGE
+
+    def dispatch(idx):
+        if idx == len(grids) - 1:
+            return lambda: call(grids[idx])
+        return lambda: jax.lax.cond(
+            pages_needed <= grids[idx], lambda: call(grids[idx]),
+            dispatch(idx + 1),
+        )
+
+    ymax3, ymin3 = dispatch(0)()
+    ymax3 = jnp.where(rb_touched[:, None, None], ymax3, 0.0)
+    ymin3 = jnp.where(rb_touched[:, None, None], ymin3, _BIG)
+    return ymax3.reshape(-1)[:V], ymin3.reshape(-1)[:V]

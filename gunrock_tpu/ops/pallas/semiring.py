@@ -644,16 +644,12 @@ def bucketed_semiring_spmv_sparse_minmax(
     val*x[col_e]) with the same chunk-skipping contract as
     :func:`bucketed_semiring_spmv_sparse`. ``y_min`` rows with no positive
     contribution return ``_BIG``. Requires x >= 0 (0 = inactive)."""
-    from gunrock_tpu.ops.pallas.paged import PagedEdges
+    from gunrock_tpu.ops.pallas.paged import (
+        PagedEdges, paged_semiring_spmv_sparse_minmax)
 
     if isinstance(layout, PagedEdges):
-        # Luby coloring's fused pass has no paged variant; run two
-        # paged passes (max_times + positives-min via min_plus on
-        # log-transformed values would change semantics) — callers at
-        # paged scale should use strategy="rank"/"greedy" instead.
-        raise NotImplementedError(
-            "sparse_minmax has no paged-metadata variant — use coloring "
-            "strategy 'rank' or 'greedy' on paged layouts"
+        return paged_semiring_spmv_sparse_minmax(
+            layout, x, active, interpret=interpret, out_mask=out_mask
         )
     W = layout.window
     S = W // 128

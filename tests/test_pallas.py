@@ -674,3 +674,38 @@ def test_paged_spmm_sparse_matches_smem():
                 exact=exact, **kw))
             rows_cmp = om if kw else np.ones(g.n_vertices, bool)
             np.testing.assert_array_equal(Yp[rows_cmp], Ys[rows_cmp])
+
+
+def test_paged_minmax_matches_smem():
+    """Fused max/positives-min paged kernel == the scalar-prefetch
+    minmax bit-for-bit (Luby coloring's pass — the last paged twin)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.graph import hostcache
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+    from gunrock_tpu.ops.pallas.paged import build_paged_layout
+    from gunrock_tpu.ops.pallas.semiring import (
+        bucketed_semiring_spmv_sparse_minmax)
+
+    g, A = random_graph(None, n=700, p=0.02, weighted=True, seed_offset=90)
+    rows = hostcache.host(g, "edge_src")
+    cols = hostcache.host(g, "col_indices")
+    vals = hostcache.host(g, "values")
+    play = build_paged_layout(rows, cols, vals, g.n_vertices,
+                              window=128, chunk=256, page=8)
+    slay = build_bucketed_layout(rows, cols, vals, g.n_vertices,
+                                 window=128, chunk=256)
+    rng = np.random.default_rng(4)
+    act = rng.random(g.n_vertices) < 0.35
+    x = np.where(act, rng.random(g.n_vertices) + 0.1, 0.0).astype(np.float32)
+    om = rng.random(g.n_vertices) < 0.5
+    for kw in ({}, {"out_mask": jnp.asarray(om)}):
+        mp = bucketed_semiring_spmv_sparse_minmax(
+            play, jnp.asarray(x), jnp.asarray(act), interpret=True, **kw)
+        ms = bucketed_semiring_spmv_sparse_minmax(
+            slay, jnp.asarray(x), jnp.asarray(act), interpret=True, **kw)
+        sel = om if kw else np.ones(g.n_vertices, bool)
+        np.testing.assert_array_equal(np.asarray(mp[0])[sel],
+                                      np.asarray(ms[0])[sel])
+        np.testing.assert_array_equal(np.asarray(mp[1])[sel],
+                                      np.asarray(ms[1])[sel])
