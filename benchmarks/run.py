@@ -104,13 +104,22 @@ def bench_one(algo: str, graph, ns):
             times.append(res.elapsed_ms)
         edges = graph.n_edges * int(res.iterations)
         extra["colors"] = int(np.asarray(res.colors).max()) + 1
-        extra["strategy"] = ns.color_strategy
+        if ns.color_strategy == "auto":
+            # record the strategy "auto" resolved to (mirrors color.run)
+            from gunrock_tpu.ops.configs import default_options
+
+            o = opt or default_options()
+            pallas = o.load_balance == LoadBalance.PALLAS_MERGE_PATH
+            extra["strategy"] = "greedy" if pallas else "luby"
+        else:
+            extra["strategy"] = ns.color_strategy
     elif algo == "kcore":
         for _ in range(ns.num_runs):
             res = A.kcore.run(graph, options=opt)
             times.append(res.elapsed_ms)
         edges = graph.n_edges
         extra["degeneracy"] = res.degeneracy
+        extra["rounds"] = res.rounds
     elif algo == "tc":
         for _ in range(ns.num_runs):
             res = A.tc.run(graph, options=opt)
@@ -179,8 +188,10 @@ def main(argv=None):
     p.add_argument("--reorder", default="none", choices=("none", "degree"),
                    help="hub-first degree-sort relabeling before benching "
                    "(graph/reorder.py)")
-    p.add_argument("--color_strategy", default="luby", choices=("luby", "rank", "greedy"),
-                   help="coloring strategy (rank = multi-color rank JP)")
+    p.add_argument("--color_strategy", default="auto",
+                   choices=("auto", "luby", "rank", "greedy"),
+                   help="coloring strategy (auto = greedy on Pallas / "
+                   "luby on XLA; rank = multi-color rank JP)")
     p.add_argument("--isolate", dest="isolate", action="store_true", default=True,
                    help="one subprocess per algorithm (default)")
     p.add_argument("--no-isolate", dest="isolate", action="store_false")

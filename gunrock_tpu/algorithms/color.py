@@ -679,24 +679,29 @@ def run(
     options: Options | None = None,
     warmup: bool = True,
     ordering: str = "random",
-    strategy: str = "luby",
+    strategy: str = "auto",
 ) -> Result:
     """Role of reference ``color::run`` (color.hxx:167-186).
 
-    ``strategy``: "luby" (reference parity — 2 colors/round via max+min
-    independent sets), "rank" (multi-color rank JP: ~4x fewer rounds
-    for ~1.35x more colors; see color_kernel_rank), or "greedy"
-    (speculative windowed-mex greedy: ~10x fewer heavy passes AND ~6-8x
-    fewer colors than rank; see color_kernel_greedy_pallas). NOTE: the
-    Pallas rank/greedy paths bake static inverse-vertex-id priorities
-    into the layout (that staticness IS the speedup) — they therefore
-    ignore ``seed`` and ``ordering``; relabel the graph
-    (graph/reorder.py) to change them."""
+    ``strategy``: "auto" (default — resolves to "greedy" on the Pallas
+    path, the measured Pareto winner on chip: s18 degsort 3.12 s/128
+    colors vs rank 4.66 s/1176 and Luby 23.2 s/929; resolves to "luby"
+    on the XLA path for reference parity), "luby" (reference parity —
+    2 colors/round via max+min independent sets), "rank" (multi-color
+    rank JP: ~4x fewer rounds for ~1.35x more colors; see
+    color_kernel_rank), or "greedy" (speculative windowed-mex greedy:
+    ~10x fewer heavy passes AND ~6-8x fewer colors than rank; see
+    color_kernel_greedy_pallas). NOTE: the Pallas rank/greedy paths bake
+    static inverse-vertex-id priorities into the layout (that staticness
+    IS the speedup) — they therefore ignore ``seed`` and ``ordering``;
+    relabel the graph (graph/reorder.py) to change them."""
     from gunrock_tpu.ops.configs import LoadBalance, default_options
 
     if options is None:
         options = default_options()
     pallas = options.load_balance == LoadBalance.PALLAS_MERGE_PATH
+    if strategy == "auto":
+        strategy = "greedy" if pallas else "luby"
     rank = None
     if pallas:
         from gunrock_tpu.ops.pallas import use_interpret

@@ -46,6 +46,7 @@ class Result:
     k_cores: jax.Array  # int32[V]
     degeneracy: int
     elapsed_ms: float
+    rounds: int = 0  # while_loop iterations (peel waves + k-jumps)
 
 
 def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
@@ -78,11 +79,11 @@ def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
             return seg_count_sorted(peel[graph.csc_rows], graph.csc_offsets)
 
     def cond(carry):
-        k, deg, deleted, cores = carry
+        k, deg, deleted, cores, rounds = carry
         return ~jnp.all(deleted)
 
     def body(carry):
-        k, deg, deleted, cores = carry
+        k, deg, deleted, cores, rounds = carry
         peel = (~deleted) & (deg <= k)
         any_peel = jnp.any(peel)
         cores = jnp.where(peel, k, cores)
@@ -100,9 +101,9 @@ def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
         # degree > k — jump straight to the smallest one.
         min_remaining = jnp.min(jnp.where(deleted, _BIG_DEG, deg))
         k = jnp.where(any_peel, k, jnp.maximum(k + 1, min_remaining))
-        return k, deg, deleted, cores
+        return k, deg, deleted, cores, rounds + 1
 
-    k, _, _, cores = jax.lax.while_loop(
+    k, _, _, cores, rounds = jax.lax.while_loop(
         cond,
         body,
         (
@@ -110,9 +111,10 @@ def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
             deg0,
             jnp.zeros(V, dtype=bool),
             jnp.zeros(V, dtype=jnp.int32),
+            jnp.int32(0),
         ),
     )
-    return cores, jnp.max(cores)
+    return cores, jnp.max(cores), rounds
 
 
 def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Result:
@@ -158,6 +160,7 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
     if warmup:
         jax.block_until_ready(fn(graph, layout))
     t0 = time.perf_counter()
-    cores, k = jax.block_until_ready(fn(graph, layout))
+    cores, k, rounds = jax.block_until_ready(fn(graph, layout))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
-    return Result(k_cores=cores, degeneracy=int(k), elapsed_ms=elapsed_ms)
+    return Result(k_cores=cores, degeneracy=int(k), elapsed_ms=elapsed_ms,
+                  rounds=int(rounds))

@@ -15,12 +15,14 @@ def main(argv=None):
     params = parse(
         "color", argv,
         extra_args=[
-            (("--strategy",), dict(default="luby",
-             choices=("luby", "rank", "greedy"),
-             help="luby = reference-parity 2-colors/round; rank = "
-             "multi-color rank JP (~4x fewer rounds, ~1.35x more colors); "
-             "greedy = speculative windowed-mex (fewest passes AND "
-             "fewest colors; deterministic)")),
+            (("--strategy",), dict(default="auto",
+             choices=("auto", "luby", "rank", "greedy"),
+             help="auto = greedy on the Pallas path (measured Pareto "
+             "winner), luby on XLA; luby = reference-parity "
+             "2-colors/round; rank = multi-color rank JP (~4x fewer "
+             "rounds, ~1.35x more colors); greedy = speculative "
+             "windowed-mex (fewest passes AND fewest colors; "
+             "deterministic)")),
         ],
     )
     graph, _ = runner.load(params)
@@ -33,7 +35,9 @@ def main(argv=None):
 
         sg = build_sharded(graph)
         for i in range(params.num_runs):
-            if params.extra.strategy == "greedy":
+            # auto resolves to greedy here: sharded.color_greedy is
+            # bit-identical to the single-chip Pareto winner
+            if params.extra.strategy in ("greedy", "auto"):
                 t, (cvec, rounds) = runner.timed_runs(
                     1, lambda: sharded.color_greedy(sg, mesh))
             else:

@@ -157,7 +157,7 @@ def test_color_rank_is_proper():
         g, sp_mat = random_graph(
             None, n=70, p=0.1, symmetric=symmetric, seed_offset=14
         )
-        luby = color.run(g, warmup=False)
+        luby = color.run(g, warmup=False, strategy="luby")
         for lb in (LoadBalance.XLA_SEGMENT, LoadBalance.PALLAS_MERGE_PATH):
             res = color.run(
                 g, options=Options(load_balance=lb), warmup=False,
@@ -192,7 +192,7 @@ def test_color_greedy_is_proper():
         g, sp_mat = random_graph(
             None, n=70, p=0.1, symmetric=symmetric, seed_offset=14
         )
-        luby = color.run(g, warmup=False)
+        luby = color.run(g, warmup=False, strategy="luby")
         got = {}
         for lb in (LoadBalance.XLA_SEGMENT, LoadBalance.PALLAS_MERGE_PATH):
             res = color.run(

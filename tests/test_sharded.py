@@ -133,7 +133,7 @@ def test_sharded_kcore_self_loops(mesh):
     g, _ = _odd_graph(104)  # contains self loops + isolated vertices
     sg = partition_sharded(g, N_DEV, mesh, use_halo=False)
     cores, degen = sharded.kcore(sg, mesh)
-    want, want_degen = kcore_kernel(g)
+    want, want_degen, _ = kcore_kernel(g)
     assert (np.asarray(cores) == np.asarray(want)).all()
     assert degen == int(want_degen)
 
