@@ -60,7 +60,7 @@ def main():
                 "variant": ns.variant,
                 "scale": ns.scale,
                 "reorder": ns.reorder,
-                "block_rows": ns.block_rows or 128,
+                "block_rows": ns.block_rows or 256,
                 "elapsed_ms": round(res.elapsed_ms, 1),
                 "nnz": res.nnz,
                 "checksum": float(res.values[0]),

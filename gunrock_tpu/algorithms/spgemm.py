@@ -118,7 +118,7 @@ def spgemm_kernel(
     # lexicographic sort by (i, j)
     from gunrock_tpu.ops.sort import lex_sort
 
-    i_s, j_s, v_s = lex_sort((i, j, v), num_keys=2)
+    i_s, j_s, v_s = lex_sort((i, j, v), num_keys=2, two_pass=True)
 
     # contract equal (i, j) runs
     first = jnp.concatenate(
@@ -196,7 +196,7 @@ def _block_kernel(
         # cost)
         from gunrock_tpu.ops.sort import lex_sort
 
-        i_s, j_s = lex_sort((i, j), num_keys=2)
+        i_s, j_s = lex_sort((i, j), num_keys=2, two_pass=True)
         first = jnp.concatenate(
             [jnp.ones(1, bool), (i_s[1:] != i_s[:-1]) | (j_s[1:] != j_s[:-1])]
         )
@@ -204,7 +204,7 @@ def _block_kernel(
         return n_runs, jnp.sum(v)
     from gunrock_tpu.ops.sort import lex_sort
 
-    i_s, j_s, v_s = lex_sort((i, j, v), num_keys=2)
+    i_s, j_s, v_s = lex_sort((i, j, v), num_keys=2, two_pass=True)
     first = jnp.concatenate(
         [jnp.ones(1, bool), (i_s[1:] != i_s[:-1]) | (j_s[1:] != j_s[:-1])]
     )
@@ -427,12 +427,15 @@ def _dense_block_kernel(
     return rows, cols, vals, nnz, checksum
 
 
+# block_rows=256 measured fastest at s16 (9.8 s vs 11.3 s at 128,
+# results_r2c.jsonl 2026-08-19): wider K amortizes the window one-hot
+# masks over more MXU columns before VMEM pressure bites.
 def _run_dense(
     A: Graph,
     B: Graph,
     count_only: bool,
     warmup: bool,
-    block_rows: int = 128,
+    block_rows: int = 256,
     block_cap: int = 4_000_000,
 ) -> Result:
     """Dense row-block SpGEMM (strategy="dense"). Cost is
@@ -608,16 +611,18 @@ def run(
     ``strategy="auto"``: picks by the cost-model crossover — ESC work
     scales with the partial-product count (sort + per-product ops),
     dense with (V_A/128) passes over E_B. Dense is chosen when
-    products > K * (V_A/128) * E_B with K = GUNROCK_SPGEMM_AUTO_K
-    (default 4 — ESC's per-product constant vs the SpMM per-edge-pass
-    constant; calibrated by benchmarks/ab_spgemm.py on chip)."""
+    products > K * (V_A/128) * E_B with K = GUNROCK_SPGEMM_AUTO_K.
+    K calibrated on chip (results_r2c.jsonl 2026-08-19, s16 rmat ef16:
+    ESC 49.5 s / 401.8M products = 123 ns/product; dense 9.8 s /
+    488.9M edge-passes = 20 ns — crossover at products = 0.16 x
+    dense_work), so K defaults to 0.16."""
     del options
     if strategy == "auto":
         import os
 
         from gunrock_tpu.graph import hostcache
 
-        k = float(os.environ.get("GUNROCK_SPGEMM_AUTO_K", "4"))
+        k = float(os.environ.get("GUNROCK_SPGEMM_AUTO_K", "0.16"))
         deg_b_auto = np.diff(hostcache.host(B, "row_offsets")).astype(np.int64)
         products = int(deg_b_auto[hostcache.host(A, "col_indices")].sum())
         dense_work = (-(-A.n_vertices // 128)) * max(B.n_edges, 1)

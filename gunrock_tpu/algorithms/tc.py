@@ -203,7 +203,7 @@ def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     tag = jnp.concatenate([jnp.zeros(E, jnp.int32), wu + 1])
     from gunrock_tpu.ops.sort import lex_sort
 
-    a_s, bt_s, tag_s = lex_sort((a, bt, tag), num_keys=2)
+    a_s, bt_s, tag_s = lex_sort((a, bt, tag), num_keys=2, two_pass=False)
     b_s = bt_s >> 1
     e_s = jnp.where((bt_s & 1) == 0, 1, 0)
     u_s = tag_s - 1
@@ -253,7 +253,7 @@ def tc_total_sortjoin(eu, ev, wv, ww, wu):
     bt = jnp.concatenate([ev * 2, ww * 2 + 1])
     from gunrock_tpu.ops.sort import lex_sort
 
-    a_s, bt_s = lex_sort((a, bt), num_keys=2)
+    a_s, bt_s = lex_sort((a, bt), num_keys=2, two_pass=False)
     b_s = bt_s >> 1
     e_s = jnp.where((bt_s & 1) == 0, 1, 0)
     is_start = jnp.concatenate(

@@ -3,11 +3,16 @@ radix_sort.hxx + stable_sort.hxx — thrust radix/stable wrappers; here
 ``lax.sort`` is the primitive and the strategy knob picks HOW a
 lexicographic 2-key sort is lowered).
 
-GUNROCK_LEX2PASS=1 selects the 2-pass stable-radix form: sort by the
-minor key, then STABLE-sort by the major key — two 1-key sorts can beat
-one 2-key sort when per-key comparator cost dominates (the open question
-benchmarks/probe_sort.py measures on chip). Resolved at trace time; A/B
-between settings = separate processes, like all axon benchmarking.
+GUNROCK_LEX2PASS=1/0 selects the 2-pass stable-radix form globally:
+sort by the minor key, then STABLE-sort by the major key — two 1-key
+sorts can beat one 2-key sort when per-key comparator cost dominates.
+Measured on chip (results_r2c.jsonl 2026-08-19): it depends on the
+workload — SpGEMM ESC's (row, col, val) sort wins 1.34x (37.0 vs
+49.5 s s16 end-to-end) while TC's packed join sort loses 1.7x (348 vs
+205 ms) and isolated throughput loses (82-105 vs 201-230 Melem/s) —
+so call sites pass their measured winner via ``two_pass`` and the env
+var only overrides for A/B (separate processes, like all axon
+benchmarking).
 """
 
 from __future__ import annotations
@@ -17,10 +22,18 @@ import os
 import jax
 
 
-def lex_sort(operands: tuple, num_keys: int = 2):
+def lex_sort(operands: tuple, num_keys: int = 2, two_pass: bool | None = None):
     """Lexicographic sort of ``operands`` by its first ``num_keys``
-    entries (the rest are payload). Same contract as ``jax.lax.sort``."""
-    if num_keys == 2 and os.environ.get("GUNROCK_LEX2PASS") == "1":
+    entries (the rest are payload). Same contract as ``jax.lax.sort``.
+    ``two_pass``: None = GUNROCK_LEX2PASS env knob (default off);
+    True/False = the call site's measured winner (env still overrides
+    when set, so batteries can A/B without code edits)."""
+    env = os.environ.get("GUNROCK_LEX2PASS")
+    if env is not None:
+        two_pass = env == "1"
+    elif two_pass is None:
+        two_pass = False
+    if num_keys == 2 and two_pass:
         k0, k1, *rest = operands
         k1s, k0s, *rests = jax.lax.sort(
             (k1, k0, *rest), num_keys=1, is_stable=True
