@@ -96,6 +96,25 @@ def test_sort_and_search_support():
     )
     np.testing.assert_array_equal(np.asarray(b), [3, 9, 1, 2])
 
+    # the two lex_sort lowerings (one 2-key sort vs two stable 1-key
+    # passes) must agree — call sites pin their measured winner via
+    # two_pass, so both paths are live in production
+    from gunrock_tpu.ops.sort import lex_sort
+
+    rng = np.random.default_rng(7)
+    i = jnp.asarray(rng.integers(0, 50, 300), jnp.int32)
+    j = jnp.asarray(rng.integers(0, 50, 300), jnp.int32)
+    p = jnp.asarray(np.arange(300), jnp.int32)  # distinct payload ties
+    one = [np.asarray(x) for x in lex_sort((i, j, p), num_keys=2, two_pass=False)]
+    two = [np.asarray(x) for x in lex_sort((i, j, p), num_keys=2, two_pass=True)]
+    for a2, b2 in zip(one[:2], two[:2]):
+        np.testing.assert_array_equal(a2, b2)
+    # payload order may differ only within exact (i, j) duplicates —
+    # both must still be valid lexicographic sorts of the triples
+    trip = sorted(zip(*[np.asarray(x).tolist() for x in (i, j, p)]))
+    assert sorted(zip(*[x.tolist() for x in one])) == trip
+    assert sorted(zip(*[x.tolist() for x in two])) == trip
+
     arr = jnp.asarray([1, 3, 5, 7, 9], jnp.int32)
     assert int(binary_search(arr, 5)) == 2
     assert int(bounded_binary_search(arr, 5, jnp.int32(0), jnp.int32(5))) == 2
