@@ -185,12 +185,17 @@ def build_auto_layout(
     under a random vertex permutation the saturated bucket grid forces
     W=4096. Estimation is one bincount, so the real build happens once.
 
-    GUNROCK_PAGED_META=1: when the chunk count at W=2048 exceeds the
-    SMEM budget, build a paged-metadata layout (ops/pallas/paged.py) at
-    W=2048 instead of doubling W — the per-edge one-hot cost is frag*W,
-    so above ~s21 paging is worth ~2-4x per dense pass (docs/design.md
-    §12; chip A/B in benchmarks/ab_paged.py). Off by default until
-    Mosaic-validated on hardware."""
+    When the chunk count at W=2048 exceeds the SMEM budget, build a
+    paged-metadata layout (ops/pallas/paged.py) at W=2048 instead of
+    doubling W — the per-edge one-hot cost is frag*W, so paging wins
+    above ~s21. Default ON since the 2026-08-19 chip battery
+    (results_r3.jsonl): at equal W the manual-DMA paged kernel matches
+    SMEM prefetch within 2% (s20 degsort 160.0 vs 157.5 ms/pass), and
+    at s22 the SMEM variant cannot compile AT ALL (W=16384 dense pass =
+    VMEM OOM, 128.35M/128M register spills) while paged W=4096 runs
+    958 ms/pass. GUNROCK_PAGED_META=0 restores the W-doubling
+    fallback. Layouts at or under the budget are unaffected (paging
+    never engages there)."""
     import os
 
     if interpret:
@@ -200,7 +205,7 @@ def build_auto_layout(
         )
     W, C = 2048, 256
     if (
-        os.environ.get("GUNROCK_PAGED_META") == "1"
+        os.environ.get("GUNROCK_PAGED_META", "1") == "1"
         and estimate_chunks(rows, cols, n_vertices, W, C) > max_chunks
     ):
         from gunrock_tpu.ops.pallas.paged import build_paged_layout

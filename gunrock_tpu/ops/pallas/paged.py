@@ -552,23 +552,33 @@ def paged_spmm(
     S = W // 128
     V = layout.n_vertices
     K = x.shape[1]
-    x_pad = jnp.zeros((layout.n_col_blocks * W, K), jnp.float32).at[:V].set(x)
+    # Manual DMAs (x windows in, acc->y out) slice the trailing K axis;
+    # Mosaic requires those slices 128-lane-aligned (real-chip compile
+    # error 2026-08-19: "Slice shape along dimension 3 must be aligned
+    # to tiling (128), but is 32"). The (8,128) tiled layout lane-pads
+    # K physically anyway, so padding K up to 128 moves the same bytes
+    # the hardware always would — zero real cost, and the MXU contracts
+    # 128-wide regardless.
+    Kp = -(-K // 128) * 128
+    x_pad = jnp.zeros(
+        (layout.n_col_blocks * W, Kp), jnp.float32
+    ).at[:V, :K].set(x)
     if exact:
         x3 = x_pad.astype(jnp.bfloat16).reshape(
-            layout.n_col_blocks, 1, W, K
+            layout.n_col_blocks, 1, W, Kp
         )
     else:
         xh, xl = _split_bf16(x_pad)
         x3 = jnp.stack(
-            [xh.reshape(layout.n_col_blocks, W, K),
-             xl.reshape(layout.n_col_blocks, W, K)], axis=1
+            [xh.reshape(layout.n_col_blocks, W, Kp),
+             xl.reshape(layout.n_col_blocks, W, Kp)], axis=1
         )
     n_x = 1 if exact else 2
 
     y3 = pl.pallas_call(
-        _make_paged_spmm_kernel(S, C, PAGE, K, exact),
+        _make_paged_spmm_kernel(S, C, PAGE, Kp, exact),
         out_shape=jax.ShapeDtypeStruct(
-            (layout.n_row_blocks, W, K), jnp.float32
+            (layout.n_row_blocks, W, Kp), jnp.float32
         ),
         grid=(layout.n_pages, PAGE),
         in_specs=[
@@ -580,8 +590,8 @@ def paged_spmm(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, n_x, W, K), jnp.bfloat16),  # x double buffer
-            pltpu.VMEM((W, K), jnp.float32),  # rb-run accumulator
+            pltpu.VMEM((2, n_x, W, Kp), jnp.bfloat16),  # x double buffer
+            pltpu.VMEM((W, Kp), jnp.float32),  # rb-run accumulator
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -592,7 +602,7 @@ def paged_spmm(
         interpret=interpret,
     )(layout.meta, layout.rowcol, layout.values, x3)
     y3 = jnp.where(layout.rb_occupied[:, None, None], y3, 0.0)
-    return y3.reshape(-1, K)[:V]
+    return y3.reshape(-1, Kp)[:V, :K]
 
 
 def _make_paged_spmm_sparse_kernel(S: int, C: int, PAGE: int, K: int,
@@ -702,24 +712,30 @@ def paged_spmm_sparse(
         return jnp.zeros((V, K), jnp.float32)
 
     meta, count, rb_touched = _sparse_meta(layout, active, out_mask)
-    x_pad = jnp.zeros((layout.n_col_blocks * W, K), jnp.float32).at[:V].set(x)
+    # K padded to a 128-lane multiple: manual x/y DMAs must slice
+    # tile-aligned trailing dims (same real-chip Mosaic constraint as
+    # paged_spmm above; the tiled layout pads the lanes anyway)
+    Kp = -(-K // 128) * 128
+    x_pad = jnp.zeros(
+        (layout.n_col_blocks * W, Kp), jnp.float32
+    ).at[:V, :K].set(x)
     if exact:
         x3 = x_pad.astype(jnp.bfloat16).reshape(
-            layout.n_col_blocks, 1, W, K
+            layout.n_col_blocks, 1, W, Kp
         )
     else:
         xh, xl = _split_bf16(x_pad)
         x3 = jnp.stack(
-            [xh.reshape(layout.n_col_blocks, W, K),
-             xl.reshape(layout.n_col_blocks, W, K)], axis=1
+            [xh.reshape(layout.n_col_blocks, W, Kp),
+             xl.reshape(layout.n_col_blocks, W, Kp)], axis=1
         )
     n_x = 1 if exact else 2
 
     def call(n_pages):
         return pl.pallas_call(
-            _make_paged_spmm_sparse_kernel(S, C, PAGE, K, exact),
+            _make_paged_spmm_sparse_kernel(S, C, PAGE, Kp, exact),
             out_shape=jax.ShapeDtypeStruct(
-                (layout.n_row_blocks, W, K), jnp.float32
+                (layout.n_row_blocks, W, Kp), jnp.float32
             ),
             grid=(n_pages, PAGE),
             in_specs=[
@@ -731,10 +747,10 @@ def paged_spmm_sparse(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, n_x, W, K), jnp.bfloat16),
+                pltpu.VMEM((2, n_x, W, Kp), jnp.bfloat16),
                 pltpu.VMEM((2, 2, C), jnp.int32),
                 pltpu.VMEM((2, 1, C), jnp.float32),
-                pltpu.VMEM((W, K), jnp.float32),
+                pltpu.VMEM((W, Kp), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -761,7 +777,7 @@ def paged_spmm_sparse(
 
     y3 = dispatch(0)()
     y3 = jnp.where(rb_touched[:, None, None], y3, 0.0)
-    return y3.reshape(-1, K)[:V]
+    return y3.reshape(-1, Kp)[:V, :K]
 
 
 def _make_paged_minmax_kernel(S: int, C: int, PAGE: int):
