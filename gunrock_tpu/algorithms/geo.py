@@ -79,7 +79,12 @@ def midpoint(lat1, lon1, lat2, lon2):
 def _seg_sum(vals, seg, n):
     """Exact per-segment sums via scatter (NOT the cumsum difference:
     coordinate sums build ~1e8-magnitude prefixes over millions of edges,
-    whose f32 ulp is degrees-scale — unacceptable for geolocation)."""
+    whose f32 ulp is degrees-scale — unacceptable for geolocation).
+
+    ``vals`` may be [E] or [E, K]: scatter/gather on this chip serialize
+    at ~0.1 Gelem/s PER INDEX, so K quantities scattered as one [E, K]
+    row-update cost one index op instead of K (measured ~3x on the
+    Weiszfeld step, results_r3b)."""
     return jax.ops.segment_sum(vals, seg, num_segments=n, indices_are_sorted=True)
 
 
@@ -103,8 +108,27 @@ def geo_kernel(
         it, lat, lon = c
         labeled = ~jnp.isnan(lat)
         nb_ok = labeled[dst]
-        n_valid = _seg_sum(nb_ok.astype(jnp.int32), src, V)
         unl = ~labeled
+
+        # Loop-invariant per-edge neighbor coordinates, gathered ONCE per
+        # outer iteration as a [E, 2] row gather (one index op per edge
+        # instead of two), masked to 0 where the neighbor is unlabeled
+        # (every consumer below already multiplies by an nb_ok-derived
+        # factor, and masking keeps neighbor NaNs out of the arithmetic).
+        nbco = jnp.stack([lat, lon], axis=1)[dst]
+        mlat = jnp.where(nb_ok, nbco[:, 0], 0.0)
+        mlon = jnp.where(nb_ok, nbco[:, 1], 0.0)
+
+        # n_valid + mean of valid neighbors (start of the spatial median)
+        # in one [E, 3] scatter. Counts in f32: exact while max degree
+        # < 2^24.
+        base = _seg_sum(
+            jnp.stack([nb_ok.astype(jnp.float32), mlat, mlon], axis=1),
+            src, V,
+        )
+        n_valid = base[:, 0]
+        denom = jnp.maximum(n_valid, 1.0)
+        y_lat, y_lon = base[:, 1] / denom, base[:, 2] / denom
 
         # first/second valid neighbor per vertex (for the 1- and 2-cases):
         # min/max valid edge id via cumsum trick on monotone masks is not
@@ -117,29 +141,42 @@ def geo_kernel(
         n2_lat, n2_lon = lat[dst[le]], lon[dst[le]]
         mid_lat, mid_lon = midpoint(n1_lat, n1_lon, n2_lat, n2_lon)
 
-        # mean of valid neighbors (start of the spatial median)
-        sum_lat = _seg_sum(jnp.where(nb_ok, lat[dst], 0.0), src, V)
-        sum_lon = _seg_sum(jnp.where(nb_ok, lon[dst], 0.0), src, V)
-        denom = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
-        y_lat, y_lon = sum_lat / denom, sum_lon / denom
-
         # Weiszfeld under haversine, all vertices in lockstep
-        # (reference geo.hxx:139-238).
-        def wstep(_, s):
-            y_lat, y_lon, out_lat, out_lon, done = s
-            d = haversine(lat[dst], lon[dst], y_lat[src], y_lon[src])
-            dinv = jnp.where(nb_ok & (d != 0), 1.0 / jnp.maximum(d, 1e-30), 0.0)
-            nonzeros = _seg_sum((nb_ok & (d != 0)).astype(jnp.int32), src, V)
-            dinvs = _seg_sum(dinv, src, V)
+        # (reference geo.hxx:139-238). The reference breaks its serial
+        # per-vertex loop on convergence; here the while_loop exits when
+        # EVERY median-needing vertex has converged — on power-law inputs
+        # that is tens of steps, not the 1000-step worst case, and a
+        # single device execution at spatial_iterations=1000 over E~1M
+        # exceeds the tunnel's RPC deadline (the round-3 "geo fault").
+        def wcond(s):
+            i, *_, done = s
+            return (i < spatial_iterations) & ~jnp.all(done)
+
+        def wstep(s):
+            i, y_lat, y_lon, out_lat, out_lon, done = s
+            yco = jnp.stack([y_lat, y_lon], axis=1)[src]  # [E,2] one gather
+            d = haversine(mlat, mlon, yco[:, 0], yco[:, 1])
+            ok = nb_ok & (d != 0)
+            dinv = jnp.where(ok, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+            # nonzero count + dinv sum + both weighted coordinate sums in
+            # one [E, 4] scatter (was 4 separate serialized scatters).
+            sums = _seg_sum(
+                jnp.stack(
+                    [ok.astype(jnp.float32), dinv, dinv * mlat, dinv * mlon],
+                    axis=1,
+                ),
+                src, V,
+            )
+            nonzeros, dinvs = sums[:, 0], sums[:, 1]
             dsafe = jnp.maximum(dinvs, 1e-30)
-            t_lat = _seg_sum(dinv * jnp.where(nb_ok, lat[dst], 0.0), src, V) / dsafe
-            t_lon = _seg_sum(dinv * jnp.where(nb_ok, lon[dst], 0.0), src, V) / dsafe
+            t_lat = sums[:, 2] / dsafe
+            t_lon = sums[:, 3] / dsafe
             num_zeros = n_valid - nonzeros
             all_zero = num_zeros == n_valid
             r_lat = (t_lat - y_lat) * dinvs
             r_lon = (t_lon - y_lon) * dinvs
             r = jnp.sqrt(r_lat**2 + r_lon**2)
-            rinv = jnp.where(r == 0, 0.0, num_zeros.astype(jnp.float32) / jnp.maximum(r, 1e-30))
+            rinv = jnp.where(r == 0, 0.0, num_zeros / jnp.maximum(r, 1e-30))
             y1_lat = jnp.where(
                 num_zeros == 0,
                 t_lat,
@@ -157,11 +194,15 @@ def geo_kernel(
             done = done | newly_done
             y_lat = jnp.where(done, y_lat, y1_lat)
             y_lon = jnp.where(done, y_lon, y1_lon)
-            return y_lat, y_lon, out_lat, out_lon, done
+            return i + 1, y_lat, y_lon, out_lat, out_lon, done
 
-        med0 = (y_lat, y_lon, y_lat, y_lon, jnp.zeros(V, bool))
-        my_lat, my_lon, out_lat, out_lon, done = jax.lax.fori_loop(
-            0, spatial_iterations, wstep, med0
+        # Vertices that will not take the median branch are "done" from
+        # step 0 so they cannot hold the early exit open; their med_* are
+        # discarded by the n_valid selection below either way.
+        needs_median = unl & (n_valid > 2)
+        med0 = (jnp.int32(0), y_lat, y_lon, y_lat, y_lon, ~needs_median)
+        _, my_lat, my_lon, out_lat, out_lon, done = jax.lax.while_loop(
+            wcond, wstep, med0
         )
         med_lat = jnp.where(done, out_lat, my_lat)
         med_lon = jnp.where(done, out_lon, my_lon)

@@ -590,12 +590,12 @@ def run(
     warmup: bool = True,
     block_products: int = 8_000_000,
     count_only: bool = False,
-    strategy: str = "esc",
+    strategy: str = "auto",
 ) -> Result:
     """Role of reference ``spgemm::run`` (spgemm.hxx:287-315): C = A.B over
     the CSR views of two graphs.
 
-    ``strategy="esc"`` (default): expand-sort-contract. Materializes
+    ``strategy="esc"``: expand-sort-contract. Materializes
     partial products; when the full expansion exceeds ``block_products``
     the multiply streams row-aligned blocks through a single fixed-shape
     executable (C rows from different blocks are disjoint, so per-block
@@ -608,7 +608,7 @@ def run(
     partial-product count; wins on power-law squares where
     products/E >> V/128 makes ESC sort/gather-bound (see _run_dense).
 
-    ``strategy="auto"``: picks by the cost-model crossover — ESC work
+    ``strategy="auto"`` (default): picks by the cost-model crossover — ESC work
     scales with the partial-product count (sort + per-product ops),
     dense with (V_A/128) passes over E_B. Dense is chosen when
     products > K * (V_A/128) * E_B with K = GUNROCK_SPGEMM_AUTO_K.
