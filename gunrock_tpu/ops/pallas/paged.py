@@ -340,7 +340,9 @@ def _sparse_meta(layout: PagedEdges, active, out_mask):
     return meta, count, rb_touched
 
 
-@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("semiring", "interpret", "tail_grids")
+)
 def paged_semiring_spmv_sparse(
     layout: PagedEdges,
     x: jax.Array,
@@ -348,6 +350,7 @@ def paged_semiring_spmv_sparse(
     semiring: str = "plus_times",
     interpret: bool = False,
     out_mask: jax.Array | None = None,
+    tail_grids: tuple[int, ...] | None = None,
 ):
     """Frontier-sparse paged advance — same contract as
     semiring.bucketed_semiring_spmv_sparse (chunks whose source window

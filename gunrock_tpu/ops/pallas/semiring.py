@@ -467,7 +467,9 @@ def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
     return ch_act, call_args, in_specs, out_block
 
 
-@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("semiring", "interpret", "tail_grids")
+)
 def bucketed_semiring_spmv_sparse(
     layout: BucketedEdges,
     x: jax.Array,
@@ -475,6 +477,7 @@ def bucketed_semiring_spmv_sparse(
     semiring: str = "plus_times",
     interpret: bool = False,
     out_mask: jax.Array | None = None,
+    tail_grids: tuple[int, ...] | None = None,
 ):
     """Frontier-sparse semiring advance: identical result contract to
     :func:`bucketed_semiring_spmv` given that inactive vertices of ``x``
@@ -495,7 +498,7 @@ def bucketed_semiring_spmv_sparse(
     if isinstance(layout, PagedEdges):
         return paged_semiring_spmv_sparse(
             layout, x, active, semiring, interpret=interpret,
-            out_mask=out_mask,
+            out_mask=out_mask, tail_grids=tail_grids,
         )
     W = layout.window
     S = W // 128
@@ -517,6 +520,7 @@ def bucketed_semiring_spmv_sparse(
         _make_sparse_kernel(semiring),
         jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
         in_specs, out_block, call_args, count, n_chunks, interpret,
+        tail_grids,
     )
     # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
     rb_touched = (
@@ -534,11 +538,16 @@ def bucketed_semiring_spmv_sparse(
 def _tail_grids_env():
     """Grid divisors for the collapsed-frontier dispatch, resolved at
     import (A/B between settings = separate processes, as all axon
-    benchmarking already is). GUNROCK_TAIL_GRIDS="" disables (single
-    full grid, the round-1 behavior); "8,64" is the default."""
+    benchmarking already is). Default OFF since the round-3 chip A/Bs
+    (results_r2c/r3b 2026-08-19): the lax.cond dispatch taxes every
+    call ~3-5% (BFS s18 75.2 vs 72.3 MTEPS, SSSP 106.6 vs 110.2 ms,
+    k-core s16 765 vs 801 ms) and only wave-heavy peels at scale win
+    (k-core s18 2916 vs 3433 ms = +15%) — so algorithms that profit opt
+    in per call via the ``tail_grids`` kwarg (k-core does, size-gated)
+    and GUNROCK_TAIL_GRIDS sets the process-wide default for A/Bs."""
     import os
 
-    raw = os.environ.get("GUNROCK_TAIL_GRIDS", "8,64").strip()
+    raw = os.environ.get("GUNROCK_TAIL_GRIDS", "").strip()
     if not raw or raw == "0":
         return ()
     return tuple(
@@ -551,7 +560,7 @@ _TAIL_GRIDS = _tail_grids_env()
 
 def _tail_grid_dispatch(
     kernel, out_shape, in_specs, out_specs, call_args, count, n_chunks,
-    interpret,
+    interpret, tail_grids=None,
 ):
     """Run ``kernel`` over the smallest compiled grid holding ``count``
     active chunks (nested lax.cond — the untaken branch genuinely does
@@ -573,7 +582,8 @@ def _tail_grid_dispatch(
             interpret=interpret,
         )(*call_args)
 
-    grids = sorted({max(1, n_chunks // g) for g in _TAIL_GRIDS} | {n_chunks})
+    tg = _TAIL_GRIDS if tail_grids is None else tail_grids
+    grids = sorted({max(1, n_chunks // g) for g in tg} | {n_chunks})
 
     def dispatch(idx):
         if idx == len(grids) - 1:
@@ -632,13 +642,14 @@ def _sparse_minmax_kernel():
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tail_grids"))
 def bucketed_semiring_spmv_sparse_minmax(
     layout: BucketedEdges,
     x: jax.Array,
     active: jax.Array,
     interpret: bool = False,
     out_mask: jax.Array | None = None,
+    tail_grids: tuple[int, ...] | None = None,
 ):
     """Fused (y_max, y_min) = (max_e val*x[col_e], min over POSITIVE
     val*x[col_e]) with the same chunk-skipping contract as
@@ -649,7 +660,8 @@ def bucketed_semiring_spmv_sparse_minmax(
 
     if isinstance(layout, PagedEdges):
         return paged_semiring_spmv_sparse_minmax(
-            layout, x, active, interpret=interpret, out_mask=out_mask
+            layout, x, active, interpret=interpret, out_mask=out_mask,
+            tail_grids=tail_grids,
         )
     W = layout.window
     S = W // 128
@@ -672,7 +684,7 @@ def bucketed_semiring_spmv_sparse_minmax(
             jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
         ),
         in_specs, (out_block, out_block), call_args, call_args[2][0],
-        n_chunks, interpret,
+        n_chunks, interpret, tail_grids,
     )
     rb_touched = (
         jnp.zeros(n_rb, bool)

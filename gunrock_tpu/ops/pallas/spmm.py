@@ -182,7 +182,9 @@ def _sparse_kernel(exact: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "exact", "tail_grids")
+)
 def bucketed_spmm_sparse(
     layout: BucketedEdges,
     x: jax.Array,
@@ -190,6 +192,7 @@ def bucketed_spmm_sparse(
     interpret: bool = False,
     out_mask: jax.Array | None = None,
     exact: bool = False,
+    tail_grids: tuple[int, ...] | None = None,
 ):
     """Frontier-sparse Y = A.X (plus_times): chunks whose source window
     has no ``active`` vertex — or, with ``out_mask``, whose dest window
@@ -208,7 +211,8 @@ def bucketed_spmm_sparse(
 
     if isinstance(layout, PagedEdges):
         return paged_spmm_sparse(layout, x, active, interpret=interpret,
-                                 out_mask=out_mask, exact=exact)
+                                 out_mask=out_mask, exact=exact,
+                                 tail_grids=tail_grids)
     from gunrock_tpu.ops.pallas.semiring import _sparse_chunk_select
 
     W, C = layout.window, layout.chunk
@@ -246,6 +250,7 @@ def bucketed_spmm_sparse(
         _sparse_kernel(exact),
         jax.ShapeDtypeStruct((n_rb, W, K), jnp.float32),
         in_specs, out_spec, call_args, count, n_chunks, interpret,
+        tail_grids,
     )
     # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
     rb_touched = (
