@@ -136,6 +136,11 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
         # unit-weight pull layout: count peeled in-neighbors per vertex
         # (the SAME per-graph cache entry bfs/bc/hits/ppr use)
         layout = pull_layout(graph, unit=True, interpret=interpret)
+        # size-gated tail-grid opt-in: peel waves collapse to a handful of
+        # chunks over hundreds of rounds, so the smaller precompiled grids
+        # pay for themselves only once the full grid is large (measured
+        # +15% at s18: 2916 vs 3433 ms, results_r2c battery)
+        tail_grids = (8, 64) if graph.n_vertices >= (1 << 18) else None
 
         def decrement_fn(peel, alive, lay):
             # doubly frontier-sparse: peel waves are tiny in most rounds
@@ -145,6 +150,7 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
             cnt = bucketed_semiring_spmv_sparse(
                 lay, peel.astype(jnp.float32), peel, "plus_times",
                 interpret=interpret, out_mask=alive,
+                tail_grids=tail_grids,
             )
             return jnp.round(cnt).astype(jnp.int32)
 
@@ -154,7 +160,7 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
 
     fn = cached_jit(
         ("kcore", options.load_balance,
-         None if decrement_fn is None else ("pallas", interpret)),
+         None if decrement_fn is None else ("pallas", interpret, tail_grids)),
         lambda: lambda g, lay: kcore_kernel(g, decrement_fn, layout=lay),
     )
     if warmup:

@@ -400,11 +400,13 @@ def paged_semiring_spmv_sparse(
             interpret=interpret,
         )(meta, layout.rowcol, layout.values, x3)
 
-    # tail-grid dispatch over PAGE granularity (semiring._TAIL_GRIDS)
+    # tail-grid dispatch over PAGE granularity (explicit kwarg wins,
+    # falling back to the module default semiring._TAIL_GRIDS)
     from gunrock_tpu.ops.pallas.semiring import _TAIL_GRIDS
 
+    tg = _TAIL_GRIDS if tail_grids is None else tail_grids
     n_pages = layout.n_pages
-    grids = sorted({max(1, n_pages // g) for g in _TAIL_GRIDS} | {n_pages})
+    grids = sorted({max(1, n_pages // g) for g in tg} | {n_pages})
     pages_needed = (count + PAGE - 1) // PAGE
 
     def dispatch(idx):
@@ -693,7 +695,9 @@ def _make_paged_spmm_sparse_kernel(S: int, C: int, PAGE: int, K: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "exact", "tail_grids")
+)
 def paged_spmm_sparse(
     layout: PagedEdges,
     x: jax.Array,
@@ -701,6 +705,7 @@ def paged_spmm_sparse(
     interpret: bool = False,
     out_mask: jax.Array | None = None,
     exact: bool = False,
+    tail_grids: tuple[int, ...] | None = None,
 ):
     """Frontier-sparse Y = A.X over a PagedEdges layout — same contract
     as spmm.bucketed_spmm_sparse."""
@@ -766,8 +771,9 @@ def paged_spmm_sparse(
             interpret=interpret,
         )(meta, layout.rowcol, layout.values, x3)
 
+    tg = _TAIL_GRIDS if tail_grids is None else tail_grids
     n_pages = layout.n_pages
-    grids = sorted({max(1, n_pages // g) for g in _TAIL_GRIDS} | {n_pages})
+    grids = sorted({max(1, n_pages // g) for g in tg} | {n_pages})
     pages_needed = (count + PAGE - 1) // PAGE
 
     def dispatch(idx):
@@ -866,13 +872,14 @@ def _make_paged_minmax_kernel(S: int, C: int, PAGE: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tail_grids"))
 def paged_semiring_spmv_sparse_minmax(
     layout: PagedEdges,
     x: jax.Array,
     active: jax.Array,
     interpret: bool = False,
     out_mask: jax.Array | None = None,
+    tail_grids: tuple[int, ...] | None = None,
 ):
     """Fused (y_max, y_min) over a PagedEdges layout — same contract as
     semiring.bucketed_semiring_spmv_sparse_minmax."""
@@ -929,8 +936,9 @@ def paged_semiring_spmv_sparse_minmax(
             interpret=interpret,
         )(meta, layout.rowcol, layout.values, x3)
 
+    tg = _TAIL_GRIDS if tail_grids is None else tail_grids
     n_pages = layout.n_pages
-    grids = sorted({max(1, n_pages // g) for g in _TAIL_GRIDS} | {n_pages})
+    grids = sorted({max(1, n_pages // g) for g in tg} | {n_pages})
     pages_needed = (count + PAGE - 1) // PAGE
 
     def dispatch(idx):
