@@ -26,6 +26,8 @@ def main():
     p.add_argument("--scale", type=int, default=18)
     p.add_argument("--num_runs", type=int, default=10)
     p.add_argument("--reorder", default="", choices=["", "degree"])
+    p.add_argument("--version", type=int, default=1)
+    p.add_argument("--semiring", default="plus_times")
     ns = p.parse_args()
 
     from gunrock_tpu.io.generators import rmat_graph
@@ -36,7 +38,9 @@ def main():
         from gunrock_tpu.graph.reorder import degree_sort
 
         graph, _ = degree_sort(graph)
-    layout = pull_layout(graph, window=ns.window, chunk=ns.chunk)
+    pad = float("inf") if ns.semiring == "min_plus" else 0.0
+    layout = pull_layout(graph, window=ns.window, chunk=ns.chunk,
+                         pad_value=pad)
 
     rng = np.random.default_rng(0)
     xs = [
@@ -44,7 +48,9 @@ def main():
         for _ in range(ns.num_runs)
     ]
     fn = jax.jit(
-        lambda x: bucketed_semiring_spmv(layout, x, "plus_times", interpret=False)
+        lambda x: bucketed_semiring_spmv(
+            layout, x, ns.semiring, interpret=False, version=ns.version
+        )
     )
     np.asarray(jax.block_until_ready(fn(xs[0])))  # compile + real-exec mode
 
@@ -56,6 +62,8 @@ def main():
     print(
         json.dumps(
             {
+                "version": ns.version,
+                "semiring": ns.semiring,
                 "window": ns.window,
                 "chunk": ns.chunk,
                 "scale": ns.scale,

@@ -246,19 +246,160 @@ def _make_kernel_v1(semiring: str):
     return kernel
 
 
-_KERNELS = {1: _make_kernel_v1, 2: _make_kernel_v2, 3: _make_kernel_v3}
+def _gather_window_dyn(x2, col2, S: int):
+    """xg tile = x2[col // 128, col % 128] via per-vreg dynamic gather.
+
+    jax 0.9 Mosaic lowers ``take_along_axis(a, i, axis=1)`` with
+    ``a.shape == i.shape`` to ``tpu.dynamic_gather`` — a 128-lane
+    hardware permute (one vreg per op; "Multiple source vregs along
+    gather dimension" is the documented limit, probed on chip in
+    benchmarks/probe_gather*.py). Gathering C window values therefore
+    costs ~3*S lane-ops/edge (S = W/128 broadcast+permute+select steps)
+    instead of the flat one-hot's ~3*W — a ~128x reduction of the
+    round-3 compare-op wall (VERDICT weak #2). Edges ride as
+    [C//128, 128] tiles end to end (in-kernel [C] <-> [Cr, 128]
+    reshapes are Mosaic "unsupported shape cast"s — the HOST reshapes
+    the metadata blocks instead)."""
+    Cr = col2.shape[0]
+    hi = col2 // 128
+    lo = col2 - hi * 128
+    acc = jnp.zeros((Cr, 128), jnp.float32)
+    for s in range(S):
+        g = jnp.take_along_axis(
+            jnp.broadcast_to(x2[s][None, :], (Cr, 128)), lo, axis=1
+        )
+        acc = g if S == 1 else jnp.where(hi == s, g, acc)
+    return acc
+
+
+def _scatter_window(row2, msg2, y_ref, semiring: str, S: int, mxu: bool):
+    """y_window (r)= msg by local row id — shared one-hot scatter tail.
+
+    ``row2``/``msg2`` arrive as [Cr, 128] tiles; each tile row (128
+    edges) scatters separately (static unroll keeps every slice a
+    natural 1-D lane vector — no shape casts).
+
+    ``mxu=False``: the v1 flat [128, W] compare/select/reduce (~3*W
+    lane-ops/edge, works for any semiring). ``mxu=True`` (plus_times
+    only): lo-level one-hot expand [128, 128] then hi-level one-hot
+    matmul on the MXU (~2*128 lane-ops/edge + [S,128]x[128,128]
+    matmuls); bf16 hi+lo split keeps ~f32 accuracy."""
+    ident, _ = _SEMIRINGS[semiring]
+    W = S * 128
+    Cr = row2.shape[0]
+    if mxu and semiring == "plus_times":
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0)
+        # batch the per-tile [S,128]x[128,128] matmuls into ONE
+        # [S, C]x[C, 128] pair: sublane-concat of the lo one-hots is a
+        # register relabel, and one big contraction amortizes MXU
+        # latency over the whole chunk
+        scats = []
+        hi_ts = []
+        for cr in range(Cr):
+            row = row2[cr]
+            msg = msg2[cr]
+            rhi = row // 128
+            rlo = row - rhi * 128
+            scats.append(
+                jnp.where(rlo[:, None] == lo_iota, msg[:, None], 0.0)
+            )
+            hi_ts.append((rhi[None, :] == s_iota).astype(jnp.bfloat16))
+        lo_scat = scats[0] if Cr == 1 else jnp.concatenate(scats, axis=0)
+        hi_t = hi_ts[0] if Cr == 1 else jnp.concatenate(hi_ts, axis=1)
+        mh, ml = _split_bf16(lo_scat)
+        y_add = jnp.dot(
+            hi_t, mh, preferred_element_type=jnp.float32
+        ) + jnp.dot(hi_t, ml, preferred_element_type=jnp.float32)
+        y_ref[0] = y_ref[0] + y_add
+        return
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+    parts = []
+    for cr in range(Cr):
+        scat = jnp.where(
+            row2[cr][:, None] == lanes, msg2[cr][:, None], ident
+        )
+        if semiring == "min_plus":
+            parts.append(jnp.min(scat, axis=0).reshape(S, 128))
+        elif semiring == "max_times":
+            parts.append(jnp.max(scat, axis=0).reshape(S, 128))
+        else:
+            parts.append(jnp.sum(scat, axis=0).reshape(S, 128))
+    acc = parts[0]
+    for p in parts[1:]:
+        if semiring == "min_plus":
+            acc = jnp.minimum(acc, p)
+        elif semiring == "max_times":
+            acc = jnp.maximum(acc, p)
+        else:
+            acc = acc + p
+    if semiring == "min_plus":
+        y_ref[0] = jnp.minimum(y_ref[0], acc)
+    elif semiring == "max_times":
+        y_ref[0] = jnp.maximum(y_ref[0], acc)
+    else:
+        y_ref[0] = y_ref[0] + acc
+
+
+def _make_kernel_v4(semiring: str, mxu_scatter: bool = False):
+    """Dynamic-gather kernel: the gather side rides tpu.dynamic_gather
+    (~3*S ops/edge, see _gather_window_dyn); the scatter side stays the
+    v1 one-hot (v4) or rides the MXU for plus_times (v5). Edge metadata
+    blocks arrive TILED as [1, C//128, 128] (host-side reshape in
+    _bucketed_semiring_spmv_impl)."""
+    ident, _ = _SEMIRINGS[semiring]
+
+    def kernel(pk_ref, x_ref, row_ref, col_ref, val_ref, y_ref):
+        i = pl.program_id(0)
+        S = x_ref.shape[-2]
+        first_visit = jnp.logical_or(
+            i == 0,
+            pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536,
+        )
+
+        @pl.when(first_visit)
+        def _():
+            y_ref[...] = jnp.full_like(y_ref, ident)
+
+        col2 = col_ref[0]  # [Cr, 128]
+        row2 = row_ref[0]
+        val2 = val_ref[0]
+        xg = _gather_window_dyn(x_ref[0], col2, S)
+        if semiring == "min_plus":
+            msg2 = jnp.minimum(val2 + xg, _BIG)
+        else:
+            msg2 = val2 * xg
+        _scatter_window(row2, msg2, y_ref, semiring, S, mxu_scatter)
+
+    return kernel
+
+
+def _make_kernel_v5(semiring: str):
+    return _make_kernel_v4(semiring, mxu_scatter=True)
+
+
+_KERNELS = {
+    1: _make_kernel_v1,
+    2: _make_kernel_v2,
+    3: _make_kernel_v3,
+    4: _make_kernel_v4,
+    5: _make_kernel_v5,
+}
 
 
 def _default_version() -> int:
-    """Measured on the v5e (scale-18 R-MAT, W=2048, C=256): v1 flat
-    28.5 ms, v2 MXU-two-level 55 ms, v3 subblock-streaming 56 ms — the
-    flat [C, W] kernel's single big vectorized select/reduce beats both
-    'improvements' (the MXU variants waste the array on 16-wide
-    contractions; the [1,1,W] lane-major blocks DMA better than
-    [S,128]). Negative results recorded in BASELINE.md round 2."""
+    """v5 (dynamic-gather + MXU scatter) measured on the v5 lite chip
+    (s18 R-MAT degsort, W=2048, C=256, same-session A/B 2026-08-19):
+    plus_times v1 76.2 ms -> v4 15.4 -> v5 13.2 (vs best-ever recorded
+    v1 41.5 ms: 3.1x); min_plus v1 28.9 -> v4 15.5 (1.9x; min cannot
+    ride the MXU so v5 falls back to the v4 scatter there). The jax-0.9
+    tpu.dynamic_gather lowering (take_along_axis within one vreg) is
+    what obsoleted the round-2 negative results for v2/v3 — those
+    predate it and remain selectable for A/B via
+    GUNROCK_SEMIRING_KERNEL."""
     import os
 
-    return int(os.environ.get("GUNROCK_SEMIRING_KERNEL", "1"))
+    return int(os.environ.get("GUNROCK_SEMIRING_KERNEL", "5"))
 
 
 def bucketed_semiring_spmv(
@@ -307,22 +448,30 @@ def _bucketed_semiring_spmv_impl(
     ident, _ = _SEMIRINGS[semiring]
     x_pad = jnp.full(layout.n_col_blocks * W, 0.0, jnp.float32).at[:V].set(x)
     x3 = x_pad.reshape(layout.n_col_blocks, S, 128)
-    row2 = layout.row_local.reshape(n_chunks, 1, C)
-    col2 = layout.col_local.reshape(n_chunks, 1, C)
-    val2 = layout.values.reshape(n_chunks, 1, C)
+    # v4/v5 (dynamic-gather kernels) take edge metadata TILED as
+    # [Cr, 128] — in-kernel [C] <-> [Cr, 128] reshapes are Mosaic
+    # "unsupported shape cast"s, so the host reshapes here instead.
+    if version >= 4:
+        mshape = (n_chunks, C // 128, 128)
+    else:
+        mshape = (n_chunks, 1, C)
+    row2 = layout.row_local.reshape(mshape)
+    col2 = layout.col_local.reshape(mshape)
+    val2 = layout.values.reshape(mshape)
 
     # single PACKED metadata array (rb*65536 + cb): SMEM scalar-prefetch
     # is capped at 1 MB, and n_chunks can reach ~125K at scale 20 — one
     # int32[n_chunks] operand instead of two halves the footprint
     pk = layout.chunk_rb * 65536 + layout.chunk_cb
+    mblock = (1,) + mshape[1:]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, S, 128), lambda i, pk: (pk[i] % 65536, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, pk: (i, 0, 0)),
+            pl.BlockSpec(mblock, lambda i, pk: (i, 0, 0)),
+            pl.BlockSpec(mblock, lambda i, pk: (i, 0, 0)),
+            pl.BlockSpec(mblock, lambda i, pk: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, S, 128), lambda i, pk: (pk[i] // 65536, 0, 0)
@@ -343,13 +492,17 @@ def _bucketed_semiring_spmv_impl(
     return y
 
 
-def _make_sparse_kernel(semiring: str):
+def _make_sparse_kernel(semiring: str, version: int = 1):
     """Flat kernel with in-grid chunk skipping: grid slot i runs chunk
     ``perm[i]`` when ``i < count`` and does nothing otherwise. The
     frontier-driven advance of the reference's sparse input frontiers
     (merge_path_v2.hxx operates on compacted frontiers; here the
     compaction is a device-side stable selection of ACTIVE CHUNKS and
-    the work skip happens through the scalar-prefetched permutation)."""
+    the work skip happens through the scalar-prefetched permutation).
+
+    ``version >= 4``: dynamic-gather variant (edge metadata tiled
+    [Cr, 128], see _gather_window_dyn / _scatter_window; v5 = MXU
+    scatter for plus_times)."""
     ident, _ = _SEMIRINGS[semiring]
 
     def kernel(pk_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
@@ -370,6 +523,19 @@ def _make_sparse_kernel(semiring: str):
 
         @pl.when(active)
         def _():
+            if version >= 4:
+                col2 = col_ref[0]
+                row2 = row_ref[0]
+                val2 = val_ref[0]
+                xg = _gather_window_dyn(x_ref[0], col2, S)
+                if semiring == "min_plus":
+                    msg2 = jnp.minimum(val2 + xg, _BIG)
+                else:
+                    msg2 = val2 * xg
+                _scatter_window(
+                    row2, msg2, y_ref, semiring, S, version >= 5
+                )
+                return
             lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
             col = col_ref[0, 0, :]
             row = row_ref[0, 0, :]
@@ -436,11 +602,14 @@ def _sparse_chunk_select(layout: BucketedEdges, active, out_mask):
     return ch_act, pk_r, perm, count
 
 
-def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
+def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask,
+                       version: int = 1):
     """Shared device-side active-chunk selection + operand packing for
     the frontier-sparse kernels (spmv_sparse and sparse_minmax must stay
     byte-identical here — any divergence silently changes which chunks
-    run). Returns (ch_act, call_args, in_specs, out_block_spec)."""
+    run). Returns (ch_act, call_args, in_specs, out_block_spec).
+    ``version >= 4`` tiles the edge metadata as [Cr, 128] for the
+    dynamic-gather kernels."""
     W, C = layout.window, layout.chunk
     S = W // 128
     n_chunks = layout.n_chunks
@@ -451,15 +620,20 @@ def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
 
     x_pad = jnp.full(n_cb * W, 0.0, jnp.float32).at[:V].set(x)
     x3 = x_pad.reshape(n_cb, S, 128)
-    row2 = layout.row_local.reshape(n_chunks, 1, C)
-    col2 = layout.col_local.reshape(n_chunks, 1, C)
-    val2 = layout.values.reshape(n_chunks, 1, C)
+    if version >= 4:
+        mshape = (n_chunks, C // 128, 128)
+    else:
+        mshape = (n_chunks, 1, C)
+    row2 = layout.row_local.reshape(mshape)
+    col2 = layout.col_local.reshape(mshape)
+    val2 = layout.values.reshape(mshape)
+    mblock = (1,) + mshape[1:]
     call_args = (pk_r, perm, count.reshape(1), x3, row2, col2, val2)
     in_specs = [
         pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] % 65536, 0, 0)),
-        pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-        pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
-        pl.BlockSpec((1, 1, C), lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec(mblock, lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec(mblock, lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec(mblock, lambda i, pk, pm, ct: (pm[i], 0, 0)),
     ]
     out_block = pl.BlockSpec(
         (1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)
@@ -467,9 +641,6 @@ def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask):
     return ch_act, call_args, in_specs, out_block
 
 
-@functools.partial(
-    jax.jit, static_argnames=("semiring", "interpret", "tail_grids")
-)
 def bucketed_semiring_spmv_sparse(
     layout: BucketedEdges,
     x: jax.Array,
@@ -478,6 +649,29 @@ def bucketed_semiring_spmv_sparse(
     interpret: bool = False,
     out_mask: jax.Array | None = None,
     tail_grids: tuple[int, ...] | None = None,
+    version: int | None = None,
+):
+    if version is None:
+        version = _default_version()
+    return _bucketed_semiring_spmv_sparse_impl(
+        layout, x, active, semiring, interpret, out_mask, tail_grids,
+        version,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("semiring", "interpret", "tail_grids", "version"),
+)
+def _bucketed_semiring_spmv_sparse_impl(
+    layout: BucketedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    semiring: str = "plus_times",
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+    tail_grids: tuple[int, ...] | None = None,
+    version: int = 1,
 ):
     """Frontier-sparse semiring advance: identical result contract to
     :func:`bucketed_semiring_spmv` given that inactive vertices of ``x``
@@ -513,11 +707,11 @@ def bucketed_semiring_spmv_sparse(
         return jnp.full(V, fill, jnp.float32)
 
     ch_act, call_args, in_specs, out_block = _sparse_chunk_plan(
-        layout, x, active, out_mask
+        layout, x, active, out_mask, version
     )
     count = call_args[2][0]
     y3 = _tail_grid_dispatch(
-        _make_sparse_kernel(semiring),
+        _make_sparse_kernel(semiring, version),
         jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
         in_specs, out_block, call_args, count, n_chunks, interpret,
         tail_grids,
@@ -595,12 +789,14 @@ def _tail_grid_dispatch(
     return dispatch(0)()
 
 
-def _sparse_minmax_kernel():
+def _sparse_minmax_kernel(version: int = 1):
     """Fused max/min kernel (chunk-skipping): one windowed one-hot gather
     feeds BOTH a max-reduce (identity 0) and a positives-only min-reduce
     (identity _BIG) — the [C, W] compare, the dominant VPU cost, is paid
     once instead of twice. Built for coloring's paired neighbor scans
-    (reference color.hxx:116-140: nbr max and min of uncolored randoms)."""
+    (reference color.hxx:116-140: nbr max and min of uncolored randoms).
+    ``version >= 4``: dynamic-gather input side (tiled metadata); the
+    min/max scatter stays a one-hot (no MXU form exists for min)."""
 
     def kernel(pk_ref, perm_ref, cnt_ref, x_ref, row_ref, col_ref,
                val_ref, ymax_ref, ymin_ref):
@@ -621,6 +817,28 @@ def _sparse_minmax_kernel():
 
         @pl.when(active)
         def _():
+            if version >= 4:
+                col2 = col_ref[0]
+                row2 = row_ref[0]
+                val2 = val_ref[0]
+                Cr = row2.shape[0]
+                xg = _gather_window_dyn(x_ref[0], col2, S)
+                msg2 = val2 * xg
+                msgm2 = jnp.where(msg2 > 0.0, msg2, _BIG)
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+                accx = jnp.zeros((S, 128), jnp.float32)
+                accn = jnp.full((S, 128), _BIG, jnp.float32)
+                for cr in range(Cr):
+                    onehot = row2[cr][:, None] == lanes
+                    accx = jnp.maximum(accx, jnp.max(
+                        jnp.where(onehot, msg2[cr][:, None], 0.0), axis=0
+                    ).reshape(S, 128))
+                    accn = jnp.minimum(accn, jnp.min(
+                        jnp.where(onehot, msgm2[cr][:, None], _BIG), axis=0
+                    ).reshape(S, 128))
+                ymax_ref[0] = jnp.maximum(ymax_ref[0], accx)
+                ymin_ref[0] = jnp.minimum(ymin_ref[0], accn)
+                return
             lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
             col = col_ref[0, 0, :]
             row = row_ref[0, 0, :]
@@ -642,7 +860,6 @@ def _sparse_minmax_kernel():
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tail_grids"))
 def bucketed_semiring_spmv_sparse_minmax(
     layout: BucketedEdges,
     x: jax.Array,
@@ -650,6 +867,26 @@ def bucketed_semiring_spmv_sparse_minmax(
     interpret: bool = False,
     out_mask: jax.Array | None = None,
     tail_grids: tuple[int, ...] | None = None,
+    version: int | None = None,
+):
+    if version is None:
+        version = _default_version()
+    return _bucketed_minmax_impl(
+        layout, x, active, interpret, out_mask, tail_grids, version
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tail_grids", "version")
+)
+def _bucketed_minmax_impl(
+    layout: BucketedEdges,
+    x: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+    out_mask: jax.Array | None = None,
+    tail_grids: tuple[int, ...] | None = None,
+    version: int = 1,
 ):
     """Fused (y_max, y_min) = (max_e val*x[col_e], min over POSITIVE
     val*x[col_e]) with the same chunk-skipping contract as
@@ -675,10 +912,10 @@ def bucketed_semiring_spmv_sparse_minmax(
         )
 
     ch_act, call_args, in_specs, out_block = _sparse_chunk_plan(
-        layout, x, active, out_mask
+        layout, x, active, out_mask, version
     )
     ymax3, ymin3 = _tail_grid_dispatch(
-        _sparse_minmax_kernel(),
+        _sparse_minmax_kernel(version),
         (
             jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
