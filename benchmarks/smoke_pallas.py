@@ -147,6 +147,69 @@ def k_kcore():
     kcore.run(g, warmup=False)
 
 
+def _paged_layout(pad_value=0.0):
+    from gunrock_tpu.ops.pallas.paged import build_paged_layout
+
+    g = _graph()
+    lay = build_paged_layout(
+        g.edge_src, g.col_indices, g.values, g.n_vertices,
+        window=512, chunk=256, page=8, pad_value=pad_value,
+    )
+    return g, lay
+
+
+def k_paged_semiring():
+    import jax, jax.numpy as jnp
+    from gunrock_tpu.ops.pallas.paged import paged_semiring_spmv
+
+    g, lay = _paged_layout()
+    x = jnp.ones(g.n_vertices, jnp.float32)
+    for sr in ("plus_times", "max_times"):
+        jax.block_until_ready(
+            paged_semiring_spmv(lay, x, sr, interpret=_interp())
+        )
+
+
+def k_paged_sparse():
+    import jax, jax.numpy as jnp
+    from gunrock_tpu.ops.pallas.paged import paged_semiring_spmv_sparse
+
+    g, lay = _paged_layout()
+    x = jnp.ones(g.n_vertices, jnp.float32)
+    act = jnp.zeros(g.n_vertices, bool).at[:64].set(True)
+    jax.block_until_ready(
+        paged_semiring_spmv_sparse(
+            lay, x, act, "plus_times", out_mask=act, interpret=_interp()
+        )
+    )
+
+
+def k_paged_minmax():
+    import jax, jax.numpy as jnp
+    from gunrock_tpu.ops.pallas.paged import paged_semiring_spmv_sparse_minmax
+
+    g, lay = _paged_layout()
+    x = jnp.ones(g.n_vertices, jnp.float32)
+    jax.block_until_ready(
+        paged_semiring_spmv_sparse_minmax(
+            lay, x, jnp.ones(g.n_vertices, bool), interpret=_interp()
+        )
+    )
+
+
+def k_paged_spmm():
+    import jax, jax.numpy as jnp
+    from gunrock_tpu.ops.pallas.paged import paged_spmm, paged_spmm_sparse
+
+    g, lay = _paged_layout()
+    x = jnp.ones((g.n_vertices, 32), jnp.float32)
+    jax.block_until_ready(paged_spmm(lay, x, exact=True, interpret=_interp()))
+    act = jnp.zeros(g.n_vertices, bool).at[:64].set(True)
+    jax.block_until_ready(
+        paged_spmm_sparse(lay, x, act, exact=False, interpret=_interp())
+    )
+
+
 KERNELS = {
     "semiring_v1": k_semiring_v1,
     "semiring_sparse": k_semiring_sparse,
@@ -156,6 +219,10 @@ KERNELS = {
     "color_greedy": k_color_greedy,
     "msbfs": k_msbfs,
     "kcore": k_kcore,
+    "paged_semiring": k_paged_semiring,
+    "paged_sparse": k_paged_sparse,
+    "paged_minmax": k_paged_minmax,
+    "paged_spmm": k_paged_spmm,
 }
 
 

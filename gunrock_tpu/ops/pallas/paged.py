@@ -60,8 +60,8 @@ from gunrock_tpu.ops.pallas.semiring import _BIG, _SEMIRINGS
 @dataclasses.dataclass(frozen=True)
 class PagedEdges:
     meta: jax.Array  # int32[n_pages*page, 8] — rb, cb, first, last, 0...
-    rowcol: jax.Array  # int32[n_chunks_pad, 2, chunk] — row_local, col_local
-    values: jax.Array  # float32[n_chunks_pad, 1, chunk]
+    rowcol: jax.Array  # int32[n_chunks_pad, 2, chunk//128, 128] — row, col
+    values: jax.Array  # float32[n_chunks_pad, chunk//128, 128]
     rb_occupied: jax.Array  # bool[n_row_blocks]
     window: int
     chunk: int
@@ -105,14 +105,19 @@ def build_paged_layout(
     meta[:n_chunks, 2] = first
     meta[:n_chunks, 3] = last
 
-    rl = np.asarray(b.row_local).reshape(n_chunks, chunk)
-    cl = np.asarray(b.col_local).reshape(n_chunks, chunk)
-    vals = np.asarray(b.values).reshape(n_chunks, chunk)
-    rowcol = np.zeros((n_pad, 2, chunk), np.int32)
+    # edge metadata rides TILED as [2, Cr, 128] per chunk: the v4/v5
+    # dynamic-gather kernels consume [Cr, 128] tiles directly (in-kernel
+    # [C] <-> [Cr, 128] reshapes are Mosaic "unsupported shape cast"s)
+    assert chunk % 128 == 0, "paged layouts need chunk % 128 == 0"
+    cr = chunk // 128
+    rl = np.asarray(b.row_local).reshape(n_chunks, cr, 128)
+    cl = np.asarray(b.col_local).reshape(n_chunks, cr, 128)
+    vals = np.asarray(b.values).reshape(n_chunks, cr, 128)
+    rowcol = np.zeros((n_pad, 2, cr, 128), np.int32)
     rowcol[:n_chunks, 0] = rl
     rowcol[:n_chunks, 1] = cl
-    vpad = np.full((n_pad, 1, chunk), pad_value, np.float32)
-    vpad[:n_chunks, 0] = vals
+    vpad = np.full((n_pad, cr, 128), pad_value, np.float32)
+    vpad[:n_chunks] = vals
     return PagedEdges(
         meta=jnp.asarray(meta),
         rowcol=jnp.asarray(rowcol),
@@ -124,22 +129,14 @@ def build_paged_layout(
     )
 
 
-def _chunk_compute(semiring, row, col, val, xw, C, W):
-    """The windowed one-hot gather+reduce shared by the dense and sparse
-    paged kernels (same math as semiring._make_flat_kernel v1)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-    xg = jnp.sum(jnp.where(col[:, None] == lanes, xw, 0.0), axis=1)
-    if semiring == "min_plus":
-        msg = jnp.minimum(val + xg, _BIG)
-        scat = jnp.where(row[:, None] == lanes, msg[:, None], _BIG)
-        return jnp.min(scat, axis=0)
-    if semiring == "max_times":
-        msg = val * xg
-        scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
-        return jnp.max(scat, axis=0)
-    msg = val * xg
-    scat = jnp.where(row[:, None] == lanes, msg[:, None], 0.0)
-    return jnp.sum(scat, axis=0)
+def _chunk_compute(semiring, row2, col2, val2, x2, S):
+    """Whole-chunk advance shared by the dense and sparse paged kernels:
+    the v5 dynamic-gather + MXU-scatter math (semiring._compute_chunk_v4;
+    min/max fall back to the one-hot scatter inside). Tiled [Cr, 128]
+    edge operands; returns y_add [S, 128]."""
+    from gunrock_tpu.ops.pallas.semiring import _compute_chunk_v4
+
+    return _compute_chunk_v4(x2, row2, col2, val2, semiring, S, mxu=True)
 
 
 def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
@@ -173,13 +170,10 @@ def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
 
         x_dma(j, j % 2).wait()
 
-        row = rc_ref[0, 0, :]
-        col = rc_ref[0, 1, :]
-        val = val_ref[0, 0, :]
-        xw = xbuf[j % 2].reshape(1, W)
-        y_add = _chunk_compute(semiring, row, col, val, xw, C, W).reshape(
-            S, 128
-        )
+        row2 = rc_ref[0, 0]
+        col2 = rc_ref[0, 1]
+        val2 = val_ref[0]
+        y_add = _chunk_compute(semiring, row2, col2, val2, xbuf[j % 2], S)
         if semiring == "min_plus":
             acc[...] = jnp.minimum(acc[...], y_add)
         elif semiring == "max_times":
@@ -262,12 +256,11 @@ def _make_paged_sparse_kernel(semiring: str, S: int, C: int, PAGE: int):
             a.wait()
             b.wait()
             c.wait()
-            row = ebuf[j % 2, 0, :]
-            col = ebuf[j % 2, 1, :]
-            val = vbuf[j % 2, 0, :]
-            xw = xbuf[j % 2].reshape(1, W)
-            y_add = _chunk_compute(semiring, row, col, val, xw, C, W
-                                   ).reshape(S, 128)
+            row2 = ebuf[j % 2, 0]
+            col2 = ebuf[j % 2, 1]
+            val2 = vbuf[j % 2]
+            y_add = _chunk_compute(semiring, row2, col2, val2,
+                                   xbuf[j % 2], S)
             if semiring == "min_plus":
                 acc[...] = jnp.minimum(acc[...], y_add)
             elif semiring == "max_times":
@@ -385,8 +378,8 @@ def paged_semiring_spmv_sparse(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, S, 128), jnp.float32),
-                pltpu.VMEM((2, 2, C), jnp.int32),
-                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((2, 2, C // 128, 128), jnp.int32),
+                pltpu.VMEM((2, C // 128, 128), jnp.float32),
                 pltpu.VMEM((S, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -450,8 +443,10 @@ def paged_semiring_spmv(
         in_specs=[
             pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2, C), lambda i, j: (i * PAGE + j, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, j: (i * PAGE + j, 0, 0)),
+            pl.BlockSpec((1, 2, C // 128, 128),
+                         lambda i, j: (i * PAGE + j, 0, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda i, j: (i * PAGE + j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -472,6 +467,34 @@ def paged_semiring_spmv(
     if semiring == "min_plus":
         y = jnp.where(y >= _BIG, jnp.inf, y)
     return y
+
+
+def _spmm_chunk(row2, col2, val2, xw, W: int, exact: bool):
+    """Per-chunk SpMM advance on tiled [Cr, 128] edge operands: per tile
+    row a [128, W] col one-hot matmul gathers all K columns, a [W, 128]
+    row one-hot matmul scatters them (spmm._make_kernel math, tiled so
+    the paged storage needs no in-kernel shape casts). Returns y_add
+    [W, K] f32."""
+    Cr = row2.shape[0]
+    lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+    lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+    y_add = None
+    for cr in range(Cr):
+        col_mask = (col2[cr][:, None] == lanes_cw).astype(jnp.bfloat16)
+        xg = jnp.dot(col_mask, xw[0], preferred_element_type=jnp.float32)
+        if not exact:
+            xg = xg + jnp.dot(col_mask, xw[1],
+                              preferred_element_type=jnp.float32)
+        msg = xg * val2[cr][:, None]  # [128, K] f32
+        row_mask_t = (row2[cr][None, :] == lanes_wc).astype(jnp.bfloat16)
+        mh = msg.astype(jnp.bfloat16)
+        part = jnp.dot(row_mask_t, mh, preferred_element_type=jnp.float32)
+        if not exact:
+            ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+            part = part + jnp.dot(row_mask_t, ml,
+                                  preferred_element_type=jnp.float32)
+        y_add = part if y_add is None else y_add + part
+    return y_add
 
 
 def _make_paged_spmm_kernel(S: int, C: int, PAGE: int, K: int, exact: bool):
@@ -512,25 +535,9 @@ def _make_paged_spmm_kernel(S: int, C: int, PAGE: int, K: int, exact: bool):
 
         x_dma(j, j % 2).wait()
 
-        row = rc_ref[0, 0, :]
-        col = rc_ref[0, 1, :]
-        val = val_ref[0, 0, :]
-        lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-        col_mask = (col[:, None] == lanes_cw).astype(jnp.bfloat16)
         xw = xbuf[j % 2]  # (n_x, W, K) bf16
-        xg = jnp.dot(col_mask, xw[0], preferred_element_type=jnp.float32)
-        if not exact:
-            xg = xg + jnp.dot(col_mask, xw[1],
-                              preferred_element_type=jnp.float32)
-        msg = xg * val[:, None]  # [C, K] f32
-        lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-        row_mask_t = (row[None, :] == lanes_wc).astype(jnp.bfloat16)
-        mh = msg.astype(jnp.bfloat16)
-        y_add = jnp.dot(row_mask_t, mh, preferred_element_type=jnp.float32)
-        if not exact:
-            ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
-            y_add = y_add + jnp.dot(row_mask_t, ml,
-                                    preferred_element_type=jnp.float32)
+        y_add = _spmm_chunk(rc_ref[0, 0], rc_ref[0, 1], val_ref[0], xw,
+                            W, exact)
         acc[...] = acc[...] + y_add
 
         @pl.when(last == 1)
@@ -589,8 +596,10 @@ def paged_spmm(
         in_specs=[
             pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2, C), lambda i, j: (i * PAGE + j, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda i, j: (i * PAGE + j, 0, 0)),
+            pl.BlockSpec((1, 2, C // 128, 128),
+                         lambda i, j: (i * PAGE + j, 0, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda i, j: (i * PAGE + j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -663,27 +672,9 @@ def _make_paged_spmm_sparse_kernel(S: int, C: int, PAGE: int, K: int,
             a.wait()
             b.wait()
             c.wait()
-            row = ebuf[j % 2, 0, :]
-            col = ebuf[j % 2, 1, :]
-            val = vbuf[j % 2, 0, :]
-            lanes_cw = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-            col_mask = (col[:, None] == lanes_cw).astype(jnp.bfloat16)
             xw = xbuf[j % 2]  # (n_x, W, K) bf16
-            xg = jnp.dot(col_mask, xw[0],
-                         preferred_element_type=jnp.float32)
-            if not exact:
-                xg = xg + jnp.dot(col_mask, xw[1],
-                                  preferred_element_type=jnp.float32)
-            msg = xg * val[:, None]
-            lanes_wc = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-            row_mask_t = (row[None, :] == lanes_wc).astype(jnp.bfloat16)
-            mh = msg.astype(jnp.bfloat16)
-            y_add = jnp.dot(row_mask_t, mh,
-                            preferred_element_type=jnp.float32)
-            if not exact:
-                ml = (msg - mh.astype(jnp.float32)).astype(jnp.bfloat16)
-                y_add = y_add + jnp.dot(row_mask_t, ml,
-                                        preferred_element_type=jnp.float32)
+            y_add = _spmm_chunk(ebuf[j % 2, 0], ebuf[j % 2, 1],
+                                vbuf[j % 2], xw, W, exact)
             acc[...] = acc[...] + y_add
 
         @pl.when(active & (meta_ref[j, 3] == 1))
@@ -756,8 +747,8 @@ def paged_spmm_sparse(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, n_x, W, Kp), jnp.bfloat16),
-                pltpu.VMEM((2, 2, C), jnp.int32),
-                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((2, 2, C // 128, 128), jnp.int32),
+                pltpu.VMEM((2, C // 128, 128), jnp.float32),
                 pltpu.VMEM((W, Kp), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -837,27 +828,18 @@ def _make_paged_minmax_kernel(S: int, C: int, PAGE: int):
 
         @pl.when(active)
         def _():
+            from gunrock_tpu.ops.pallas.semiring import _minmax_chunk_v4
+
             a, b, c = dmas(j, j % 2)
             a.wait()
             b.wait()
             c.wait()
-            row = ebuf[j % 2, 0, :]
-            col = ebuf[j % 2, 1, :]
-            val = vbuf[j % 2, 0, :]
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-            xw = xbuf[j % 2].reshape(1, W)
-            xg = jnp.sum(jnp.where(col[:, None] == lanes, xw, 0.0), axis=1)
-            msg = val * xg
-            onehot = row[:, None] == lanes
-            scat_max = jnp.where(onehot, msg[:, None], 0.0)
-            accx[...] = jnp.maximum(
-                accx[...], jnp.max(scat_max, axis=0).reshape(S, 128)
+            ax, an = _minmax_chunk_v4(
+                xbuf[j % 2], ebuf[j % 2, 0], ebuf[j % 2, 1],
+                vbuf[j % 2], S,
             )
-            msgm = jnp.where(msg > 0.0, msg, _BIG)
-            scat_min = jnp.where(onehot, msgm[:, None], _BIG)
-            accn[...] = jnp.minimum(
-                accn[...], jnp.min(scat_min, axis=0).reshape(S, 128)
-            )
+            accx[...] = jnp.maximum(accx[...], ax)
+            accn[...] = jnp.minimum(accn[...], an)
 
         @pl.when(active & (meta_ref[j, 3] == 1))
         def _():
@@ -920,8 +902,8 @@ def paged_semiring_spmv_sparse_minmax(
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, S, 128), jnp.float32),
-                pltpu.VMEM((2, 2, C), jnp.int32),
-                pltpu.VMEM((2, 1, C), jnp.float32),
+                pltpu.VMEM((2, 2, C // 128, 128), jnp.int32),
+                pltpu.VMEM((2, C // 128, 128), jnp.float32),
                 pltpu.VMEM((S, 128), jnp.float32),
                 pltpu.VMEM((S, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),

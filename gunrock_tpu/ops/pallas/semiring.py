@@ -272,8 +272,10 @@ def _gather_window_dyn(x2, col2, S: int):
     return acc
 
 
-def _scatter_window(row2, msg2, y_ref, semiring: str, S: int, mxu: bool):
-    """y_window (r)= msg by local row id — shared one-hot scatter tail.
+def _scatter_window_pure(row2, msg2, semiring: str, S: int, mxu: bool):
+    """y_add [S, 128] = scatter-reduce of msg by local row id — the pure
+    form shared by the SMEM-grid kernels (which combine into y_ref) and
+    the paged kernels (which combine into a VMEM run accumulator).
 
     ``row2``/``msg2`` arrive as [Cr, 128] tiles; each tile row (128
     edges) scatters separately (static unroll keeps every slice a
@@ -308,37 +310,93 @@ def _scatter_window(row2, msg2, y_ref, semiring: str, S: int, mxu: bool):
         lo_scat = scats[0] if Cr == 1 else jnp.concatenate(scats, axis=0)
         hi_t = hi_ts[0] if Cr == 1 else jnp.concatenate(hi_ts, axis=1)
         mh, ml = _split_bf16(lo_scat)
-        y_add = jnp.dot(
+        return jnp.dot(
             hi_t, mh, preferred_element_type=jnp.float32
         ) + jnp.dot(hi_t, ml, preferred_element_type=jnp.float32)
-        y_ref[0] = y_ref[0] + y_add
-        return
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
-    parts = []
-    for cr in range(Cr):
-        scat = jnp.where(
-            row2[cr][:, None] == lanes, msg2[cr][:, None], ident
-        )
-        if semiring == "min_plus":
-            parts.append(jnp.min(scat, axis=0).reshape(S, 128))
-        elif semiring == "max_times":
-            parts.append(jnp.max(scat, axis=0).reshape(S, 128))
-        else:
-            parts.append(jnp.sum(scat, axis=0).reshape(S, 128))
-    acc = parts[0]
-    for p in parts[1:]:
-        if semiring == "min_plus":
-            acc = jnp.minimum(acc, p)
-        elif semiring == "max_times":
-            acc = jnp.maximum(acc, p)
-        else:
-            acc = acc + p
+    # per-(sub-block, tile) [128, 128] scats reduced with keepdims and
+    # sublane-concatenated: the obvious [128, W] reduce + [W]->[S, 128]
+    # reshape is an "unsupported shape cast" on real Mosaic when S < 16
+    # (measured 2026-08-19: W=512 fails, W=2048 compiles) — keeping every
+    # intermediate 2-D sidesteps the 1-D relayout entirely at identical
+    # op count
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     if semiring == "min_plus":
-        y_ref[0] = jnp.minimum(y_ref[0], acc)
+        red, comb = jnp.min, jnp.minimum
     elif semiring == "max_times":
-        y_ref[0] = jnp.maximum(y_ref[0], acc)
+        red, comb = jnp.max, jnp.maximum
     else:
-        y_ref[0] = y_ref[0] + acc
+        red, comb = jnp.sum, jnp.add
+    parts = []
+    for s in range(S):
+        acc_s = None
+        for cr in range(Cr):
+            scat = jnp.where(
+                (row2[cr][:, None] - s * 128) == lanes,
+                msg2[cr][:, None], ident,
+            )
+            r = red(scat, axis=0, keepdims=True)
+            acc_s = r if acc_s is None else comb(acc_s, r)
+        parts.append(acc_s)
+    return parts[0] if S == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _compute_chunk_v4(x2, row2, col2, val2, semiring: str, S: int,
+                      mxu: bool):
+    """Whole-chunk v4/v5 advance (gather + message + scatter), pure:
+    returns y_add [S, 128] to combine into the caller's accumulator.
+    Shared by the SMEM-grid kernels and the paged kernels."""
+    xg = _gather_window_dyn(x2, col2, S)
+    if semiring == "min_plus":
+        msg2 = jnp.minimum(val2 + xg, _BIG)
+    else:
+        msg2 = val2 * xg
+    return _scatter_window_pure(row2, msg2, semiring, S, mxu)
+
+
+def _scatter_window(row2, msg2, y_ref, semiring: str, S: int, mxu: bool):
+    """Ref-combining wrapper over :func:`_scatter_window_pure`."""
+    y_add = _scatter_window_pure(row2, msg2, semiring, S, mxu)
+    if semiring == "min_plus":
+        y_ref[0] = jnp.minimum(y_ref[0], y_add)
+    elif semiring == "max_times":
+        y_ref[0] = jnp.maximum(y_ref[0], y_add)
+    else:
+        y_ref[0] = y_ref[0] + y_add
+
+
+def _minmax_chunk_v4(x2, row2, col2, val2, S: int):
+    """Whole-chunk fused (max, positives-min) v4 advance, pure: returns
+    (ymax_add, ymin_add), each [S, 128]. Dynamic-gather input side; the
+    min/max scatter stays a one-hot (no MXU form exists for min).
+    Shared by the SMEM-grid minmax kernel and the paged variant."""
+    Cr = row2.shape[0]
+    xg = _gather_window_dyn(x2, col2, S)
+    msg2 = val2 * xg
+    msgm2 = jnp.where(msg2 > 0.0, msg2, _BIG)
+    # all-2-D scatter (see _scatter_window_pure: [W]->[S,128] reshapes
+    # are unsupported shape casts on real Mosaic for small S); the
+    # onehot compare is shared by both reductions per (s, cr) tile
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    px, pn = [], []
+    for s in range(S):
+        ax = an = None
+        for cr in range(Cr):
+            onehot = (row2[cr][:, None] - s * 128) == lanes
+            mx = jnp.max(
+                jnp.where(onehot, msg2[cr][:, None], 0.0),
+                axis=0, keepdims=True,
+            )
+            mn = jnp.min(
+                jnp.where(onehot, msgm2[cr][:, None], _BIG),
+                axis=0, keepdims=True,
+            )
+            ax = mx if ax is None else jnp.maximum(ax, mx)
+            an = mn if an is None else jnp.minimum(an, mn)
+        px.append(ax)
+        pn.append(an)
+    accx = px[0] if S == 1 else jnp.concatenate(px, axis=0)
+    accn = pn[0] if S == 1 else jnp.concatenate(pn, axis=0)
+    return accx, accn
 
 
 def _make_kernel_v4(semiring: str, mxu_scatter: bool = False):
@@ -818,24 +876,9 @@ def _sparse_minmax_kernel(version: int = 1):
         @pl.when(active)
         def _():
             if version >= 4:
-                col2 = col_ref[0]
-                row2 = row_ref[0]
-                val2 = val_ref[0]
-                Cr = row2.shape[0]
-                xg = _gather_window_dyn(x_ref[0], col2, S)
-                msg2 = val2 * xg
-                msgm2 = jnp.where(msg2 > 0.0, msg2, _BIG)
-                lanes = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
-                accx = jnp.zeros((S, 128), jnp.float32)
-                accn = jnp.full((S, 128), _BIG, jnp.float32)
-                for cr in range(Cr):
-                    onehot = row2[cr][:, None] == lanes
-                    accx = jnp.maximum(accx, jnp.max(
-                        jnp.where(onehot, msg2[cr][:, None], 0.0), axis=0
-                    ).reshape(S, 128))
-                    accn = jnp.minimum(accn, jnp.min(
-                        jnp.where(onehot, msgm2[cr][:, None], _BIG), axis=0
-                    ).reshape(S, 128))
+                accx, accn = _minmax_chunk_v4(
+                    x_ref[0], row_ref[0], col_ref[0], val_ref[0], S
+                )
                 ymax_ref[0] = jnp.maximum(ymax_ref[0], accx)
                 ymin_ref[0] = jnp.minimum(ymin_ref[0], accn)
                 return
