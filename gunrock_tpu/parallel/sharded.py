@@ -43,8 +43,15 @@ UNREACHED = jnp.iinfo(jnp.int32).max
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
+    # check_vma=False: pallas_call outputs inside the SPMD body carry no
+    # varying-mesh-axes annotation (jax 0.9 requires it under the default
+    # check) — the per-shard Pallas advances are locally-shaped by
+    # construction
     if hasattr(jax, "shard_map"):
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
     from jax.experimental.shard_map import shard_map
 
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
@@ -327,16 +334,173 @@ def _trim(arr, V):
 
 
 # ---------------------------------------------------------------------------
+# Pallas bucketed layouts under shard_map (round 4, VERDICT next-step #3:
+# the sharded layer previously reduced with XLA segment ops only, so none
+# of the single-chip kernel wins transferred to the distributed path)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["row_local", "col_local", "values", "chunk_rb",
+                 "chunk_cb", "rb_occupied"],
+    meta_fields=["window", "chunk", "n_chunks", "n_row_blocks",
+                 "n_col_blocks", "n_vertices", "n_shards", "v_per_shard",
+                 "interpret"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedLayouts:
+    """Per-shard :class:`BucketedEdges` arrays stacked on axis 0
+    ([n_shards, ...]) with a COMMON padded chunk count, so every shard
+    traces the identical Pallas program under shard_map (SPMD requires
+    uniform shapes). Rows stay GLOBAL vertex ids: each shard's layout
+    covers the full [V] output space but holds only its own edges —
+    blocks outside the shard's range are simply unoccupied, and the
+    caller slices its own [Vs] rows after the advance. Padding chunks
+    point at the LAST row block with identity values (appended after the
+    (rb, cb) sort, so they extend the final accumulation run instead of
+    re-flushing an earlier block)."""
+
+    row_local: jax.Array  # int32[n, n_chunks * chunk]
+    col_local: jax.Array  # int32[n, n_chunks * chunk]
+    values: jax.Array  # f32[n, n_chunks * chunk]
+    chunk_rb: jax.Array  # int32[n, n_chunks]
+    chunk_cb: jax.Array  # int32[n, n_chunks]
+    rb_occupied: jax.Array  # bool[n, n_row_blocks]
+    window: int
+    chunk: int
+    n_chunks: int
+    n_row_blocks: int
+    n_col_blocks: int
+    n_vertices: int
+    n_shards: int
+    v_per_shard: int
+    interpret: bool
+
+
+def build_sharded_layouts(
+    graph: Graph, n_shards: int, side: str = "d",
+    window: int | None = None, chunk: int | None = None,
+    pad_value: float = 0.0, interpret: bool | None = None,
+) -> ShardedLayouts:
+    """Host-side: one bucketed layout per shard over that shard's
+    owner-grouped edges (``side='d'``: rows=dst, cols=src — the pull
+    orientation bfs/pr/sssp use; ``side='s'``: rows=src, cols=dst — the
+    push orientation of spmv), padded to the max chunk count and
+    stacked. ``pad_value``: the semiring's edge identity (inf for
+    min_plus)."""
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.layout import (auto_window_chunk,
+                                               build_bucketed_layout)
+
+    V = graph.n_vertices
+    Vs = -(-max(V, 1) // n_shards)
+    if interpret is None:
+        interpret = use_interpret()
+    if window is None or chunk is None:
+        w_auto, c_auto = auto_window_chunk(V, interpret)
+        window = window or w_auto
+        chunk = chunk or c_auto
+    src = np.asarray(graph.edge_src, np.int64)
+    dst = np.asarray(graph.col_indices, np.int64)
+    val = np.asarray(graph.values, np.float32)
+    rows, cols = (dst, src) if side == "d" else (src, dst)
+    owner = rows // Vs
+
+    shards = []
+    for d in range(n_shards):
+        m = owner == d
+        shards.append(build_bucketed_layout(
+            rows[m], cols[m], val[m], V,
+            window=window, chunk=chunk, pad_value=pad_value,
+        ))
+    nc = max(1, max(l.n_chunks for l in shards))
+    n_rb = shards[0].n_row_blocks
+
+    def pad_stack(field, fill, per_chunk):
+        outs = []
+        for l in shards:
+            a = np.asarray(getattr(l, field))
+            want = nc * (1 if per_chunk else chunk)
+            padded = np.full(want, fill, a.dtype if a.size else np.int32)
+            padded[: a.size] = a
+            outs.append(padded)
+        return jnp.asarray(np.stack(outs))
+
+    return ShardedLayouts(
+        row_local=pad_stack("row_local", 0, False),
+        col_local=pad_stack("col_local", 0, False),
+        values=pad_stack("values", np.float32(pad_value), False),
+        chunk_rb=pad_stack("chunk_rb", n_rb - 1, True),
+        chunk_cb=pad_stack("chunk_cb", 0, True),
+        rb_occupied=jnp.asarray(np.stack(
+            [np.asarray(l.rb_occupied) for l in shards]
+        )),
+        window=window, chunk=chunk, n_chunks=nc,
+        n_row_blocks=n_rb, n_col_blocks=shards[0].n_col_blocks,
+        n_vertices=V, n_shards=n_shards, v_per_shard=Vs,
+        interpret=bool(interpret),
+    )
+
+
+def _local_layout(L: ShardedLayouts):
+    """Inside shard_map: local [1, ...] slices -> this shard's
+    BucketedEdges."""
+    from gunrock_tpu.ops.pallas.layout import BucketedEdges
+
+    return BucketedEdges(
+        row_local=L.row_local[0], col_local=L.col_local[0],
+        values=L.values[0], chunk_rb=L.chunk_rb[0],
+        chunk_cb=L.chunk_cb[0], rb_occupied=L.rb_occupied[0],
+        window=L.window, chunk=L.chunk, n_chunks=L.n_chunks,
+        n_row_blocks=L.n_row_blocks, n_col_blocks=L.n_col_blocks,
+        n_vertices=L.n_vertices,
+    )
+
+
+def _pallas_advance_local(L: ShardedLayouts, x_local, axis, semiring,
+                          active_local=None, pad_fill=0.0):
+    """all_gather x (f32[Vs] local), run this shard's bucketed Pallas
+    advance over its own edges, return the shard's own output rows
+    [Vs]. ``active_local``: optional bool[Vs] frontier — gathered too,
+    and the advance runs the chunk-skipping sparse kernel."""
+    lay = _local_layout(L)
+    from gunrock_tpu.ops.pallas.semiring import (
+        bucketed_semiring_spmv, bucketed_semiring_spmv_sparse)
+
+    V, Vs, n = L.n_vertices, L.v_per_shard, L.n_shards
+    x_full = jax.lax.all_gather(x_local, axis, tiled=True)[:V]
+    if active_local is None:
+        y = bucketed_semiring_spmv(
+            lay, x_full, semiring, interpret=L.interpret
+        )
+    else:
+        a_full = jax.lax.all_gather(active_local, axis, tiled=True)[:V]
+        y = bucketed_semiring_spmv_sparse(
+            lay, x_full, a_full, semiring, interpret=L.interpret
+        )
+    if n * Vs > V:
+        y = jnp.concatenate(
+            [y, jnp.full(n * Vs - V, pad_fill, y.dtype)]
+        )
+    d = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(y, d * Vs, Vs)
+
+
+# ---------------------------------------------------------------------------
 # algorithms
 
 
-def bfs(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None):
-    """Distributed BFS on sharded state. Returns (distances int32[V], depth)."""
+def bfs(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None,
+        layouts: ShardedLayouts | None = None):
+    """Distributed BFS on sharded state. Returns (distances int32[V], depth).
+    ``layouts`` (build_sharded_layouts side='d'): run each shard's
+    frontier advance through the bucketed Pallas kernels instead of the
+    XLA gather + segment reduction."""
     V, Vs = sg.n_vertices, sg.v_per_shard
     axis = mesh.axis_names[0]
     max_it = V if max_iterations is None else max_iterations
 
-    def spmd(sg):
+    def spmd(sg, *lay):
         vvalid, ids = _vvalid(sg, axis)
         dist0 = jnp.where(ids == src, 0, UNREACHED)
         front0 = ids == src
@@ -349,9 +513,17 @@ def bfs(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None):
 
         def body(c):
             it, f, d = c
-            f_at_src = _gather(sg, f, axis, "d")
-            active = f_at_src & sg.d_valid
-            reached = _local_reduce(sg, active.astype(jnp.int32), active, "max") > 0
+            if lay:
+                y = _pallas_advance_local(
+                    lay[0], f.astype(jnp.float32), axis, "max_times",
+                    active_local=f,
+                )
+                reached = y > 0.0
+            else:
+                f_at_src = _gather(sg, f, axis, "d")
+                active = f_at_src & sg.d_valid
+                reached = _local_reduce(
+                    sg, active.astype(jnp.int32), active, "max") > 0
             new = reached & (d == UNREACHED) & vvalid
             d = jnp.where(new, it + 1, d)
             return it + 1, new, d
@@ -359,19 +531,26 @@ def bfs(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None):
         it, _, d = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
         return d, jnp.full((1,), it)
 
-    fn = jax.jit(_shard_map(spmd, mesh, in_specs=(P(axis),), out_specs=(P(axis), P())))
-    d, it = fn(sg)
+    extra = () if layouts is None else (layouts,)
+    fn = jax.jit(_shard_map(
+        spmd, mesh,
+        in_specs=(P(axis),) * (1 + len(extra)),
+        out_specs=(P(axis), P()),
+    ))
+    d, it = fn(sg, *extra)
     return _trim(d, V), int(it[0])
 
 
-def sssp(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None):
-    """Distributed frontier Bellman-Ford. Returns (distances f32[V], depth)."""
+def sssp(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None,
+         layouts: ShardedLayouts | None = None):
+    """Distributed frontier Bellman-Ford. Returns (distances f32[V], depth).
+    ``layouts`` must be built with ``pad_value=inf`` (min_plus)."""
     V = sg.n_vertices
     axis = mesh.axis_names[0]
     max_it = V if max_iterations is None else max_iterations
     BIG = jnp.float32(3.0e38)
 
-    def spmd(sg):
+    def spmd(sg, *lay):
         vvalid, ids = _vvalid(sg, axis)
         dist0 = jnp.where(ids == src, 0.0, jnp.inf)
         front0 = ids == src
@@ -385,11 +564,17 @@ def sssp(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None):
         def body(c):
             it, f, d = c
             x = jnp.where(f, jnp.minimum(d, BIG), BIG)
-            x_at_src = _gather(sg, x, axis, "d")
-            cand = jnp.where(
-                sg.d_valid, jnp.minimum(x_at_src + sg.d_val, BIG), BIG
-            )
-            relaxed = _local_reduce(sg, cand, cand < BIG, "min")
+            if lay:
+                relaxed = _pallas_advance_local(
+                    lay[0], x, axis, "min_plus", active_local=f,
+                    pad_fill=jnp.inf,
+                )
+            else:
+                x_at_src = _gather(sg, x, axis, "d")
+                cand = jnp.where(
+                    sg.d_valid, jnp.minimum(x_at_src + sg.d_val, BIG), BIG
+                )
+                relaxed = _local_reduce(sg, cand, cand < BIG, "min")
             improved = (relaxed < d) & vvalid
             d = jnp.where(improved, relaxed, d)
             return it + 1, improved, d
@@ -397,19 +582,26 @@ def sssp(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None):
         it, _, d = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
         return d, jnp.full((1,), it)
 
-    fn = jax.jit(_shard_map(spmd, mesh, in_specs=(P(axis),), out_specs=(P(axis), P())))
-    d, it = fn(sg)
+    extra = () if layouts is None else (layouts,)
+    fn = jax.jit(_shard_map(
+        spmd, mesh,
+        in_specs=(P(axis),) * (1 + len(extra)),
+        out_specs=(P(axis), P()),
+    ))
+    d, it = fn(sg, *extra)
     return _trim(d, V), int(it[0])
 
 
 def pagerank(sg: ShardedGraph, mesh, alpha: float = 0.85, tol: float = 1e-6,
-             max_iterations: int = 10_000):
+             max_iterations: int = 10_000,
+             layouts: ShardedLayouts | None = None):
     """Distributed weighted PageRank (reference pr.hxx semantics).
-    Returns (p f32[V], iterations)."""
+    Returns (p f32[V], iterations). ``layouts``: bucketed Pallas spread
+    pass (side='d', pad_value=0)."""
     V, Vs = sg.n_vertices, sg.v_per_shard
     axis = mesh.axis_names[0]
 
-    def spmd(sg):
+    def spmd(sg, *lay):
         vvalid, ids = _vvalid(sg, axis)
         # out-weight sums: local on the src-grouped copy
         wsum = _local_reduce(
@@ -431,11 +623,16 @@ def pagerank(sg: ShardedGraph, mesh, alpha: float = 0.85, tol: float = 1e-6,
             )
             base = (1.0 - alpha + dsum) / V
             spread = plast * iweights  # [Vs] local
-            sp_at_src = _gather(sg, spread, axis, "d")
-            local = _local_reduce(
-                sg, jnp.where(sg.d_valid, sp_at_src * sg.d_val, 0.0),
-                sg.d_valid, "sum",
-            )
+            if lay:
+                local = _pallas_advance_local(
+                    lay[0], spread, axis, "plus_times"
+                )
+            else:
+                sp_at_src = _gather(sg, spread, axis, "d")
+                local = _local_reduce(
+                    sg, jnp.where(sg.d_valid, sp_at_src * sg.d_val, 0.0),
+                    sg.d_valid, "sum",
+                )
             p = jnp.where(vvalid, base + local, 0.0)
             err = jax.lax.pmax(jnp.max(jnp.abs(p - plast)), axis)
             return it + 1, p, err
@@ -445,28 +642,40 @@ def pagerank(sg: ShardedGraph, mesh, alpha: float = 0.85, tol: float = 1e-6,
         )
         return p, jnp.full((1,), it)
 
-    fn = jax.jit(_shard_map(spmd, mesh, in_specs=(P(axis),), out_specs=(P(axis), P())))
-    p, it = fn(sg)
+    extra = () if layouts is None else (layouts,)
+    fn = jax.jit(_shard_map(
+        spmd, mesh,
+        in_specs=(P(axis),) * (1 + len(extra)),
+        out_specs=(P(axis), P()),
+    ))
+    p, it = fn(sg, *extra)
     return _trim(p, V), int(it[0])
 
 
-def spmv(sg: ShardedGraph, x: jax.Array, mesh):
-    """Distributed y = A.x (y[src] = sum w * x[dst]). Returns y f32[V]."""
+def spmv(sg: ShardedGraph, x: jax.Array, mesh,
+         layouts: ShardedLayouts | None = None):
+    """Distributed y = A.x (y[src] = sum w * x[dst]). Returns y f32[V].
+    ``layouts``: bucketed Pallas pass (side='s', pad_value=0)."""
     V, Vs, n = sg.n_vertices, sg.v_per_shard, sg.n_shards
     axis = mesh.axis_names[0]
     x_pad = jnp.zeros(n * Vs, jnp.float32).at[:V].set(jnp.asarray(x, jnp.float32))
 
-    def spmd(sg, x_local):
+    def spmd(sg, x_local, *lay):
+        if lay:
+            return _pallas_advance_local(lay[0], x_local, axis, "plus_times")
         x_at_dst = _gather(sg, x_local, axis, "s")
         return _local_reduce(
             sg, jnp.where(sg.s_valid, sg.s_val * x_at_dst, 0.0),
             sg.s_valid, "sum", "s",
         )
 
-    fn = jax.jit(
-        _shard_map(spmd, mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis))
-    )
-    return _trim(fn(sg, x_pad), V)
+    extra = () if layouts is None else (layouts,)
+    fn = jax.jit(_shard_map(
+        spmd, mesh,
+        in_specs=(P(axis), P(axis)) + (P(axis),) * len(extra),
+        out_specs=P(axis),
+    ))
+    return _trim(fn(sg, x_pad, *extra), V)
 
 
 def kcore(sg: ShardedGraph, mesh):

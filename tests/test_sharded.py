@@ -287,3 +287,41 @@ def test_sharded_row_splits_match_segments(setup, mesh):
                 [[0], np.cumsum(np.bincount(key[d][valid[d]], minlength=Vs))]
             )
             np.testing.assert_array_equal(splits[d], want)
+
+
+def test_sharded_pallas_layouts_parity(setup, mesh):
+    """The bucketed-Pallas sharded path (round 4: per-shard layouts
+    dispatched under shard_map) must match the XLA segment path on every
+    converted algorithm, both exchange modes."""
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    n = sg.n_shards
+    Ld = sharded.build_sharded_layouts(g, n, side="d", window=256, chunk=256)
+    Li = sharded.build_sharded_layouts(
+        g, n, side="d", window=256, chunk=256, pad_value=float("inf")
+    )
+    Ls = sharded.build_sharded_layouts(g, n, side="s", window=256, chunk=256)
+
+    d0, dep0 = sharded.bfs(sg, 1, mesh)
+    d1, dep1 = sharded.bfs(sg, 1, mesh, layouts=Ld)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    assert dep0 == dep1
+
+    s0, _ = sharded.sssp(sg, 1, mesh)
+    s1, _ = sharded.sssp(sg, 1, mesh, layouts=Li)
+    f0 = np.isfinite(np.asarray(s0))
+    np.testing.assert_array_equal(f0, np.isfinite(np.asarray(s1)))
+    np.testing.assert_allclose(
+        np.asarray(s0)[f0], np.asarray(s1)[f0], rtol=1e-6, atol=1e-6
+    )
+
+    p0, _ = sharded.pagerank(sg, mesh, tol=1e-8)
+    p1, _ = sharded.pagerank(sg, mesh, tol=1e-8, layouts=Ld)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-5)
+
+    x = np.random.default_rng(0).random(g.n_vertices).astype(np.float32)
+    y0 = sharded.spmv(sg, x, mesh)
+    y1 = sharded.spmv(sg, x, mesh, layouts=Ls)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
