@@ -192,6 +192,11 @@ def main(argv=None):
                    choices=("auto", "luby", "rank", "greedy"),
                    help="coloring strategy (auto = greedy on Pallas / "
                    "luby on XLA; rank = multi-color rank JP)")
+    p.add_argument("--trace", action="store_true",
+                   help="capture a jax.profiler trace around the timed "
+                   "runs and report MEASURED per-kernel device time + "
+                   "gbps_measured next to the cost-model columns "
+                   "(utils/trace_stats; role of NVBench HW counters)")
     p.add_argument("--isolate", dest="isolate", action="store_true", default=True,
                    help="one subprocess per algorithm (default)")
     p.add_argument("--no-isolate", dest="isolate", action="store_false")
@@ -211,6 +216,8 @@ def main(argv=None):
                 "-n", str(ns.num_runs), "--load_balance", ns.load_balance,
                 "--seed", str(ns.seed), "--reorder", ns.reorder,
                 "--color_strategy", ns.color_strategy]
+        if ns.trace:
+            base += ["--trace"]
         if ns.market:
             base += ["--market", ns.market]
         else:
@@ -230,8 +237,18 @@ def main(argv=None):
     graph, dataset = build_graph_from_args(ns)
 
     for algo in algos:
+        trace_dir = None
         try:
-            times, edges, extra = bench_one(algo, graph, ns)
+            if ns.trace:
+                import tempfile
+
+                from gunrock_tpu.utils import profiler
+
+                trace_dir = tempfile.mkdtemp(prefix=f"gtrace_{algo}_")
+                with profiler.trace(trace_dir):
+                    times, edges, extra = bench_one(algo, graph, ns)
+            else:
+                times, edges, extra = bench_one(algo, graph, ns)
         except Exception as e:  # noqa: BLE001 — keep benching other algos
             print(json.dumps({"algorithm": algo, "error": str(e)[:200]}))
             continue
@@ -255,6 +272,13 @@ def main(argv=None):
                        extra),
             **extra,
         }
+        if trace_dir is not None:
+            from gunrock_tpu.utils import trace_stats
+
+            model_bytes = out.get("model_mb", 0) * 1e6 * len(times)
+            out.update(trace_stats.measured_kernel_table(
+                trace_dir, model_bytes or None, top=8
+            ))
         print(json.dumps(out))
         sys.stdout.flush()
 

@@ -156,9 +156,14 @@ def bfs_kernel_do(
 
         def dense_step(front, dist, it):
             unreached = dist == UNREACHED
+            # plus_times + exact: with a 0/1 frontier, "reached" only
+            # needs count > 0, and plus_times rides the v5 MXU one-hot
+            # scatter with a SINGLE bf16 matmul (exact=True: 1.0 msgs
+            # are bf16-exact; the MXU accumulates in f32 so counts stay
+            # exact) — max_times would fall back to the VPU one-hot
             y = bucketed_semiring_spmv_sparse(
-                layout, front.astype(jnp.float32), front, "max_times",
-                interpret=interpret, out_mask=unreached,
+                layout, front.astype(jnp.float32), front, "plus_times",
+                interpret=interpret, out_mask=unreached, exact=True,
             )
             new = (y > 0.5) & unreached
             return new, jnp.where(new, it + 1, dist)

@@ -129,14 +129,15 @@ def build_paged_layout(
     )
 
 
-def _chunk_compute(semiring, row2, col2, val2, x2, S):
+def _chunk_compute(semiring, row2, col2, val2, x2, S, exact=False):
     """Whole-chunk advance shared by the dense and sparse paged kernels:
     the v5 dynamic-gather + MXU-scatter math (semiring._compute_chunk_v4;
     min/max fall back to the one-hot scatter inside). Tiled [Cr, 128]
     edge operands; returns y_add [S, 128]."""
     from gunrock_tpu.ops.pallas.semiring import _compute_chunk_v4
 
-    return _compute_chunk_v4(x2, row2, col2, val2, semiring, S, mxu=True)
+    return _compute_chunk_v4(x2, row2, col2, val2, semiring, S, mxu=True,
+                             exact=exact)
 
 
 def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
@@ -193,7 +194,8 @@ def _make_paged_kernel(semiring: str, S: int, C: int, PAGE: int):
     return kernel
 
 
-def _make_paged_sparse_kernel(semiring: str, S: int, C: int, PAGE: int):
+def _make_paged_sparse_kernel(semiring: str, S: int, C: int, PAGE: int,
+                              exact: bool = False):
     """Frontier-sparse paged kernel: metadata (incl. the active-first
     chunk permutation) is computed ON DEVICE per call and paged through
     SMEM exactly like the dense variant's — but edge chunks are now
@@ -260,7 +262,7 @@ def _make_paged_sparse_kernel(semiring: str, S: int, C: int, PAGE: int):
             col2 = ebuf[j % 2, 1]
             val2 = vbuf[j % 2]
             y_add = _chunk_compute(semiring, row2, col2, val2,
-                                   xbuf[j % 2], S)
+                                   xbuf[j % 2], S, exact)
             if semiring == "min_plus":
                 acc[...] = jnp.minimum(acc[...], y_add)
             elif semiring == "max_times":
@@ -334,7 +336,8 @@ def _sparse_meta(layout: PagedEdges, active, out_mask):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("semiring", "interpret", "tail_grids")
+    jax.jit,
+    static_argnames=("semiring", "interpret", "tail_grids", "exact"),
 )
 def paged_semiring_spmv_sparse(
     layout: PagedEdges,
@@ -344,6 +347,7 @@ def paged_semiring_spmv_sparse(
     interpret: bool = False,
     out_mask: jax.Array | None = None,
     tail_grids: tuple[int, ...] | None = None,
+    exact: bool = False,
 ):
     """Frontier-sparse paged advance — same contract as
     semiring.bucketed_semiring_spmv_sparse (chunks whose source window
@@ -363,7 +367,7 @@ def paged_semiring_spmv_sparse(
 
     def call(n_pages):
         return pl.pallas_call(
-            _make_paged_sparse_kernel(semiring, S, C, PAGE),
+            _make_paged_sparse_kernel(semiring, S, C, PAGE, exact),
             out_shape=jax.ShapeDtypeStruct(
                 (layout.n_row_blocks, S, 128), jnp.float32
             ),

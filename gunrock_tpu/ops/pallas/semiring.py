@@ -272,7 +272,8 @@ def _gather_window_dyn(x2, col2, S: int):
     return acc
 
 
-def _scatter_window_pure(row2, msg2, semiring: str, S: int, mxu: bool):
+def _scatter_window_pure(row2, msg2, semiring: str, S: int, mxu: bool,
+                         exact: bool = False):
     """y_add [S, 128] = scatter-reduce of msg by local row id — the pure
     form shared by the SMEM-grid kernels (which combine into y_ref) and
     the paged kernels (which combine into a VMEM run accumulator).
@@ -309,6 +310,12 @@ def _scatter_window_pure(row2, msg2, semiring: str, S: int, mxu: bool):
             hi_ts.append((rhi[None, :] == s_iota).astype(jnp.bfloat16))
         lo_scat = scats[0] if Cr == 1 else jnp.concatenate(scats, axis=0)
         hi_t = hi_ts[0] if Cr == 1 else jnp.concatenate(hi_ts, axis=1)
+        if exact:
+            # messages are bf16-exact small values (|m| <= 256 integral,
+            # e.g. 0/1 reachability) — one matmul, no hi/lo split; the
+            # MXU still accumulates in f32 so SUMS stay exact to 2^24
+            return jnp.dot(hi_t, lo_scat.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
         mh, ml = _split_bf16(lo_scat)
         return jnp.dot(
             hi_t, mh, preferred_element_type=jnp.float32
@@ -341,7 +348,7 @@ def _scatter_window_pure(row2, msg2, semiring: str, S: int, mxu: bool):
 
 
 def _compute_chunk_v4(x2, row2, col2, val2, semiring: str, S: int,
-                      mxu: bool):
+                      mxu: bool, exact: bool = False):
     """Whole-chunk v4/v5 advance (gather + message + scatter), pure:
     returns y_add [S, 128] to combine into the caller's accumulator.
     Shared by the SMEM-grid kernels and the paged kernels."""
@@ -350,12 +357,13 @@ def _compute_chunk_v4(x2, row2, col2, val2, semiring: str, S: int,
         msg2 = jnp.minimum(val2 + xg, _BIG)
     else:
         msg2 = val2 * xg
-    return _scatter_window_pure(row2, msg2, semiring, S, mxu)
+    return _scatter_window_pure(row2, msg2, semiring, S, mxu, exact)
 
 
-def _scatter_window(row2, msg2, y_ref, semiring: str, S: int, mxu: bool):
+def _scatter_window(row2, msg2, y_ref, semiring: str, S: int, mxu: bool,
+                    exact: bool = False):
     """Ref-combining wrapper over :func:`_scatter_window_pure`."""
-    y_add = _scatter_window_pure(row2, msg2, semiring, S, mxu)
+    y_add = _scatter_window_pure(row2, msg2, semiring, S, mxu, exact)
     if semiring == "min_plus":
         y_ref[0] = jnp.minimum(y_ref[0], y_add)
     elif semiring == "max_times":
@@ -550,7 +558,8 @@ def _bucketed_semiring_spmv_impl(
     return y
 
 
-def _make_sparse_kernel(semiring: str, version: int = 1):
+def _make_sparse_kernel(semiring: str, version: int = 1,
+                        exact: bool = False):
     """Flat kernel with in-grid chunk skipping: grid slot i runs chunk
     ``perm[i]`` when ``i < count`` and does nothing otherwise. The
     frontier-driven advance of the reference's sparse input frontiers
@@ -591,7 +600,7 @@ def _make_sparse_kernel(semiring: str, version: int = 1):
                 else:
                     msg2 = val2 * xg
                 _scatter_window(
-                    row2, msg2, y_ref, semiring, S, version >= 5
+                    row2, msg2, y_ref, semiring, S, version >= 5, exact
                 )
                 return
             lanes = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
@@ -708,18 +717,21 @@ def bucketed_semiring_spmv_sparse(
     out_mask: jax.Array | None = None,
     tail_grids: tuple[int, ...] | None = None,
     version: int | None = None,
+    exact: bool = False,
 ):
     if version is None:
         version = _default_version()
     return _bucketed_semiring_spmv_sparse_impl(
         layout, x, active, semiring, interpret, out_mask, tail_grids,
-        version,
+        version, exact,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("semiring", "interpret", "tail_grids", "version"),
+    static_argnames=(
+        "semiring", "interpret", "tail_grids", "version", "exact"
+    ),
 )
 def _bucketed_semiring_spmv_sparse_impl(
     layout: BucketedEdges,
@@ -730,6 +742,7 @@ def _bucketed_semiring_spmv_sparse_impl(
     out_mask: jax.Array | None = None,
     tail_grids: tuple[int, ...] | None = None,
     version: int = 1,
+    exact: bool = False,
 ):
     """Frontier-sparse semiring advance: identical result contract to
     :func:`bucketed_semiring_spmv` given that inactive vertices of ``x``
@@ -750,7 +763,7 @@ def _bucketed_semiring_spmv_sparse_impl(
     if isinstance(layout, PagedEdges):
         return paged_semiring_spmv_sparse(
             layout, x, active, semiring, interpret=interpret,
-            out_mask=out_mask, tail_grids=tail_grids,
+            out_mask=out_mask, tail_grids=tail_grids, exact=exact,
         )
     W = layout.window
     S = W // 128
@@ -769,7 +782,7 @@ def _bucketed_semiring_spmv_sparse_impl(
     )
     count = call_args[2][0]
     y3 = _tail_grid_dispatch(
-        _make_sparse_kernel(semiring, version),
+        _make_sparse_kernel(semiring, version, exact),
         jax.ShapeDtypeStruct((n_rb, S, 128), jnp.float32),
         in_specs, out_block, call_args, count, n_chunks, interpret,
         tail_grids,
