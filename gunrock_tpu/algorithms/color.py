@@ -466,9 +466,12 @@ def color_kernel_greedy_pallas(
         oh_old, _ = onehot_inwin(old, base, changed)
         x = oh_new - oh_old  # signed one-hot delta, bf16-exact
         unstable = unc | inwin
+        # tail grids: the change set collapses geometrically over ~70+
+        # rounds, so late rounds run the /8 or /64 grid instead of
+        # iterating every predicated-off chunk slot
         cnt = cnt + bucketed_spmm_sparse(
             layout, x, changed, interpret=interpret, out_mask=unstable,
-            exact=True,
+            exact=True, tail_grids=(8, 64),
         )
         koff = jnp.clip(colors - base, 0, K - 1)
         cnt_own = jnp.sum(
