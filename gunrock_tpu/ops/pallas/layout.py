@@ -236,8 +236,16 @@ def auto_window_chunk(n_vertices: int, interpret: bool = False) -> tuple[int, in
     compare cost ~ fragmentation*W stays flat because doubling W
     halves the fragmentation on bucket-saturated graphs (measured at
     scale 20: W=2048 frag 4.17 vs W=4096 frag 2.09)."""
+    import os
+
     if interpret:
         return 128, 256
+    # explicit override for A/Bs (benchmarks set these per process)
+    env_w = os.environ.get("GUNROCK_WINDOW")
+    env_c = os.environ.get("GUNROCK_CHUNK")
+    if env_w or env_c:
+        W = int(env_w) if env_w else 2048
+        return W, int(env_c) if env_c else 256 * max(1, W // 2048)
     W = 2048
     while n_vertices > 256 * W:
         W *= 2

@@ -939,3 +939,219 @@ def paged_semiring_spmv_sparse_minmax(
     ymax3 = jnp.where(rb_touched[:, None, None], ymax3, 0.0)
     ymin3 = jnp.where(rb_touched[:, None, None], ymin3, _BIG)
     return ymax3.reshape(-1)[:V], ymin3.reshape(-1)[:V]
+
+
+# ---------------------------------------------------------------------------
+# Snake-order kernel (round 4): the v5 dense pass is DMA/pipeline-bound
+# (probe_v5_floor: 8.5 of 13.0 ms is block streaming at ~27 GB/s — the
+# x window is re-fetched for every chunk). Iterating chunks as
+# (rb_tile, cb, rb) with G = `group` live accumulators fetches each x
+# window ONCE per tile instead of once per chunk: x traffic drops ~G x
+# for bucket-saturated graphs. Output rides ANY space with manual
+# run-end writebacks exactly like the paged kernels (the SMEM-grid
+# pipeline cannot revisit an output block non-consecutively).
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["meta", "rowcol", "values", "rb_occupied"],
+    meta_fields=["window", "chunk", "page", "group", "n_pages", "n_chunks",
+                 "n_row_blocks", "n_col_blocks", "n_vertices"],
+)
+@dataclasses.dataclass(frozen=True)
+class SnakeEdges:
+    """PagedEdges in snake order. meta fields per chunk:
+    [rb, cb, fetch_x, xslot, acc_init, acc_flush, g, 0] where g = the
+    accumulator index of rb within its tile and fetch_x marks the first
+    chunk of each (tile, cb) run (host-computed alternating xslot)."""
+
+    meta: jax.Array  # int32[n_pages*page, 8]
+    rowcol: jax.Array  # int32[n_pad, 2, chunk//128, 128]
+    values: jax.Array  # f32[n_pad, chunk//128, 128]
+    rb_occupied: jax.Array  # bool[n_row_blocks]
+    window: int
+    chunk: int
+    page: int
+    group: int
+    n_pages: int
+    n_chunks: int
+    n_row_blocks: int
+    n_col_blocks: int
+    n_vertices: int
+
+
+def build_snake_layout(
+    rows, cols, values, n_vertices: int,
+    window: int = 2048, chunk: int = 256, page: int = 512,
+    group: int = 8, pad_value: float = 0.0,
+) -> SnakeEdges:
+    """Host-side: bucketed layout re-ordered (rb//G, cb, rb%G)."""
+    from gunrock_tpu.ops.pallas.layout import build_bucketed_layout
+
+    b = build_bucketed_layout(
+        rows, cols, values, n_vertices,
+        window=window, chunk=chunk, pad_value=pad_value,
+    )
+    n_chunks = b.n_chunks
+    G = group
+    rb = np.asarray(b.chunk_rb, np.int64)
+    cb = np.asarray(b.chunk_cb, np.int64)
+    order = np.lexsort((rb % G, cb, rb // G))
+    rb_o = rb[order].astype(np.int32)
+    cb_o = cb[order].astype(np.int32)
+    tile = rb_o // G
+
+    n_pages = max(1, -(-n_chunks // page))
+    n_pad = n_pages * page
+    meta = np.zeros((n_pad, 8), np.int32)
+    if n_chunks:
+        fetch = np.ones(n_chunks, np.int32)
+        fetch[1:] = ((cb_o[1:] != cb_o[:-1])
+                     | (tile[1:] != tile[:-1])).astype(np.int32)
+        xslot = (np.cumsum(fetch) - 1) % 2
+        key = tile.astype(np.int64) * (rb.max() + 2) + rb_o
+        first = np.ones(n_chunks, np.int32)
+        last = np.ones(n_chunks, np.int32)
+        seen: dict = {}
+        # first/last occurrence of each (tile, rb) in snake order
+        first[1:] = 0
+        last[:-1] = 0
+        uk, inv = np.unique(key, return_inverse=True)
+        first_idx = np.full(uk.size, n_chunks, np.int64)
+        last_idx = np.zeros(uk.size, np.int64)
+        np.minimum.at(first_idx, inv, np.arange(n_chunks))
+        np.maximum.at(last_idx, inv, np.arange(n_chunks))
+        first = np.zeros(n_chunks, np.int32)
+        last = np.zeros(n_chunks, np.int32)
+        first[first_idx] = 1
+        last[last_idx] = 1
+        meta[:n_chunks, 0] = rb_o
+        meta[:n_chunks, 1] = cb_o
+        meta[:n_chunks, 2] = fetch
+        meta[:n_chunks, 3] = xslot
+        meta[:n_chunks, 4] = first
+        meta[:n_chunks, 5] = last
+        meta[:n_chunks, 6] = (rb_o % G).astype(np.int32)
+
+    assert chunk % 128 == 0
+    cr = chunk // 128
+    rl = np.asarray(b.row_local).reshape(n_chunks, cr, 128)[order]
+    cl = np.asarray(b.col_local).reshape(n_chunks, cr, 128)[order]
+    vals = np.asarray(b.values).reshape(n_chunks, cr, 128)[order]
+    rowcol = np.zeros((n_pad, 2, cr, 128), np.int32)
+    rowcol[:n_chunks, 0] = rl
+    rowcol[:n_chunks, 1] = cl
+    vpad = np.full((n_pad, cr, 128), pad_value, np.float32)
+    vpad[:n_chunks] = vals
+    return SnakeEdges(
+        meta=jnp.asarray(meta), rowcol=jnp.asarray(rowcol),
+        values=jnp.asarray(vpad), rb_occupied=b.rb_occupied,
+        window=window, chunk=chunk, page=page, group=G,
+        n_pages=n_pages, n_chunks=n_chunks,
+        n_row_blocks=b.n_row_blocks, n_col_blocks=b.n_col_blocks,
+        n_vertices=n_vertices,
+    )
+
+
+def _make_snake_kernel(semiring: str, S: int, C: int, PAGE: int, G: int):
+    ident, _ = _SEMIRINGS[semiring]
+
+    def kernel(meta_ref, rc_ref, val_ref, x_any, y_any, xbuf, acc, xsem,
+               ysem):
+        j = pl.program_id(1)
+
+        def x_dma(jj, slot):
+            return pltpu.make_async_copy(
+                x_any.at[meta_ref[jj, 1]], xbuf.at[slot], xsem.at[slot]
+            )
+
+        @pl.when((j == 0) & (meta_ref[0, 2] == 1))
+        def _():
+            x_dma(0, meta_ref[0, 3]).start()
+
+        jn = jnp.minimum(j + 1, PAGE - 1)
+
+        @pl.when((j + 1 < PAGE) & (meta_ref[jn, 2] == 1))
+        def _():
+            x_dma(jn, meta_ref[jn, 3]).start()
+
+        rb = meta_ref[j, 0]
+        g = meta_ref[j, 6]
+
+        @pl.when(meta_ref[j, 4] == 1)
+        def _():
+            acc[g] = jnp.full((S, 128), ident, jnp.float32)
+
+        @pl.when(meta_ref[j, 2] == 1)
+        def _():
+            x_dma(j, meta_ref[j, 3]).wait()
+
+        x2 = xbuf[meta_ref[j, 3]]
+        y_add = _chunk_compute(
+            semiring, rc_ref[0, 0], rc_ref[0, 1], val_ref[0], x2, S
+        )
+        if semiring == "min_plus":
+            acc[g] = jnp.minimum(acc[g], y_add)
+        elif semiring == "max_times":
+            acc[g] = jnp.maximum(acc[g], y_add)
+        else:
+            acc[g] = acc[g] + y_add
+
+        @pl.when(meta_ref[j, 5] == 1)
+        def _():
+            w = pltpu.make_async_copy(acc.at[g], y_any.at[rb], ysem)
+            w.start()
+            w.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("semiring", "interpret"))
+def snake_semiring_spmv(
+    layout: SnakeEdges,
+    x: jax.Array,
+    semiring: str = "plus_times",
+    interpret: bool = False,
+):
+    """Dense semiring advance over a SnakeEdges layout — identical
+    result contract to semiring.bucketed_semiring_spmv."""
+    W, C, PAGE, G = layout.window, layout.chunk, layout.page, layout.group
+    S = W // 128
+    V = layout.n_vertices
+    ident, _ = _SEMIRINGS[semiring]
+    x_pad = jnp.full(layout.n_col_blocks * W, 0.0, jnp.float32).at[:V].set(x)
+    x3 = x_pad.reshape(layout.n_col_blocks, S, 128)
+
+    y3 = pl.pallas_call(
+        _make_snake_kernel(semiring, S, C, PAGE, G),
+        out_shape=jax.ShapeDtypeStruct(
+            (layout.n_row_blocks, S, 128), jnp.float32
+        ),
+        grid=(layout.n_pages, PAGE),
+        in_specs=[
+            pl.BlockSpec((PAGE, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, C // 128, 128),
+                         lambda i, j: (i * PAGE + j, 0, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda i, j: (i * PAGE + j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, 128), jnp.float32),  # x double buffer
+            pltpu.VMEM((G, S, 128), jnp.float32),  # per-tile accumulators
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(layout.meta, layout.rowcol, layout.values, x3)
+    y3 = jnp.where(layout.rb_occupied[:, None, None], y3, ident)
+    y = y3.reshape(-1)[:V]
+    if semiring == "min_plus":
+        y = jnp.where(y >= _BIG, jnp.inf, y)
+    return y

@@ -709,3 +709,36 @@ def test_paged_minmax_matches_smem():
                                       np.asarray(ms[0])[sel])
         np.testing.assert_array_equal(np.asarray(mp[1])[sel],
                                       np.asarray(ms[1])[sel])
+
+
+def test_snake_semiring_matches_bucketed():
+    """Snake-order kernel (documented experiment, BASELINE round-4
+    negative result) must stay numerically identical to the bucketed
+    dispatch for all three semirings."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gunrock_tpu.io.generators import rmat_graph
+    from gunrock_tpu.ops.pallas.paged import (build_snake_layout,
+                                              snake_semiring_spmv)
+    from gunrock_tpu.ops.pallas.semiring import (bucketed_semiring_spmv,
+                                                 pull_layout)
+
+    g = rmat_graph(scale=9, edge_factor=12, seed=2)
+    x = jnp.asarray(
+        np.random.default_rng(1).random(g.n_vertices, dtype=np.float32)
+    )
+    for sr, pv in (("plus_times", 0.0), ("max_times", 0.0),
+                   ("min_plus", float("inf"))):
+        ref_lay = pull_layout(g, window=256, chunk=128, pad_value=pv)
+        sl = build_snake_layout(
+            np.asarray(g.col_indices), np.asarray(g.edge_src),
+            np.asarray(g.values), g.n_vertices,
+            window=256, chunk=128, page=8, group=4, pad_value=pv,
+        )
+        y_ref = np.asarray(
+            bucketed_semiring_spmv(ref_lay, x, sr, interpret=True)
+        )
+        y_snk = np.asarray(snake_semiring_spmv(sl, x, sr, interpret=True))
+        m = np.isfinite(y_ref)
+        np.testing.assert_array_equal(m, np.isfinite(y_snk))
+        np.testing.assert_allclose(y_ref[m], y_snk[m], rtol=1e-5, atol=1e-5)
