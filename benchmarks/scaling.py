@@ -102,6 +102,13 @@ def main(argv=None):
                    help="assumed per-chip ICI bandwidth (model mode)")
     p.add_argument("--stream-gbps", type=float, default=90.0,
                    help="measured per-chip HBM streaming rate")
+    p.add_argument("--pass-ms", type=float, default=0.0,
+                   help="MEASURED single-chip dense pass time for this "
+                   "graph (e.g. 13.2 at s18 degsort, v5 kernel — "
+                   "BASELINE round-4). When given, T_comp derives from "
+                   "it instead of the raw-stream idealization, so "
+                   "efficiency numbers reflect the real kernel "
+                   "(VERDICT round-3 next-step #3)")
     p.add_argument("--ici-lat-us", type=float, default=5.0)
     p.add_argument("--rmat", type=int, default=14)
     p.add_argument("--edge_factor", type=int, default=16)

@@ -151,10 +151,17 @@ def run(
         from gunrock_tpu.ops.pallas.semiring import pull_layout, push_layout
 
         interpret = use_interpret()
-        # the SAME per-graph cache entries every other algorithm uses;
-        # layouts ride as jit ARGUMENTS (a closure would bake them in)
-        ps_ = push_layout(graph, unit=True, interpret=interpret)
-        pl_ = pull_layout(graph, unit=True, interpret=interpret)
+        # HITS is dense-only: bigger-chunk layouts win (see
+        # layout.dense_window_chunk; BASELINE round-4 chunk sweep).
+        # Layouts ride as jit ARGUMENTS (a closure would bake them in).
+        from gunrock_tpu.ops.pallas.layout import dense_window_chunk
+
+        dwc = dense_window_chunk(graph.n_vertices, interpret)
+        w, c = dwc if dwc else (None, None)
+        ps_ = push_layout(graph, unit=True, interpret=interpret,
+                          window=w, chunk=c)
+        pl_ = pull_layout(graph, unit=True, interpret=interpret,
+                          window=w, chunk=c)
         fn = cached_jit(
             ("hits_pallas", max_iterations, interpret),
             lambda: lambda g, ps, pl: hits_kernel_pallas(

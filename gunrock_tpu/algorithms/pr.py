@@ -158,9 +158,15 @@ def run(
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
         import time
 
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import dense_window_chunk
         from gunrock_tpu.ops.pallas.semiring import pull_layout
 
-        layout = pull_layout(graph)  # host-side; must precede tracing
+        # PR is dense-only: the bigger-chunk layout wins (see
+        # layout.dense_window_chunk; BASELINE round-4 chunk sweep)
+        dwc = dense_window_chunk(graph.n_vertices, use_interpret())
+        w, c = dwc if dwc else (None, None)
+        layout = pull_layout(graph, window=w, chunk=c)  # host-side
         # layout as jit argument (closure would bake it into the HLO)
         from gunrock_tpu.ops.pallas import use_interpret
         from gunrock_tpu.utils.jitcache import cached_jit

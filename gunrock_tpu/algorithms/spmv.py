@@ -86,9 +86,15 @@ def run(graph: Graph, x, options: Options | None = None, warmup: bool = True) ->
         from gunrock_tpu.ops.pallas.layout import layout_for_graph
         from gunrock_tpu.ops.pallas.spmv import bucketed_spmv
 
-        # layout built host-side before tracing (concrete graph required)
-        layout = layout_for_graph(graph)
+        # layout built host-side before tracing (concrete graph
+        # required); SpMV is dense-only, so the bigger-chunk layout wins
+        # (layout.dense_window_chunk, BASELINE round-4 chunk sweep)
+        from gunrock_tpu.ops.pallas.layout import dense_window_chunk
+
         interp = use_interpret()
+        dwc = dense_window_chunk(graph.n_vertices, interp)
+        w, c = dwc if dwc else (None, None)
+        layout = layout_for_graph(graph, window=w, chunk=c)
         from gunrock_tpu.utils.jitcache import cached_jit
 
         # layout as jit argument (closure would bake it into the HLO)

@@ -252,6 +252,21 @@ def auto_window_chunk(n_vertices: int, interpret: bool = False) -> tuple[int, in
     return W, 256 * (W // 2048)
 
 
+def dense_window_chunk(n_vertices: int,
+                       interpret: bool = False) -> tuple[int, int] | None:
+    """(window, chunk) for DENSE-ONLY algorithms (PR, HITS, SpMV — no
+    frontier-sparse passes). The v5 kernel's dense pass is per-grid-step
+    bound, so fewer/bigger chunks win: W=4096/C=1024 measured 10.8 ms vs
+    the default W=2048/C=256's 13.2 at s18 degsort (BASELINE round-4) —
+    but coarser windows skip fewer chunks on SPARSE passes, so
+    traversal algorithms must NOT use this. Returns None when the
+    default (auto) pick should stand (tiny graphs, interpret mode, or
+    scales where auto already escalates past W=4096)."""
+    if interpret or n_vertices < (1 << 16) or n_vertices > (1 << 20):
+        return None
+    return 4096, 1024
+
+
 def layout_for_graph(graph, window: int | None = None, chunk: int | None = None) -> BucketedEdges:
     """CSR edges of a Graph in bucketed layout (cached per (graph, W, C))."""
     from gunrock_tpu.graph import hostcache
