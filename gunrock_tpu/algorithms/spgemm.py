@@ -490,15 +490,32 @@ def _run_dense(
     t0 = time.perf_counter()
     nnz_parts, csum_parts, triples = [], [], []
     if count_only and n_blocks:
-        # ONE dispatch for the whole sweep: the host loop paid ~10-50 ms
-        # tunnel dispatch per block (512 blocks at s16 = 5-25 s of pure
-        # dispatch). Per-block counts land in a stacked int32 vector,
-        # summed on host in int64 (same overflow contract as the ESC
-        # fused loop).
-        starts_d = jnp.asarray(starts[:-1].astype(np.int32))
-        rstarts_d = jnp.asarray(
-            (np.arange(n_blocks) * block_rows).astype(np.int32)
-        )
+        # GROUPED dispatches for the sweep: the original per-block host
+        # loop paid ~10-50 ms tunnel dispatch per block, but one fused
+        # dispatch for ALL blocks dies at s18 (2048 blocks x 20.5K-chunk
+        # grids = ~42M grid steps in a single executable run — the
+        # device/RPC deadline kills it with UNAVAILABLE, the same
+        # failure class as geo's old single-dispatch Weiszfeld loop).
+        # Groups of 64 blocks bound each dispatch to a few seconds while
+        # keeping dispatch overhead at ~2% of s16 runtime. Per-block
+        # counts land in a stacked int32 vector, summed on host in int64
+        # (same overflow contract as the ESC fused loop).
+        gs = min(64, n_blocks)
+        n_pad_blocks = gs * (-(-n_blocks // gs))
+        pad_blocks = n_pad_blocks - n_blocks
+        # padding slots are EMPTY blocks: edge_start points at the zero
+        # pad appended to ar_g/ac_g/av_g (slices read v=0.0 -> zero
+        # contribution, nnz 0, checksum 0 — no correction needed)
+        starts_np = np.concatenate([
+            starts[:-1].astype(np.int32),
+            np.full(pad_blocks, int(a_off[-1]), np.int32),
+        ])
+        rstarts_np = np.concatenate([
+            (np.arange(n_blocks) * block_rows).astype(np.int32),
+            np.full(pad_blocks, V, np.int32),
+        ])
+        starts_d = jnp.asarray(starts_np)
+        rstarts_d = jnp.asarray(rstarts_np)
 
         def fused(lay, ar, ac, av, st, rs):
             def body(b, carry):
@@ -511,17 +528,23 @@ def _run_dense(
                 return nnz_vec.at[b].set(n), cs + c
 
             return jax.lax.fori_loop(
-                0, n_blocks, body,
-                (jnp.zeros(n_blocks, jnp.int32), jnp.float32(0.0)),
+                0, gs, body,
+                (jnp.zeros(gs, jnp.int32), jnp.float32(0.0)),
             )
 
         ffn = cached_jit(
-            ("spgemm_dense_fused", V, block_rows, pad_n, n_blocks, interpret),
+            ("spgemm_dense_fused", V, block_rows, pad_n, gs, interpret),
             lambda: fused,
         )
-        nnz_vec, cs = ffn(layout, ar_g, ac_g, av_g, starts_d, rstarts_d)
-        nnz_parts.append(nnz_vec)
-        csum_parts.append(cs)
+        for g in range(n_pad_blocks // gs):
+            nnz_vec, cs = ffn(
+                layout, ar_g, ac_g, av_g,
+                jax.lax.dynamic_slice_in_dim(starts_d, g * gs, gs),
+                jax.lax.dynamic_slice_in_dim(rstarts_d, g * gs, gs),
+            )
+            keep = max(0, min(gs, n_blocks - g * gs))
+            nnz_parts.append(nnz_vec[:keep])
+            csum_parts.append(cs)
     for b in range(0 if count_only else n_blocks):
         rows, cols, vals, nnz, csum = fn(
             layout, ar_g, ac_g, av_g,
