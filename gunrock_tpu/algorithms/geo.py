@@ -95,8 +95,17 @@ def geo_kernel(
     total_iterations: int = 10,
     spatial_iterations: int = 1000,
     eps: float = 1e-3,
+    layout=None,
+    slot_dst=None,  # int32[n_chunks*C] global dst per layout slot
+    slot_valid=None,  # bool[n_chunks*C] real (non-pad) slot
+    interpret: bool = False,
 ):
-    """Pure geolocation. Returns (latitude, longitude) f32[V]."""
+    """Pure geolocation. Returns (latitude, longitude) f32[V].
+
+    With ``layout`` (push-oriented bucketed layout + slot tables), the
+    Weiszfeld inner step runs through the Pallas kernel
+    (ops/pallas/geo_step.py) instead of the serialized [E,2] gather +
+    [E,4] scatter per step — the round-3/4 geo wall."""
     V = graph.n_vertices
     src = graph.edge_src
     dst = graph.col_indices
@@ -148,25 +157,50 @@ def geo_kernel(
         # that is tens of steps, not the 1000-step worst case, and a
         # single device execution at spatial_iterations=1000 over E~1M
         # exceeds the tunnel's RPC deadline (the round-3 "geo fault").
+        if layout is not None:
+            # slot-space neighbor coordinates for the Pallas step (one
+            # [n_slots, 3] row gather per OUTER iteration)
+            from gunrock_tpu.ops.pallas.geo_step import weiszfeld_step_sums
+
+            n_chunks = layout.n_chunks
+            Cr = layout.chunk // 128
+            sco = jnp.stack(
+                [lat, lon, labeled.astype(jnp.float32)], axis=1
+            )[slot_dst]
+            ok_slot = slot_valid & (sco[:, 2] > 0.0)
+            mlat3 = jnp.where(ok_slot, sco[:, 0], 0.0).reshape(
+                n_chunks, Cr, 128)
+            mlon3 = jnp.where(ok_slot, sco[:, 1], 0.0).reshape(
+                n_chunks, Cr, 128)
+            ok3 = ok_slot.astype(jnp.float32).reshape(n_chunks, Cr, 128)
+
         def wcond(s):
             i, *_, done = s
             return (i < spatial_iterations) & ~jnp.all(done)
 
         def wstep(s):
             i, y_lat, y_lon, out_lat, out_lon, done = s
-            yco = jnp.stack([y_lat, y_lon], axis=1)[src]  # [E,2] one gather
-            d = haversine(mlat, mlon, yco[:, 0], yco[:, 1])
-            ok = nb_ok & (d != 0)
-            dinv = jnp.where(ok, 1.0 / jnp.maximum(d, 1e-30), 0.0)
-            # nonzero count + dinv sum + both weighted coordinate sums in
-            # one [E, 4] scatter (was 4 separate serialized scatters).
-            sums = _seg_sum(
-                jnp.stack(
-                    [ok.astype(jnp.float32), dinv, dinv * mlat, dinv * mlon],
-                    axis=1,
-                ),
-                src, V,
-            )
+            if layout is not None:
+                nonzeros, dinvs, wlat, wlon = weiszfeld_step_sums(
+                    layout, y_lat, y_lon, mlat3, mlon3, ok3,
+                    interpret=interpret,
+                )
+                sums = jnp.stack([nonzeros, dinvs, wlat, wlon], axis=1)
+            else:
+                yco = jnp.stack([y_lat, y_lon], axis=1)[src]  # [E,2] gather
+                d = haversine(mlat, mlon, yco[:, 0], yco[:, 1])
+                ok = nb_ok & (d != 0)
+                dinv = jnp.where(ok, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+                # nonzero count + dinv sum + both weighted coordinate
+                # sums in one [E, 4] scatter (was 4 separate scatters).
+                sums = _seg_sum(
+                    jnp.stack(
+                        [ok.astype(jnp.float32), dinv, dinv * mlat,
+                         dinv * mlon],
+                        axis=1,
+                    ),
+                    src, V,
+                )
             nonzeros, dinvs = sums[:, 0], sums[:, 1]
             dsafe = jnp.maximum(dinvs, 1e-30)
             t_lat = sums[:, 2] / dsafe
@@ -245,16 +279,45 @@ def run(
     warmup: bool = True,
 ) -> Result:
     """Role of reference ``geo::run`` (geo.hxx:417-447)."""
-    del options
+    from gunrock_tpu.ops.configs import LoadBalance, default_options
     from gunrock_tpu.utils.jitcache import cached_jit
 
+    if options is None:
+        options = default_options()
+    layout = slot_dst = slot_valid = None
+    interpret = False
+    if options.load_balance == LoadBalance.PALLAS_MERGE_PATH and graph.n_edges:
+        import numpy as np
+
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.semiring import push_layout
+
+        interpret = use_interpret()
+        # push orientation (rows = src, the reduction key); unit values
+        # double as the real-slot mask
+        layout = push_layout(graph, unit=True, interpret=interpret)
+        C = layout.chunk
+        W = layout.window
+        cb = np.asarray(layout.chunk_cb)
+        cl = np.asarray(layout.col_local)
+        sv = np.asarray(layout.values) == 1.0
+        sd = (np.repeat(cb, C) * W + cl).astype(np.int32)
+        sd[~sv] = 0  # pads read vertex 0, masked by slot_valid
+        slot_dst = jnp.asarray(sd)
+        slot_valid = jnp.asarray(sv)
+
     fn = cached_jit(
-        ("geo", total_iterations, spatial_iterations),
-        lambda: lambda g, la, lo: geo_kernel(
-            g, la, lo, total_iterations, spatial_iterations
+        ("geo", total_iterations, spatial_iterations,
+         None if layout is None else ("pallas", interpret)),
+        lambda: lambda g, la, lo, lay, sdst, sval: geo_kernel(
+            g, la, lo, total_iterations, spatial_iterations,
+            layout=lay, slot_dst=sdst, slot_valid=sval,
+            interpret=interpret,
         ),
     )
-    args = (graph, jnp.asarray(latitude, jnp.float32), jnp.asarray(longitude, jnp.float32))
+    args = (graph, jnp.asarray(latitude, jnp.float32),
+            jnp.asarray(longitude, jnp.float32), layout, slot_dst,
+            slot_valid)
     if warmup:
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()

@@ -272,3 +272,50 @@ def test_spgemm_auto_strategy():
         assert e.nnz == want
     finally:
         del os.environ["GUNROCK_SPGEMM_AUTO_K"]
+
+
+def test_geo_pallas_wstep_matches_xla():
+    """The Pallas Weiszfeld-step kernel (ops/pallas/geo_step.py — slot-
+    space coordinates, dynamic-gather iterate reads, 4-channel shared
+    MXU scatter, polynomial arcsin) must track the XLA path within the
+    asin approximation error (~1e-6 rel on distances)."""
+    import numpy as np
+
+    from gunrock_tpu.algorithms import geo
+    from gunrock_tpu.io.generators import rmat_graph
+    from gunrock_tpu.ops.configs import LoadBalance, Options
+
+    g = rmat_graph(scale=9, edge_factor=12, seed=5, undirected=True)
+    rng = np.random.default_rng(0)
+    lat = np.where(rng.random(g.n_vertices) < 0.4,
+                   rng.uniform(-60, 60, g.n_vertices), np.nan)
+    lon = np.where(np.isnan(lat), np.nan,
+                   rng.uniform(-170, 170, g.n_vertices))
+    lat = lat.astype(np.float32)
+    lon = lon.astype(np.float32)
+    kw = dict(total_iterations=2, spatial_iterations=25, warmup=False)
+    r_x = geo.run(g, lat, lon,
+                  options=Options(load_balance=LoadBalance.XLA_SEGMENT),
+                  **kw)
+    r_p = geo.run(
+        g, lat, lon,
+        options=Options(load_balance=LoadBalance.PALLAS_MERGE_PATH), **kw
+    )
+    for a, b in ((r_x.latitude, r_p.latitude),
+                 (r_x.longitude, r_p.longitude)):
+        a, b = np.asarray(a), np.asarray(b)
+        m = np.isfinite(a)
+        np.testing.assert_array_equal(m, np.isfinite(b))
+        np.testing.assert_allclose(a[m], b[m], rtol=2e-3, atol=2e-3)
+
+
+def test_geo_step_asin_poly_accuracy():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas.geo_step import _asin_poly
+
+    x = np.linspace(0.0, 1.0, 4001, dtype=np.float32)
+    got = np.asarray(_asin_poly(jnp.asarray(x)))
+    want = np.arcsin(x.astype(np.float64))
+    assert float(np.max(np.abs(got - want))) < 2e-6
