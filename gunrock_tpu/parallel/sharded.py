@@ -381,6 +381,7 @@ def build_sharded_layouts(
     graph: Graph, n_shards: int, side: str = "d",
     window: int | None = None, chunk: int | None = None,
     pad_value: float = 0.0, interpret: bool | None = None,
+    unit: bool = False,
 ) -> ShardedLayouts:
     """Host-side: one bucketed layout per shard over that shard's
     owner-grouped edges (``side='d'``: rows=dst, cols=src — the pull
@@ -402,7 +403,8 @@ def build_sharded_layouts(
         chunk = chunk or c_auto
     src = np.asarray(graph.edge_src, np.int64)
     dst = np.asarray(graph.col_indices, np.int64)
-    val = np.asarray(graph.values, np.float32)
+    val = (np.ones(graph.n_edges, np.float32) if unit
+           else np.asarray(graph.values, np.float32))
     rows, cols = (dst, src) if side == "d" else (src, dst)
     owner = rows // Vs
 
@@ -729,12 +731,16 @@ def kcore(sg: ShardedGraph, mesh):
     return _trim(cores, V), int(k[0])
 
 
-def hits(sg: ShardedGraph, mesh, max_iterations: int = 50):
-    """Distributed HITS. Returns (auth f32[V], hub f32[V], iterations)."""
+def hits(sg: ShardedGraph, mesh, max_iterations: int = 50,
+         layouts: tuple | None = None):
+    """Distributed HITS. Returns (auth f32[V], hub f32[V], iterations).
+    ``layouts``: (push s-side, pull d-side) unit-weight ShardedLayouts
+    pair — runs both update passes through the bucketed Pallas
+    kernels."""
     V = sg.n_vertices
     axis = mesh.axis_names[0]
 
-    def spmd(sg):
+    def spmd(sg, *lay):
         vvalid, _ = _vvalid(sg, axis)
         auth0 = jnp.where(vvalid, 1.0, 0.0)
         hub0 = jnp.where(vvalid, 1.0, 0.0)
@@ -749,16 +755,22 @@ def hits(sg: ShardedGraph, mesh, max_iterations: int = 50):
 
         def body(c):
             it, auth, hub, _ = c
-            auth_at_dst = _gather(sg, auth, axis, "s")
-            hub_n = l2(_local_reduce(
-                sg, jnp.where(sg.s_valid, auth_at_dst, 0.0),
-                sg.s_valid, "sum", "s",
-            ))
-            hub_at_src = _gather(sg, hub, axis, "d")
-            auth_n = l2(_local_reduce(
-                sg, jnp.where(sg.d_valid, hub_at_src, 0.0),
-                sg.d_valid, "sum",
-            ))
+            if lay:
+                hub_n = l2(_pallas_advance_local(
+                    lay[0], auth, axis, "plus_times"))
+                auth_n = l2(_pallas_advance_local(
+                    lay[1], hub, axis, "plus_times"))
+            else:
+                auth_at_dst = _gather(sg, auth, axis, "s")
+                hub_n = l2(_local_reduce(
+                    sg, jnp.where(sg.s_valid, auth_at_dst, 0.0),
+                    sg.s_valid, "sum", "s",
+                ))
+                hub_at_src = _gather(sg, hub, axis, "d")
+                auth_n = l2(_local_reduce(
+                    sg, jnp.where(sg.d_valid, hub_at_src, 0.0),
+                    sg.d_valid, "sum",
+                ))
             # each all() must be global BEFORE the OR (single-chip
             # semantics: ALL-V auth fixpoint or ALL-V hub fixpoint; OR of
             # per-shard alls could stop with neither vector converged)
@@ -776,11 +788,12 @@ def hits(sg: ShardedGraph, mesh, max_iterations: int = 50):
         )
         return auth, hub, jnp.full((1,), it)
 
+    extra = () if layouts is None else tuple(layouts)
     fn = jax.jit(
-        _shard_map(spmd, mesh, in_specs=(P(axis),),
+        _shard_map(spmd, mesh, in_specs=(P(axis),) * (1 + len(extra)),
                    out_specs=(P(axis), P(axis), P()))
     )
-    auth, hub, it = fn(sg)
+    auth, hub, it = fn(sg, *extra)
     return _trim(auth, V), _trim(hub, V), int(it[0])
 
 

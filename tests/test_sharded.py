@@ -325,3 +325,22 @@ def test_sharded_pallas_layouts_parity(setup, mesh):
     y1 = sharded.spmv(sg, x, mesh, layouts=Ls)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hits_pallas_layouts(setup, mesh):
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup
+    n = sg.n_shards
+    Ls = sharded.build_sharded_layouts(g, n, side="s", window=256,
+                                       chunk=256, unit=True)
+    Ld = sharded.build_sharded_layouts(g, n, side="d", window=256,
+                                       chunk=256, unit=True)
+    a0, h0, i0 = sharded.hits(sg, mesh, max_iterations=20)
+    a1, h1, i1 = sharded.hits(sg, mesh, max_iterations=20,
+                              layouts=(Ls, Ld))
+    assert i0 == i1
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                               rtol=1e-4, atol=1e-6)
