@@ -418,22 +418,23 @@ def build_sharded_layouts(
     nc = max(1, max(l.n_chunks for l in shards))
     n_rb = shards[0].n_row_blocks
 
-    def pad_stack(field, fill, per_chunk):
+    def pad_stack(field, fill, per_chunk, dtype):
         outs = []
         for l in shards:
             a = np.asarray(getattr(l, field))
             want = nc * (1 if per_chunk else chunk)
-            padded = np.full(want, fill, a.dtype if a.size else np.int32)
+            padded = np.full(want, fill, dtype)
             padded[: a.size] = a
             outs.append(padded)
         return jnp.asarray(np.stack(outs))
 
     return ShardedLayouts(
-        row_local=pad_stack("row_local", 0, False),
-        col_local=pad_stack("col_local", 0, False),
-        values=pad_stack("values", np.float32(pad_value), False),
-        chunk_rb=pad_stack("chunk_rb", n_rb - 1, True),
-        chunk_cb=pad_stack("chunk_cb", 0, True),
+        row_local=pad_stack("row_local", 0, False, np.int32),
+        col_local=pad_stack("col_local", 0, False, np.int32),
+        values=pad_stack("values", np.float32(pad_value), False,
+                         np.float32),
+        chunk_rb=pad_stack("chunk_rb", n_rb - 1, True, np.int32),
+        chunk_cb=pad_stack("chunk_cb", 0, True, np.int32),
         rb_occupied=jnp.asarray(np.stack(
             [np.asarray(l.rb_occupied) for l in shards]
         )),
