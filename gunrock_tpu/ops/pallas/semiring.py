@@ -1,7 +1,7 @@
-"""Semiring SpMV Pallas kernel: the unified TPU advance.
+"""Semiring SpMV Pallas kernel family: the unified TPU advance.
 
-One bucketed windowed one-hot kernel, parameterized by semiring, is the
-whole load-balanced advance family (the role the reference spreads across
+One bucketed windowed kernel, parameterized by semiring, is the whole
+load-balanced advance family (the role the reference spreads across
 thread_mapped/block_mapped/merge_path kernels + per-algorithm atomics,
 reference operators/advance/merge_path_v2.hxx:75-244):
 
@@ -9,22 +9,24 @@ reference operators/advance/merge_path_v2.hxx:75-244):
 - ``min_plus``    y[r] = min_e (val_e + x[col_e])  — SSSP relaxation
 - ``max_times``   y[r] = max_e  val_e * x[col_e]   — reachability (BFS)
 
-v2 kernel — two-level one-hot decomposition. A window index w in [0, W)
-splits as (hi, lo) = (w // 128, w % 128):
+Five kernel versions, selectable via GUNROCK_SEMIRING_KERNEL / the
+``version`` kwarg (chip history in BASELINE.md):
 
-- gather x[col]: the hi level is a bf16 one-hot matmul
-  ``onehot(col_hi) [C, W/128] @ x [W/128, 128]`` that rides the MXU
-  (two-pass hi+lo bf16 split of x keeps ~f32 accuracy); the lo level is a
-  single 128-lane VPU select. This replaces the C x W VPU compare+select
-  of v1 with C x W MXU MACs + C x 144 VPU ops — ~15x less VPU work.
-- scatter for ``plus_times`` mirrors it: lo-level one-hot expand of the
-  messages to [C, 128], then ``onehot(row_hi)^T [W/128, C] @ msgs`` on
-  the MXU.
-- scatter for min/max cannot ride the MXU (min is not a matmul); it stays
-  a VPU one-hot select+reduce, done per 128-lane sub-block.
+- **v1** flat [C, W] one-hot compare/select/reduce (rounds 1-3 default).
+- **v2/v3** two-level MXU / sub-block streaming — round-2 negative
+  results, kept for A/B.
+- **v4** (round 4) gather via ``tpu.dynamic_gather``: per x sub-block a
+  broadcast + 128-lane hardware permute + select (~3·W/128 lane-ops/edge
+  instead of ~3·W; see _gather_window_dyn); v1-style one-hot scatter.
+- **v5 = default**: v4 gather + MXU one-hot scatter for plus_times
+  ([S,C] x [C,128] bf16 hi+lo matmuls; ``exact=True`` single-matmul for
+  bf16-exact 0/1 messages — sums stay exact, the MXU accumulates f32).
+  min/max fall back to the v4 scatter (min is not a matmul).
 
 Padding slots carry the reduction identity so they vanish; accumulation
-across chunks of the same row window happens in VMEM.
+across chunks of the same row window happens in VMEM. Edge metadata for
+v4/v5 rides HOST-tiled as [Cr, 128] (in-kernel [C] <-> [Cr, 128]
+reshapes are Mosaic "unsupported shape cast"s — docs/design.md §15).
 """
 
 from __future__ import annotations
@@ -808,8 +810,9 @@ def _tail_grids_env():
     call ~3-5% (BFS s18 75.2 vs 72.3 MTEPS, SSSP 106.6 vs 110.2 ms,
     k-core s16 765 vs 801 ms) and only wave-heavy peels at scale win
     (k-core s18 2916 vs 3433 ms = +15%) — so algorithms that profit opt
-    in per call via the ``tail_grids`` kwarg (k-core does, size-gated)
-    and GUNROCK_TAIL_GRIDS sets the process-wide default for A/Bs."""
+    in per call via the ``tail_grids`` kwarg (k-core size-gated, greedy
+    coloring) and GUNROCK_TAIL_GRIDS sets the process-wide default for
+    A/Bs."""
     import os
 
     raw = os.environ.get("GUNROCK_TAIL_GRIDS", "").strip()
