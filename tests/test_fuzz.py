@@ -304,3 +304,50 @@ def test_fuzz_async_sweeps(seed):
     np.testing.assert_allclose(np.asarray(d), want, rtol=1e-5, atol=1e-5)
     dep, _, _ = bfs_async(g, 0, n_blocks=nb, ordering="rcm")
     np.testing.assert_array_equal(np.asarray(dep), np.asarray(cr.bfs(g, 0)))
+
+
+@pytest.mark.parametrize("case", [3, 11, 27])
+def test_semiring_version_parity_odd_graphs(case):
+    """v1 / v4 / v5 (+exact) must agree on the odd-graph family for all
+    three semirings — the dynamic-gather kernels' tiling and the MXU
+    scatter must not care about degenerate window occupancy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gunrock_tpu.ops.pallas.semiring import (
+        bucketed_semiring_spmv, bucketed_semiring_spmv_sparse, pull_layout)
+
+    g, _ = _odd_graph(case)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random(g.n_vertices, dtype=np.float32))
+    act = jnp.asarray(rng.random(g.n_vertices) < 0.5)
+    ones = jnp.ones(g.n_vertices, jnp.float32)
+    for sr, pv in (("plus_times", 0.0), ("max_times", 0.0),
+                   ("min_plus", float("inf"))):
+        lay = pull_layout(g, window=256, chunk=128, pad_value=pv)
+        xs = jnp.where(act, x, jnp.inf if sr == "min_plus" else 0.0)
+        ref_d = np.asarray(
+            bucketed_semiring_spmv(lay, x, sr, interpret=True, version=1))
+        ref_s = np.asarray(bucketed_semiring_spmv_sparse(
+            lay, xs, act, sr, interpret=True, version=1))
+        for v in (4, 5):
+            got_d = np.asarray(bucketed_semiring_spmv(
+                lay, x, sr, interpret=True, version=v))
+            got_s = np.asarray(bucketed_semiring_spmv_sparse(
+                lay, xs, act, sr, interpret=True, version=v))
+            for a, b in ((ref_d, got_d), (ref_s, got_s)):
+                m = np.isfinite(a)
+                np.testing.assert_array_equal(m, np.isfinite(b))
+                np.testing.assert_allclose(a[m], b[m], rtol=1e-4,
+                                           atol=1e-5)
+        if sr == "plus_times":
+            # exact path: bit-identical COUNTS on a UNIT layout with 0/1
+            # inputs (the contract: bf16-exact messages — kcore's peel
+            # counts, BFS reach; weighted layouts must NOT pass exact)
+            ulay = pull_layout(g, window=256, chunk=128, unit=True)
+            a1 = jnp.where(act, 1.0, 0.0)
+            cnt1 = np.asarray(bucketed_semiring_spmv_sparse(
+                ulay, a1, act, sr, interpret=True, version=1))
+            cnt5 = np.asarray(bucketed_semiring_spmv_sparse(
+                ulay, a1, act, sr, interpret=True, version=5, exact=True))
+            np.testing.assert_array_equal(cnt1, cnt5)
