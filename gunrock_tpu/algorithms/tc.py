@@ -327,7 +327,16 @@ def run(
     chunk = int(max(128, min((1 << 22) // max(D, 1), 1 << 15)))
     E_dag = edge_u.shape[0]
     E_pad = -(-max(E_dag, 1) // chunk) * chunk
-    pad = np.full(E_pad - E_dag, -1, dtype=np.int32)
+    # slab the probe sweep into bounded dispatches: one scan over ALL
+    # chunks at s20+ exceeds the device/RPC deadline (UNAVAILABLE — the
+    # same failure class as the fused SpGEMM sweep and geo's old
+    # single-dispatch loop). ~2^28 probe-gather elements per dispatch
+    # keeps each call to a couple of seconds at the ~0.1 Gelem/s
+    # serialized-gather floor.
+    slab_chunks = max(1, (1 << 28) // (chunk * max(D, 1)))
+    slab = chunk * slab_chunks
+    E_slab = -(-max(E_dag, 1) // slab) * slab
+    pad = np.full(E_slab - E_dag, -1, dtype=np.int32)
     eu = jnp.asarray(np.concatenate([edge_u, pad]))
     ev = jnp.asarray(np.concatenate([edge_v, pad]))
     offs = jnp.asarray(dag_offsets)
@@ -336,15 +345,28 @@ def run(
     from gunrock_tpu.utils.jitcache import cached_jit
 
     fn = cached_jit(
-        ("tc_membership", graph.n_vertices, D, chunk),
+        ("tc_membership", graph.n_vertices, D, chunk, slab),
         lambda: lambda o, a, u, v: tc_kernel(
             graph.n_vertices, o, a, u, v, D, chunk
         ),
     )
+    n_slabs = E_slab // slab
+
+    def sweep():
+        counts = None
+        for s in range(n_slabs):
+            part = fn(
+                offs, adj,
+                jax.lax.dynamic_slice_in_dim(eu, s * slab, slab),
+                jax.lax.dynamic_slice_in_dim(ev, s * slab, slab),
+            )
+            counts = part if counts is None else counts + part
+        return jax.block_until_ready(counts)
+
     if warmup:
-        jax.block_until_ready(fn(offs, adj, eu, ev))
+        sweep()
     t0 = time.perf_counter()
-    counts = jax.block_until_ready(fn(offs, adj, eu, ev))
+    counts = sweep()
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     total = int(jnp.sum(counts)) if reduce_all_triangles else 0
     return Result(
