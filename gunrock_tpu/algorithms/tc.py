@@ -156,18 +156,23 @@ def tc_kernel(
     return counts
 
 
-def build_wedges(dag_offsets, dag_adj, edge_u, edge_v, rank_deg):
+def build_wedges(dag_offsets, dag_adj, edge_u, edge_v, rank_deg,
+                 t0: int = 0, t1: int | None = None):
     """Host wedge enumeration (numpy): every triangle appears exactly
     once as a wedge {x, y} from some u with x, y in N+(u) — emitted
     ORIENTED by the DAG's (degree, id) rank so the pair matches the
-    stored direction of its closing edge. Returns (wv, ww, wu) int32."""
+    stored direction of its closing edge. Returns (wv, ww, wu) int32.
+    ``t0/t1``: optional wedge-index range — the slabbed big-graph
+    sort-join builds and joins one slab at a time."""
     dag_deg = np.diff(dag_offsets).astype(np.int64)
     r = np.arange(edge_u.size, dtype=np.int64) - dag_offsets[edge_u]
     cnt = dag_deg[edge_u] - r - 1
     woff = np.zeros(edge_u.size + 1, np.int64)
     np.cumsum(cnt, out=woff[1:])
     total = int(woff[-1])
-    t = np.arange(total, dtype=np.int64)
+    if t1 is None:
+        t1 = total
+    t = np.arange(t0, min(t1, total), dtype=np.int64)
     a_id = np.searchsorted(woff, t, side="right") - 1
     within = t - woff[a_id]
     wu = edge_u[a_id]
@@ -297,6 +302,35 @@ def run(
     if method == "sortjoin":
         deg = np.diff(dag_offsets).astype(np.int64)
         n_wedges = int((deg * (deg - 1) // 2).sum())
+        if n_wedges > max_wedges:
+            # big-graph path: SLAB the join. One sort of edges+ALL
+            # wedges exceeds both HBM and the device/RPC deadline at
+            # s20+ (UNAVAILABLE); per-corner counts are additive across
+            # wedge slabs, so each slab joins against the full edge set
+            # independently. Host wedge build rides the slab loop (and
+            # is counted in elapsed_ms — it is part of the work).
+            fn = _sortjoin_jit(graph.n_vertices)
+            eu_d = jnp.asarray(edge_u)
+            ev_d = jnp.asarray(edge_v)
+            t0 = time.perf_counter()
+            counts = None
+            for w0 in range(0, n_wedges, max_wedges):
+                wv, ww, wu = build_wedges(
+                    dag_offsets, dag_adj, edge_u, edge_v, udeg,
+                    t0=w0, t1=w0 + max_wedges,
+                )
+                part = fn(eu_d, ev_d, jnp.asarray(wv), jnp.asarray(ww),
+                          jnp.asarray(wu))
+                counts = part if counts is None else counts + part
+            counts = jax.block_until_ready(counts)
+            elapsed_ms = (time.perf_counter() - t0) * 1e3
+            total = int(jnp.sum(counts)) if reduce_all_triangles else 0
+            return Result(
+                vertex_triangles_count=counts,
+                total_triangles_count=total,
+                n_triangles=total // 3,
+                elapsed_ms=elapsed_ms,
+            )
         if 0 < n_wedges <= max_wedges:
             args = cached_layout(
                 graph.col_indices,

@@ -284,3 +284,22 @@ def test_tc_sortjoin_matches_probe_and_networkx():
         G.remove_edges_from(nx.selfloop_edges(G))
         want = sum(nx.triangles(G).values()) // 3
         assert r1.n_triangles == want, (sym, r1.n_triangles, want)
+
+
+def test_tc_slabbed_sortjoin_matches_default():
+    """The big-graph wedge-slabbed sort-join (forced via a tiny
+    max_wedges) must reproduce the single-sort counts exactly — the
+    per-corner counts are additive across wedge slabs."""
+    import numpy as np
+
+    from gunrock_tpu.algorithms import tc
+    from gunrock_tpu.io.generators import rmat_graph
+
+    g = rmat_graph(scale=9, edge_factor=10, seed=2, undirected=True)
+    r0 = tc.run(g, warmup=False)
+    r1 = tc.run(g, warmup=False, max_wedges=500)
+    np.testing.assert_array_equal(
+        np.asarray(r0.vertex_triangles_count),
+        np.asarray(r1.vertex_triangles_count),
+    )
+    assert r0.n_triangles == r1.n_triangles
