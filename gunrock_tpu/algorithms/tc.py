@@ -187,6 +187,47 @@ def build_wedges(dag_offsets, dag_adj, edge_u, edge_v, rank_deg,
     return wv.astype(np.int32), ww.astype(np.int32), wu.astype(np.int32)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("B", "V"))
+def build_wedges_device(dag_offsets, dag_adj, edge_u, edge_v, deg,
+                        woff, r, w0, B: int, V: int):
+    """Device wedge enumeration for one slab [w0, w0+B) — the host
+    numpy build (searchsorted over the wedge-offset table) dominated
+    big-graph TC (s20: ~50 s/slab of a 1319 s run). Here the per-wedge
+    (x, adj_pos, u) streams are piecewise-arithmetic over the wedge
+    axis, so spgemm's telescoped expansion (scatter + cumsum) generates
+    them in linear vector passes; the only per-wedge gathers left are
+    dag_adj[adj_pos] and deg[y] (orientation).
+
+    ``woff`` int64[E+1] global wedge offsets (values may exceed int32 —
+    rebased per slab), ``r`` int32[E] within-row rank of each DAG edge.
+    Invalid slots (beyond the slab's real wedges) return wv = V, which
+    can never join (every edge key has a < V)."""
+    from gunrock_tpu.algorithms.spgemm import _piecewise_expand
+
+    E = edge_u.shape[0]
+    cnt = (woff[1:] - woff[:-1])
+    # off[e] = this slab's start slot of edge e's wedge segment
+    # (_piecewise_expand's int32[n_edges] convention, off[0] == 0)
+    off = jnp.clip(woff[:-1] - w0, 0, B).astype(jnp.int32)
+    skip = jnp.clip(w0 - woff[:-1], 0, cnt).astype(jnp.int32)
+    base = dag_offsets[edge_u] + r + 1 + skip
+    x_s, adj_pos = _piecewise_expand(edge_v, base, off, B)
+    u_s, _ = _piecewise_expand(edge_u, base, off, B)
+    n_valid = (jnp.clip(woff[-1] - w0, 0, B)).astype(jnp.int32)
+    valid = jnp.arange(B, dtype=jnp.int32) < n_valid
+    y_s = dag_adj[jnp.clip(adj_pos, 0, dag_adj.shape[0] - 1)]
+    dx = deg[jnp.clip(x_s, 0, V - 1)]
+    dy = deg[y_s]
+    x_first = (dx < dy) | ((dx == dy) & (x_s < y_s))
+    wv = jnp.where(valid, jnp.where(x_first, x_s, y_s), V)
+    ww = jnp.where(x_first, y_s, x_s)
+    wu = u_s
+    return wv, ww, wu
+
+
 def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     """Sort-merge join TC: wedges vs DAG edges as one device sort.
 
@@ -307,20 +348,33 @@ def run(
             # wedges exceeds both HBM and the device/RPC deadline at
             # s20+ (UNAVAILABLE); per-corner counts are additive across
             # wedge slabs, so each slab joins against the full edge set
-            # independently. Host wedge build rides the slab loop (and
-            # is counted in elapsed_ms — it is part of the work).
-            fn = _sortjoin_jit(graph.n_vertices)
+            # independently. Wedges are enumerated ON DEVICE per slab
+            # (build_wedges_device — the host numpy build dominated the
+            # first measurement: 1319 s at s20, ~50 s/slab of
+            # searchsorted).
+            V = graph.n_vertices
+            fn = _sortjoin_jit(V)
+            dag_deg_np = np.diff(dag_offsets).astype(np.int64)
+            r_np = (np.arange(edge_u.size, dtype=np.int64)
+                    - dag_offsets[edge_u]).astype(np.int32)
+            woff_np = np.zeros(edge_u.size + 1, np.int64)
+            np.cumsum(dag_deg_np[edge_u]
+                      - r_np.astype(np.int64) - 1, out=woff_np[1:])
             eu_d = jnp.asarray(edge_u)
             ev_d = jnp.asarray(edge_v)
+            offs_d = jnp.asarray(dag_offsets.astype(np.int32))
+            adj_d = jnp.asarray(dag_adj)
+            deg_d = jnp.asarray(np.minimum(udeg, 2**31 - 1).astype(np.int32))
+            woff_d = jnp.asarray(woff_np)
+            r_d = jnp.asarray(r_np)
             t0 = time.perf_counter()
             counts = None
             for w0 in range(0, n_wedges, max_wedges):
-                wv, ww, wu = build_wedges(
-                    dag_offsets, dag_adj, edge_u, edge_v, udeg,
-                    t0=w0, t1=w0 + max_wedges,
+                wv, ww, wu = build_wedges_device(
+                    offs_d, adj_d, eu_d, ev_d, deg_d, woff_d, r_d,
+                    jnp.int64(w0), B=max_wedges, V=V,
                 )
-                part = fn(eu_d, ev_d, jnp.asarray(wv), jnp.asarray(ww),
-                          jnp.asarray(wu))
+                part = fn(eu_d, ev_d, wv, ww, wu)
                 counts = part if counts is None else counts + part
             counts = jax.block_until_ready(counts)
             elapsed_ms = (time.perf_counter() - t0) * 1e3
