@@ -11,6 +11,13 @@ modeled numbers were never cross-checked against an actual trace).
 Bytes are not in trace events; the measured quantity is device-time
 share per kernel, which combined with the roofline model's bytes gives
 measured GB/s per kernel: gbps_measured = model_bytes / measured_time.
+
+Caveat: benchmarks/run.py --trace wraps bench_one WHOLE, so the traced
+window includes the warmup/compile executions — read the per-op rows as
+time SHARES (which op dominates), not absolute per-run seconds, and
+expect gbps_measured to understate (verified against the tunneled chip
+2026-08-19: device planes arrive with full XLA op names + our Pallas
+custom-calls).
 """
 
 from __future__ import annotations
