@@ -118,6 +118,7 @@ def bfs_kernel_do(
     edge_budget: int | None = None,
     layout=None,
     interpret: bool | None = None,
+    layout_dense=None,
 ):
     """Direction-optimizing BFS (the reference's declared-but-unbuilt
     ``advance_direction_t::optimized``, configs.hxx:78-82): per level,
@@ -128,6 +129,12 @@ def bfs_kernel_do(
     frontier-sparse max_times kernel: source windows without a frontier
     vertex AND destination windows without an unreached vertex both
     skip, so late levels shrink with the unreached set.
+
+    ``layout_dense`` (optional, W=4096/C=1024): a third dispatch tier for
+    NEAR-FULL frontiers — the v5 pass is per-grid-step bound, so the
+    peak levels (where window skipping buys nothing) run ~20% faster on
+    half the grid steps, while collapsed frontiers keep the fine-skip
+    W=2048 layout (mixed-layout DO; BASELINE round-4 chunk sweep).
     Returns (distances, depth)."""
     V = graph.n_vertices
     E = graph.n_edges
@@ -154,7 +161,7 @@ def bfs_kernel_do(
         if interpret is None:
             interpret = use_interpret()
 
-        def dense_step(front, dist, it):
+        def _pull(lay, front, dist, it):
             unreached = dist == UNREACHED
             # plus_times + exact: with a 0/1 frontier, "reached" only
             # needs count > 0, and plus_times rides the v5 MXU one-hot
@@ -162,12 +169,23 @@ def bfs_kernel_do(
             # are bf16-exact; the MXU accumulates in f32 so counts stay
             # exact) — max_times would fall back to the VPU one-hot
             y = bucketed_semiring_spmv_sparse(
-                layout, front.astype(jnp.float32), front, "plus_times",
+                lay, front.astype(jnp.float32), front, "plus_times",
                 interpret=interpret, out_mask=unreached, exact=True,
             )
             new = (y > 0.5) & unreached
             return new, jnp.where(new, it + 1, dist)
+
+        def dense_step(front, dist, it):
+            return _pull(layout, front, dist, it)
+
+        if layout_dense is not None:
+
+            def dense_big_step(front, dist, it):
+                return _pull(layout_dense, front, dist, it)
+        else:
+            dense_big_step = None
     else:
+        dense_big_step = None
 
         def dense_step(front, dist, it):
             front, dist, _ = bfs_step(graph, front, dist, None, it)
@@ -196,7 +214,22 @@ def bfs_kernel_do(
             front, dist = args
             return dense_step(front, dist, it)
 
-        front, dist = jax.lax.cond(use_push, push, pull, (front, dist))
+        if dense_big_step is None:
+            front, dist = jax.lax.cond(use_push, push, pull, (front, dist))
+        else:
+
+            def pull_big(args):
+                front, dist = args
+                return dense_big_step(front, dist, it)
+
+            # peak-level tier: when the frontier's out-edges cover a
+            # quarter of the graph, window skipping is moot — take the
+            # big-chunk layout's lower per-grid-step floor instead
+            big = out_edges >= jnp.int32(E // 4)
+            branch = jnp.where(use_push, 0, jnp.where(big, 2, 1))
+            front, dist = jax.lax.switch(
+                branch, [push, pull, pull_big], (front, dist)
+            )
         return it + 1, front, dist
 
     it, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
@@ -364,22 +397,37 @@ def run(
         from gunrock_tpu.ops.configs import LoadBalance
 
         layout = None
+        layout_dense = None
         if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
+            from gunrock_tpu.ops.pallas import use_interpret
+            from gunrock_tpu.ops.pallas.layout import dense_window_chunk
             from gunrock_tpu.ops.pallas.semiring import pull_layout
 
             layout = pull_layout(graph, unit=True)
+            # mixed-layout DO: peak levels take the big-chunk layout's
+            # lower grid-step floor (dense_window_chunk; ~20%/pass)
+            dwc = dense_window_chunk(graph.n_vertices, use_interpret())
+            if dwc is not None:
+                layout_dense = pull_layout(
+                    graph, unit=True, window=dwc[0], chunk=dwc[1]
+                )
         # layout rides as a jit ARGUMENT: closed-over device arrays become
         # HLO constants, and at scale 20 the embedded layout overflows the
         # axon remote-compile payload (HTTP 413)
         from gunrock_tpu.utils.jitcache import cached_jit
 
         fn = cached_jit(
-            "bfs_do", lambda: lambda g, s, lay: bfs_kernel_do(g, s, layout=lay)
+            ("bfs_do", layout_dense is not None),
+            lambda: lambda g, s, lay, lay_d: bfs_kernel_do(
+                g, s, layout=lay, layout_dense=lay_d
+            ),
         )
         if warmup:
-            jax.block_until_ready(fn(graph, single_source, layout))
+            jax.block_until_ready(fn(graph, single_source, layout, layout_dense))
         t0 = time.perf_counter()
-        dist, it = jax.block_until_ready(fn(graph, single_source, layout))
+        dist, it = jax.block_until_ready(
+            fn(graph, single_source, layout, layout_dense)
+        )
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return Result(
             distances=dist,

@@ -10,9 +10,12 @@ convergence is the graph's degeneracy.
 TPU redesign: one flat ``lax.while_loop`` carrying ``(k, degrees, deleted,
 k_cores)``. Three round-count/cost optimizations over the naive flattening:
 
-1. **k-jump** — when a round peels nothing, k jumps directly to the
-   minimum remaining residual degree (the classic bucket skip) instead of
-   incrementing by 1, so empty k levels cost zero rounds.
+1. **fused k-jump** — k is raised to the minimum remaining residual
+   degree at the START of every round (``k = max(k, min_alive_deg)``),
+   so every round peels at least one vertex: empty k levels cost zero
+   rounds AND no round is ever spent just discovering that a level is
+   done (the classic bucket skip costs one no-peel round per level;
+   fusing it removes ~one round per distinct core value).
 2. **cond-guarded edge pass** — the O(E) neighbor-decrement only runs in
    rounds that peeled something (``lax.cond`` inside ``while_loop``
    genuinely skips the untaken branch on TPU).
@@ -46,7 +49,7 @@ class Result:
     k_cores: jax.Array  # int32[V]
     degeneracy: int
     elapsed_ms: float
-    rounds: int = 0  # while_loop iterations (peel waves + k-jumps)
+    rounds: int = 0  # while_loop iterations (= peel waves; fused k-jump)
 
 
 def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
@@ -84,23 +87,20 @@ def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
 
     def body(carry):
         k, deg, deleted, cores, rounds = carry
+        # fused k-jump: every alive vertex has residual degree >=
+        # min_remaining, so the alive subgraph is contained in its own
+        # min_remaining-core — raising k to it up front is safe and
+        # guarantees this round peels the argmin vertex (no wasted
+        # "discover the level is done" rounds).
+        min_remaining = jnp.min(jnp.where(deleted, _BIG_DEG, deg))
+        k = jnp.maximum(k, min_remaining)
         peel = (~deleted) & (deg <= k)
-        any_peel = jnp.any(peel)
         cores = jnp.where(peel, k, cores)
         deleted = deleted | peel
         # Each peeled vertex decrements every neighbor's residual degree
-        # once per connecting edge (kcore.hxx:158-166). Skipped entirely
-        # in no-peel rounds (branch genuinely not executed under XLA).
-        deg = jax.lax.cond(
-            any_peel,
-            lambda d: d - decrement_fn(peel, ~deleted, layout),
-            lambda d: d,
-            deg,
-        )
-        # k-jump: if nothing peeled, every remaining vertex has residual
-        # degree > k — jump straight to the smallest one.
-        min_remaining = jnp.min(jnp.where(deleted, _BIG_DEG, deg))
-        k = jnp.where(any_peel, k, jnp.maximum(k + 1, min_remaining))
+        # once per connecting edge (kcore.hxx:158-166). Every round
+        # peels (cond above), so the pass is unconditional.
+        deg = deg - decrement_fn(peel, ~deleted, layout)
         return k, deg, deleted, cores, rounds + 1
 
     k, _, _, cores, rounds = jax.lax.while_loop(

@@ -25,7 +25,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["row_local", "col_local", "values", "chunk_rb", "chunk_cb",
-                 "rb_occupied"],
+                 "rb_occupied", "src_bits", "dst_bits"],
     meta_fields=["window", "chunk", "n_chunks", "n_row_blocks", "n_col_blocks", "n_vertices"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -36,12 +36,36 @@ class BucketedEdges:
     chunk_rb: jax.Array  # int32[n_chunks] — row block of each chunk
     chunk_cb: jax.Array  # int32[n_chunks] — col block of each chunk
     rb_occupied: jax.Array  # bool[n_row_blocks] — row window touched by >=1 chunk; untouched windows are never written by the kernel and must be post-masked to the semiring identity
+    # per-chunk sub-block occupancy for frontier-sparse selection at
+    # W/32-vertex resolution: bit b of src_bits[ch] set iff chunk ch has a
+    # real edge whose SOURCE falls in sub-block b of its col window (same
+    # for dst_bits / rows). Window-level activity tests false-activate
+    # every chunk of a hub window under degree sort — one peeled hub
+    # vertex used to light up ~half of all chunks (k-core trace: 40% of
+    # waves dispatched the FULL grid); 64-vertex resolution keeps the
+    # active-chunk count honest.
+    src_bits: jax.Array  # uint32[n_chunks]
+    dst_bits: jax.Array  # uint32[n_chunks]
     window: int
     chunk: int
     n_chunks: int
     n_row_blocks: int
     n_col_blocks: int
     n_vertices: int
+
+
+def _pack_subblock_bits(
+    chunk_ids: np.ndarray, local: np.ndarray, window: int, n_chunks: int
+) -> np.ndarray:
+    """uint32[n_chunks]: bit b set iff some edge of the chunk has its
+    window-local index in sub-block b (sub-block = window/32 vertices).
+    Vectorized as a bincount over the (chunk, sub-block) pair space —
+    no ufunc.at scatter."""
+    sub = window // 32
+    pair = chunk_ids.astype(np.int64) * 32 + local.astype(np.int64) // sub
+    occ = np.bincount(pair, minlength=n_chunks * 32).reshape(n_chunks, 32) > 0
+    weights = np.uint64(1) << np.arange(32, dtype=np.uint64)
+    return (occ * weights).sum(axis=1).astype(np.uint32)
 
 
 def build_bucketed_layout(
@@ -101,6 +125,12 @@ def build_bucketed_layout(
     chunk_cb = np.repeat((uniq % n_cb).astype(np.int32), chunks_per_bucket)
     rb_occupied = np.zeros(n_rb, dtype=bool)
     rb_occupied[(uniq // n_cb).astype(np.int64)] = True
+    src_bits = _pack_subblock_bits(
+        dest // chunk, (cols - cb * window), window, n_chunks
+    )
+    dst_bits = _pack_subblock_bits(
+        dest // chunk, (rows - rb * window), window, n_chunks
+    )
     return BucketedEdges(
         row_local=jnp.asarray(row_local),
         col_local=jnp.asarray(col_local),
@@ -108,6 +138,8 @@ def build_bucketed_layout(
         chunk_rb=jnp.asarray(chunk_rb),
         chunk_cb=jnp.asarray(chunk_cb),
         rb_occupied=jnp.asarray(rb_occupied),
+        src_bits=jnp.asarray(src_bits),
+        dst_bits=jnp.asarray(dst_bits),
         window=window,
         chunk=chunk,
         n_chunks=n_chunks,

@@ -53,7 +53,8 @@ from gunrock_tpu.ops.pallas.semiring import _BIG, _SEMIRINGS
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["meta", "rowcol", "values", "rb_occupied"],
+    data_fields=["meta", "rowcol", "values", "rb_occupied", "src_bits",
+                 "dst_bits"],
     meta_fields=["window", "chunk", "page", "n_pages", "n_chunks",
                  "n_row_blocks", "n_col_blocks", "n_vertices"],
 )
@@ -63,6 +64,8 @@ class PagedEdges:
     rowcol: jax.Array  # int32[n_chunks_pad, 2, chunk//128, 128] — row, col
     values: jax.Array  # float32[n_chunks_pad, chunk//128, 128]
     rb_occupied: jax.Array  # bool[n_row_blocks]
+    src_bits: jax.Array  # uint32[n_pages*page] — sub-block occupancy (0 for pad chunks)
+    dst_bits: jax.Array  # uint32[n_pages*page]
     window: int
     chunk: int
     page: int
@@ -118,11 +121,18 @@ def build_paged_layout(
     rowcol[:n_chunks, 1] = cl
     vpad = np.full((n_pad, cr, 128), pad_value, np.float32)
     vpad[:n_chunks] = vals
+    # sub-block occupancy words (pad chunks stay 0 -> never selected)
+    src_bits = np.zeros(n_pad, np.uint32)
+    dst_bits = np.zeros(n_pad, np.uint32)
+    src_bits[:n_chunks] = np.asarray(b.src_bits)
+    dst_bits[:n_chunks] = np.asarray(b.dst_bits)
     return PagedEdges(
         meta=jnp.asarray(meta),
         rowcol=jnp.asarray(rowcol),
         values=jnp.asarray(vpad),
         rb_occupied=b.rb_occupied,
+        src_bits=jnp.asarray(src_bits),
+        dst_bits=jnp.asarray(dst_bits),
         window=window, chunk=chunk, page=page, n_pages=n_pages,
         n_chunks=n_chunks, n_row_blocks=b.n_row_blocks,
         n_col_blocks=b.n_col_blocks, n_vertices=n_vertices,
@@ -298,13 +308,24 @@ def _sparse_meta(layout: PagedEdges, active, out_mask):
         jnp.arange(n_pad, dtype=jnp.int32) < jnp.int32(layout.n_chunks)
     )
 
+    # sub-block (W/32-vertex) activity resolution via the per-chunk
+    # occupancy words — see semiring._sparse_chunk_select (pad chunks
+    # carry 0 bits, so is_real is implied but kept for clarity)
+    bit_w = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
     act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
-    act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
-    ch_act = act_cb[chunk_cb] & is_real
+    act_blk = jnp.any(act_pad.reshape(n_cb, 32, W // 32), axis=2)
+    act_words = jnp.sum(
+        jnp.where(act_blk, bit_w, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )
+    ch_act = ((act_words[chunk_cb] & layout.src_bits) != 0) & is_real
     if out_mask is not None:
         om_pad = jnp.zeros(n_rb * W, bool).at[:V].set(out_mask)
-        out_rb = jnp.any(om_pad.reshape(n_rb, W), axis=1)
-        ch_act = ch_act & out_rb[chunk_rb]
+        om_blk = jnp.any(om_pad.reshape(n_rb, 32, W // 32), axis=2)
+        om_words = jnp.sum(
+            jnp.where(om_blk, bit_w, jnp.uint32(0)), axis=1,
+            dtype=jnp.uint32,
+        )
+        ch_act = ch_act & ((om_words[chunk_rb] & layout.dst_bits) != 0)
     pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
     count = (pos[-1] + 1).astype(jnp.int32)
     perm = (

@@ -632,22 +632,36 @@ def _make_sparse_kernel(semiring: str, version: int = 1,
 
 def _sparse_chunk_select(layout: BucketedEdges, active, out_mask):
     """Device-side active-chunk selection shared by every frontier-sparse
-    kernel (SpMV, minmax, SpMM): a chunk runs iff its SOURCE window holds
-    an ``active`` vertex and (when given) its DEST window holds an
-    ``out_mask`` vertex. Returns (ch_act, pk_r, perm, count)."""
+    kernel (SpMV, minmax, SpMM): a chunk runs iff one of its real edges'
+    SOURCE sub-blocks (window/32 vertices) holds an ``active`` vertex and
+    (when given) one of its DEST sub-blocks holds an ``out_mask`` vertex
+    — the per-chunk ``src_bits``/``dst_bits`` occupancy words built by
+    the layout give 64-vertex activity resolution instead of the window
+    (2048+), which under degree sort stops one peeled/active hub vertex
+    from false-activating every chunk of the hub window.
+    Returns (ch_act, pk_r, perm, count)."""
     W = layout.window
     n_chunks = layout.n_chunks
     n_cb = layout.n_col_blocks
     n_rb = layout.n_row_blocks
     V = layout.n_vertices
+    bit_w = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
 
     act_pad = jnp.zeros(n_cb * W, bool).at[:V].set(active)
-    act_cb = jnp.any(act_pad.reshape(n_cb, W), axis=1)
-    ch_act = act_cb[layout.chunk_cb]
+    act_blk = jnp.any(act_pad.reshape(n_cb, 32, W // 32), axis=2)
+    act_words = jnp.sum(
+        jnp.where(act_blk, bit_w, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )
+    ch_act = (act_words[layout.chunk_cb] & layout.src_bits) != 0
     if out_mask is not None:
         om_pad = jnp.zeros(n_rb * W, bool).at[:V].set(out_mask)
-        out_rb = jnp.any(om_pad.reshape(n_rb, W), axis=1)
-        ch_act = ch_act & out_rb[layout.chunk_rb]
+        om_blk = jnp.any(om_pad.reshape(n_rb, 32, W // 32), axis=2)
+        om_words = jnp.sum(
+            jnp.where(om_blk, bit_w, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        )
+        ch_act = ch_act & (
+            (om_words[layout.chunk_rb] & layout.dst_bits) != 0
+        )
     pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
     count = (pos[-1] + 1).astype(jnp.int32)
     perm = (

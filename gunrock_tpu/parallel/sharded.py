@@ -342,7 +342,7 @@ def _trim(arr, V):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["row_local", "col_local", "values", "chunk_rb",
-                 "chunk_cb", "rb_occupied"],
+                 "chunk_cb", "rb_occupied", "src_bits", "dst_bits"],
     meta_fields=["window", "chunk", "n_chunks", "n_row_blocks",
                  "n_col_blocks", "n_vertices", "n_shards", "v_per_shard",
                  "interpret"],
@@ -366,6 +366,8 @@ class ShardedLayouts:
     chunk_rb: jax.Array  # int32[n, n_chunks]
     chunk_cb: jax.Array  # int32[n, n_chunks]
     rb_occupied: jax.Array  # bool[n, n_row_blocks]
+    src_bits: jax.Array  # uint32[n, n_chunks] (sub-block occupancy)
+    dst_bits: jax.Array  # uint32[n, n_chunks]
     window: int
     chunk: int
     n_chunks: int
@@ -435,6 +437,11 @@ def build_sharded_layouts(
                          np.float32),
         chunk_rb=pad_stack("chunk_rb", n_rb - 1, True, np.int32),
         chunk_cb=pad_stack("chunk_cb", 0, True, np.int32),
+        # pad chunks carry 0 occupancy bits -> never selected by the
+        # frontier-sparse chunk selection (previously they aliased
+        # window 0 and rode along whenever it was active)
+        src_bits=pad_stack("src_bits", 0, True, np.uint32),
+        dst_bits=pad_stack("dst_bits", 0, True, np.uint32),
         rb_occupied=jnp.asarray(np.stack(
             [np.asarray(l.rb_occupied) for l in shards]
         )),
@@ -454,6 +461,7 @@ def _local_layout(L: ShardedLayouts):
         row_local=L.row_local[0], col_local=L.col_local[0],
         values=L.values[0], chunk_rb=L.chunk_rb[0],
         chunk_cb=L.chunk_cb[0], rb_occupied=L.rb_occupied[0],
+        src_bits=L.src_bits[0], dst_bits=L.dst_bits[0],
         window=L.window, chunk=L.chunk, n_chunks=L.n_chunks,
         n_row_blocks=L.n_row_blocks, n_col_blocks=L.n_col_blocks,
         n_vertices=L.n_vertices,
@@ -704,8 +712,14 @@ def kcore(sg: ShardedGraph, mesh):
 
         def body(c):
             k, deg, deleted, cores = c
+            # fused k-jump (see algorithms/kcore.py): raise k to the
+            # minimum alive residual degree up front so every round
+            # peels — no dedicated level-done rounds.
+            min_rem = jax.lax.pmin(
+                jnp.min(jnp.where(deleted, BIGD, deg)), axis
+            )
+            k = jnp.maximum(k, min_rem)
             peel = (~deleted) & (deg <= k)
-            any_peel = jax.lax.pmax(jnp.any(peel).astype(jnp.int32), axis) > 0
             cores = jnp.where(peel, k, cores)
             deleted = deleted | peel
             peel_at_src = _gather(sg, peel, axis, "d")
@@ -714,10 +728,6 @@ def kcore(sg: ShardedGraph, mesh):
                 sg.d_valid, "sum",
             )
             deg = deg - dec
-            min_rem = jax.lax.pmin(
-                jnp.min(jnp.where(deleted, BIGD, deg)), axis
-            )
-            k = jnp.where(any_peel, k, jnp.maximum(k + 1, min_rem))
             return k, deg, deleted, cores
 
         k, _, _, cores = jax.lax.while_loop(

@@ -366,6 +366,22 @@ def test_bfs_do_pallas_pull_matches():
     assert int(it1) == int(it2)
 
 
+def test_bfs_do_mixed_layout_matches():
+    """Mixed-layout DO (peak levels on a bigger-window layout) must be
+    bit-identical to the single-layout Pallas path and the XLA path."""
+    from gunrock_tpu.algorithms.bfs import bfs_kernel_do
+    from gunrock_tpu.ops.pallas.semiring import pull_layout
+
+    g, A = random_graph(None, n=300, p=0.04, weighted=False, seed_offset=77)
+    lay = pull_layout(g, window=128, chunk=128, unit=True)
+    lay_big = pull_layout(g, window=256, chunk=256, unit=True)
+    d_xla, it1 = bfs_kernel_do(g, 0, edge_budget=64)
+    d_mix, it2 = bfs_kernel_do(g, 0, edge_budget=64, layout=lay,
+                               layout_dense=lay_big, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_mix), np.asarray(d_xla))
+    assert int(it1) == int(it2)
+
+
 def test_sparse_minmax_fused():
     """Fused (max, min-of-positives) kernel matches two dense reference
     scans on masked rows (interpret mode)."""
