@@ -164,6 +164,7 @@ def bc_kernel_pallas(
         sig_add = bucketed_semiring_spmv_sparse(
             pull_layout, jnp.where(front, sigma, 0.0), front, "plus_times",
             interpret=interpret, out_mask=unreached,
+            tail_grids=(2, 4, 8, 64),
         )
         new = unreached & (sig_add > 0)
         labels = jnp.where(new, it + 1, labels)
@@ -187,6 +188,7 @@ def bc_kernel_pallas(
         y = bucketed_semiring_spmv_sparse(
             push_layout, x, up, "plus_times",
             interpret=interpret, out_mask=here,
+            tail_grids=(2, 4, 8, 64),
         )
         delta = jnp.where(here, delta + sigma_safe * y, delta)
         return d - 1, delta

@@ -168,9 +168,14 @@ def bfs_kernel_do(
             # scatter with a SINGLE bf16 matmul (exact=True: 1.0 msgs
             # are bf16-exact; the MXU accumulates in f32 so counts stay
             # exact) — max_times would fall back to the VPU one-hot
+            # tail grids (2,4,8,64): with sub-block chunk-activity bits
+            # the mid-density levels are 10-30% active — the /2 and /4
+            # tiers cut those passes 2-4x (s18 degsort level probe:
+            # level 2 = 22% of chunks, level 3 = 10%)
             y = bucketed_semiring_spmv_sparse(
                 lay, front.astype(jnp.float32), front, "plus_times",
                 interpret=interpret, out_mask=unreached, exact=True,
+                tail_grids=(2, 4, 8, 64),
             )
             new = (y > 0.5) & unreached
             return new, jnp.where(new, it + 1, dist)
@@ -222,10 +227,13 @@ def bfs_kernel_do(
                 front, dist = args
                 return dense_big_step(front, dist, it)
 
-            # peak-level tier: when the frontier's out-edges cover a
-            # quarter of the graph, window skipping is moot — take the
-            # big-chunk layout's lower per-grid-step floor instead
-            big = out_edges >= jnp.int32(E // 4)
+            # peak-level tier: when the frontier's out-edges cover HALF
+            # the graph, chunk skipping is moot — take the big-chunk
+            # layout's lower per-grid-step floor instead. (E//4 was the
+            # first cut; with sub-block activity bits the 25-50% levels
+            # skip enough chunks that the fine W=2048 layout + /2 tier
+            # beats the big layout's full grid.)
+            big = out_edges >= jnp.int32(E // 2)
             branch = jnp.where(use_push, 0, jnp.where(big, 2, 1))
             front, dist = jax.lax.switch(
                 branch, [push, pull, pull_big], (front, dist)

@@ -336,13 +336,13 @@ def color_kernel_rank_pallas(
         unc = colors == INVALID_COLOR
         rank = bucketed_semiring_spmv_sparse(
             layout, unc.astype(jnp.float32), unc, "plus_times",
-            interpret=interpret, out_mask=unc,
+            interpret=interpret, out_mask=unc, tail_grids=(2, 4, 8, 64),
         )
         rankc = jnp.minimum(rank, R - 1).astype(jnp.int32)
         pack = (rankc * MULT + inv1).astype(jnp.float32)
         mq = bucketed_semiring_spmv_sparse(
             layout, jnp.where(unc, pack, 0.0), unc, "max_times",
-            interpret=interpret, out_mask=unc,
+            interpret=interpret, out_mask=unc, tail_grids=(2, 4, 8, 64),
         )
         col_now = unc & (pack > mq)
         used = (
@@ -471,7 +471,7 @@ def color_kernel_greedy_pallas(
         # iterating every predicated-off chunk slot
         cnt = cnt + bucketed_spmm_sparse(
             layout, x, changed, interpret=interpret, out_mask=unstable,
-            exact=True, tail_grids=(8, 64),
+            exact=True, tail_grids=(2, 4, 8, 64),
         )
         koff = jnp.clip(colors - base, 0, K - 1)
         cnt_own = jnp.sum(
@@ -629,7 +629,7 @@ def color_kernel_pallas(
         x_max = jnp.where(uncolored, randf, 0.0)
         nbr_max, nbr_min = bucketed_semiring_spmv_sparse_minmax(
             layout, x_max, uncolored, interpret=interpret,
-            out_mask=uncolored,
+            out_mask=uncolored, tail_grids=(2, 4, 8, 64),
         )
         has_nbr = nbr_min < _BIG
         colormax = uncolored & (randf > nbr_max)

@@ -128,7 +128,8 @@ def ppr_kernel_pallas(
         rp = jnp.where(front, 0.0, rp)
         x = jnp.where(front, _1a1a * r / jnp.maximum(deg, 1.0), 0.0)
         upd = bucketed_semiring_spmv_sparse(
-            layout, x, front, "plus_times", interpret=interpret
+            layout, x, front, "plus_times", interpret=interpret,
+            tail_grids=(2, 4, 8, 64),
         )
         thresh = deg * epsilon
         new_rp = rp + upd

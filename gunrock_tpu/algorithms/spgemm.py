@@ -381,6 +381,7 @@ def _dense_block_kernel(
     ac,
     av,
     edge_start,  # int32 scalar
+    edge_count,  # int32 scalar — real edges in this block's slice
     row_start,  # int32 scalar
     n_vertices: int,
     block_rows: int,
@@ -395,19 +396,32 @@ def _dense_block_kernel(
     per-product gather (the ESC path pays 2 serialized gathers per partial
     product plus an O(products log) device sort). One executable serves
     every block: B's layout is an argument, the A row-block arrives as a
-    dynamic slice scattered into a dense [V, K] operand."""
-    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm
+    dynamic slice scattered into a dense [V, K] operand.
+
+    The x operand is row-sparse — only the ~E_A/n_blocks DISTINCT columns
+    of the A block are nonzero — so the pass runs the frontier-sparse
+    SpMM with those columns as the active set: B chunks whose source
+    sub-blocks hold no A-block column skip entirely (sub-block activity
+    bits, semiring._sparse_chunk_select)."""
+    from gunrock_tpu.ops.pallas.spmm import bucketed_spmm_sparse
 
     e = jax.lax.dynamic_slice(ar, (edge_start,), (max_block_edges,))
     c = jax.lax.dynamic_slice(ac, (edge_start,), (max_block_edges,))
     v = jax.lax.dynamic_slice(av, (edge_start,), (max_block_edges,))
+    valid = jnp.arange(max_block_edges, dtype=jnp.int32) < edge_count
+    c = jnp.where(valid, c, n_vertices)  # pad slots drop below
     k_slot = e - row_start  # in [0, block_rows) for real edges
     # padding slots carry value 0.0 — a scatter-add of 0 is harmless even
     # when their (row 0 - r0) lands inside the block
     x = jnp.zeros((n_vertices, block_rows), jnp.float32).at[c, k_slot].add(
         v, mode="drop"
     )
-    y = bucketed_spmm(layout, x, interpret=interpret)  # f32[V, K] = C_block^T
+    active = (
+        jnp.zeros(n_vertices + 1, bool).at[c].set(True, mode="drop")[:n_vertices]
+    )
+    y = bucketed_spmm_sparse(
+        layout, x, active, interpret=interpret, tail_grids=(2, 4, 8, 64)
+    )  # f32[V, K] = C_block^T
     nz = y != 0.0
     nnz = jnp.sum(nz.astype(jnp.int32))
     checksum = jnp.sum(y)
@@ -510,18 +524,23 @@ def _run_dense(
             starts[:-1].astype(np.int32),
             np.full(pad_blocks, int(a_off[-1]), np.int32),
         ])
+        ecnt_np = np.concatenate([
+            np.diff(starts).astype(np.int32),
+            np.zeros(pad_blocks, np.int32),
+        ])
         rstarts_np = np.concatenate([
             (np.arange(n_blocks) * block_rows).astype(np.int32),
             np.full(pad_blocks, V, np.int32),
         ])
         starts_d = jnp.asarray(starts_np)
+        ecnt_d = jnp.asarray(ecnt_np)
         rstarts_d = jnp.asarray(rstarts_np)
 
-        def fused(lay, ar, ac, av, st, rs):
+        def fused(lay, ar, ac, av, st, ec, rs):
             def body(b, carry):
                 nnz_vec, cs = carry
                 n, c = _dense_block_kernel(
-                    lay, ar, ac, av, st[b], rs[b],
+                    lay, ar, ac, av, st[b], ec[b], rs[b],
                     n_vertices=V, block_rows=block_rows, cap=0,
                     max_block_edges=pad_n, interpret=interpret,
                 )
@@ -540,6 +559,7 @@ def _run_dense(
             nnz_vec, cs = ffn(
                 layout, ar_g, ac_g, av_g,
                 jax.lax.dynamic_slice_in_dim(starts_d, g * gs, gs),
+                jax.lax.dynamic_slice_in_dim(ecnt_d, g * gs, gs),
                 jax.lax.dynamic_slice_in_dim(rstarts_d, g * gs, gs),
             )
             keep = max(0, min(gs, n_blocks - g * gs))
@@ -548,7 +568,8 @@ def _run_dense(
     for b in range(0 if count_only else n_blocks):
         rows, cols, vals, nnz, csum = fn(
             layout, ar_g, ac_g, av_g,
-            jnp.int32(starts[b]), jnp.int32(b * block_rows),
+            jnp.int32(starts[b]), jnp.int32(starts[b + 1] - starts[b]),
+            jnp.int32(b * block_rows),
         )
         nnz_parts.append(nnz)
         csum_parts.append(csum)

@@ -127,12 +127,15 @@ def sssp_kernel_do(
     edge_budget: int | None = None,
     layout=None,
     interpret: bool | None = None,
+    layout_dense=None,
 ):
     """Direction-optimizing SSSP: sparse push relaxations for small
     frontiers (the dominant regime on long-diameter road networks), dense
     min-plus pull otherwise. When a Pallas ``layout`` is given the dense
     branch routes through the bucketed min-plus kernel (the fastest
-    on-chip combination). Returns (distances, depth)."""
+    on-chip combination). ``layout_dense``: optional W=4096/C=1024
+    mixed-layout tier for near-full waves (see bfs.bfs_kernel_do).
+    Returns (distances, depth)."""
     V = graph.n_vertices
     E = graph.n_edges
     max_it = V if max_iterations is None else max_iterations
@@ -157,21 +160,36 @@ def sssp_kernel_do(
         if interpret is None:
             interpret = use_interpret()
 
-        def dense_step(front, dist):
+        def _pull(lay, front, dist):
             # frontier-sparse chunk-skipping kernel: mid-size frontiers
             # (too big for push, far smaller than E) only pay for chunks
-            # whose source window holds a frontier vertex
+            # whose source sub-block holds a frontier vertex. Tail grids
+            # (8,64) measured best for min_plus at s18 degsort (98.6 ms
+            # med vs 104.1 none / 101.9 with the extra /2,/4 tiers —
+            # the deeper cond tree costs more than it saves here).
             x = jnp.where(front, dist, _BIG)
             relaxed = bucketed_semiring_spmv_sparse(
-                layout, x, front, "min_plus", interpret=interpret
+                lay, x, front, "min_plus", interpret=interpret,
+                tail_grids=(8, 64),
             )
             improved = relaxed < dist
             return improved, jnp.minimum(dist, relaxed)
 
+        def dense_step(front, dist):
+            return _pull(layout, front, dist)
+
+        if layout_dense is not None:
+
+            def dense_big_step(front, dist):
+                return _pull(layout_dense, front, dist)
+        else:
+            dense_big_step = None
     else:
 
         def dense_step(front, dist):
             return sssp_step(graph, front, dist)
+
+        dense_big_step = None
 
     dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
     front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
@@ -196,7 +214,21 @@ def sssp_kernel_do(
             front, dist = args
             return dense_step(front, dist)
 
-        front, dist = jax.lax.cond(use_push, push, pull, (front, dist))
+        if dense_big_step is None:
+            front, dist = jax.lax.cond(use_push, push, pull, (front, dist))
+        else:
+
+            def pull_big(args):
+                front, dist = args
+                return dense_big_step(front, dist)
+
+            # mixed-layout tier (see bfs.py): near-full waves take the
+            # big-chunk layout's lower per-grid-step floor
+            big = out_edges >= jnp.int32(E // 2)
+            branch = jnp.where(use_push, 0, jnp.where(big, 2, 1))
+            front, dist = jax.lax.switch(
+                branch, [push, pull, pull_big], (front, dist)
+            )
         return it + 1, front, dist
 
     it, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
@@ -407,22 +439,33 @@ def run(
         import time
 
         layout = None
+        layout_dense = None
         if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
             from gunrock_tpu.ops.pallas.semiring import _BIG, pull_layout
 
             layout = pull_layout(graph, pad_value=_BIG)
+            # NO mixed-layout tier here (unlike BFS): min_plus has no MXU
+            # scatter form, so the W=4096 big-chunk pass DOUBLES the VPU
+            # one-hot scatter work per edge — measured 115.3 vs 100.7 ms
+            # med at s18 degsort. layout_dense stays available via the
+            # kernel arg for weighted graphs that profit (none measured).
         # layout as jit ARGUMENT, not closure: closed-over device arrays
         # become HLO constants and overflow the axon remote-compile
         # payload at scale 20 (HTTP 413)
         from gunrock_tpu.utils.jitcache import cached_jit
 
         fn = cached_jit(
-            "sssp_do", lambda: lambda g, s, lay: sssp_kernel_do(g, s, layout=lay)
+            ("sssp_do", layout_dense is not None),
+            lambda: lambda g, s, lay, lay_d: sssp_kernel_do(
+                g, s, layout=lay, layout_dense=lay_d
+            ),
         )
         if warmup:
-            jax.block_until_ready(fn(graph, single_source, layout))
+            jax.block_until_ready(fn(graph, single_source, layout, layout_dense))
         t0 = time.perf_counter()
-        dist, it = jax.block_until_ready(fn(graph, single_source, layout))
+        dist, it = jax.block_until_ready(
+            fn(graph, single_source, layout, layout_dense)
+        )
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return Result(
             distances=dist,

@@ -382,6 +382,21 @@ def test_bfs_do_mixed_layout_matches():
     assert int(it1) == int(it2)
 
 
+def test_sssp_do_mixed_layout_matches():
+    """Mixed-layout SSSP DO matches the XLA DO path (interpret mode)."""
+    from gunrock_tpu.algorithms.sssp import sssp_kernel_do
+    from gunrock_tpu.ops.pallas.semiring import _BIG, pull_layout
+
+    g, A = random_graph(None, n=300, p=0.04, weighted=True, seed_offset=78)
+    lay = pull_layout(g, window=128, chunk=128, pad_value=_BIG)
+    lay_big = pull_layout(g, window=256, chunk=256, pad_value=_BIG)
+    d_xla, _ = sssp_kernel_do(g, 0, edge_budget=64)
+    d_mix, _ = sssp_kernel_do(g, 0, edge_budget=64, layout=lay,
+                              layout_dense=lay_big, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_mix), np.asarray(d_xla),
+                               rtol=1e-5)
+
+
 def test_sparse_minmax_fused():
     """Fused (max, min-of-positives) kernel matches two dense reference
     scans on masked rows (interpret mode)."""
