@@ -388,6 +388,7 @@ def _dense_block_kernel(
     cap: int,  # 0 = count_only
     max_block_edges: int,
     interpret: bool = False,
+    exact: bool = False,  # unit-value structural counting (count_only)
 ):
     """One dense row block: C[r0:r0+K, :] = A[r0:r0+K, :] @ B computed as
     C_block^T = B^T @ dense(A_block^T) through the bucketed SpMM kernel —
@@ -420,7 +421,8 @@ def _dense_block_kernel(
         jnp.zeros(n_vertices + 1, bool).at[c].set(True, mode="drop")[:n_vertices]
     )
     y = bucketed_spmm_sparse(
-        layout, x, active, interpret=interpret, tail_grids=(2, 4, 8, 64)
+        layout, x, active, interpret=interpret, tail_grids=(2, 4, 8, 64),
+        exact=exact,
     )  # f32[V, K] = C_block^T
     nz = y != 0.0
     nnz = jnp.sum(nz.astype(jnp.int32))
@@ -456,9 +458,12 @@ def _run_dense(
     ceil(V_A/block_rows) SpMM passes over B's edges — independent of the
     partial-product count, so it beats ESC when products/E_B exceeds
     ~V_A/block_rows (power-law squares); ESC wins on sparse low-fill
-    products (road networks). Counts NUMERICAL nonzeros (an exactly-zero
-    accumulation is dropped, exact under the kernel's two-pass bf16
-    split); ESC counts structural ones — identical for positive weights."""
+    products (road networks). Materializing mode counts NUMERICAL
+    nonzeros (an exactly-zero accumulation is dropped, exact under the
+    kernel's two-pass bf16 split); count_only counts STRUCTURAL ones
+    with unit values (matches ESC; identical for positive weights) so
+    the pass rides the exact=True single-bf16 path — half the x-window
+    DMA, which is the measured bound."""
     from gunrock_tpu.ops.pallas import use_interpret
     from gunrock_tpu.ops.pallas.layout import build_auto_layout, cached_layout
     from gunrock_tpu.graph import hostcache
@@ -466,16 +471,25 @@ def _run_dense(
     del warmup  # first block doubles as compile warmup
     interpret = use_interpret()
     V = A.n_vertices
+    # count_only: STRUCTURAL counting — both operands ride unit values,
+    # so x and the messages are bf16-exact {0,1} and the SpMM kernel's
+    # exact=True path halves the x-window DMA (the measured bound) and
+    # skips 2 of 4 MXU passes. The value checksum has a closed form,
+    # sum(C) = sum_j colsumA(j) * rowsumB(j), computed on host in f64 —
+    # no numerical information is lost by dropping values from the pass.
+    # (Structural == numerical nnz for positive weights; matches ESC.)
+    unit = count_only
     layout = cached_layout(
         B.col_indices,
         lambda: build_auto_layout(
             hostcache.host(B, "col_indices"),
             hostcache.host(B, "edge_src"),
-            hostcache.host(B, "values"),
+            np.ones(B.n_edges, np.float32) if unit
+            else hostcache.host(B, "values"),
             B.n_vertices,
             interpret=interpret,
         ),
-        ("spgemm_bt",),
+        ("spgemm_bt_unit",) if unit else ("spgemm_bt",),
     )
     a_off = hostcache.host(A, "row_offsets")
     n_blocks = -(-V // block_rows)
@@ -485,13 +499,16 @@ def _run_dense(
     pad = jnp.zeros(pad_n, jnp.int32)
     ar_g = jnp.concatenate([A.edge_src, pad])
     ac_g = jnp.concatenate([A.col_indices, pad])
-    av_g = jnp.concatenate([A.values, pad.astype(jnp.float32)])
+    av_g = jnp.concatenate([
+        jnp.ones(A.n_edges, jnp.float32) if unit else A.values,
+        pad.astype(jnp.float32),
+    ])
 
     from gunrock_tpu.utils.jitcache import cached_jit
 
     fn = cached_jit(
         ("spgemm_dense_block", V, block_rows,
-         0 if count_only else block_cap, pad_n, interpret),
+         0 if count_only else block_cap, pad_n, interpret, unit),
         lambda: functools.partial(
             _dense_block_kernel,
             n_vertices=V,
@@ -499,6 +516,7 @@ def _run_dense(
             cap=0 if count_only else block_cap,
             max_block_edges=pad_n,
             interpret=interpret,
+            exact=unit,
         ),
     )
     t0 = time.perf_counter()
@@ -543,6 +561,7 @@ def _run_dense(
                     lay, ar, ac, av, st[b], ec[b], rs[b],
                     n_vertices=V, block_rows=block_rows, cap=0,
                     max_block_edges=pad_n, interpret=interpret,
+                    exact=unit,
                 )
                 return nnz_vec.at[b].set(n), cs + c
 
@@ -552,7 +571,8 @@ def _run_dense(
             )
 
         ffn = cached_jit(
-            ("spgemm_dense_fused", V, block_rows, pad_n, gs, interpret),
+            ("spgemm_dense_fused", V, block_rows, pad_n, gs, interpret,
+             unit),
             lambda: fused,
         )
         for g in range(n_pad_blocks // gs):
@@ -589,7 +609,22 @@ def _run_dense(
     # per-part arrays may be scalars (per-block path) or the fused-loop
     # int32 vector; sum each in host int64 before totalling
     nnz = int(sum(int(np.asarray(p, np.int64).sum()) for p in nnz_parts))
-    checksum = float(sum(float(np.asarray(p).sum()) for p in csum_parts))
+    if count_only:
+        # closed-form value checksum (the device pass counted structure
+        # with unit values): sum(C) = sum_j colsumA(j) * rowsumB(j)
+        colsum_a = np.bincount(
+            np.asarray(hostcache.host(A, "col_indices")),
+            weights=np.asarray(hostcache.host(A, "values"), np.float64),
+            minlength=B.n_vertices,
+        )
+        rowsum_b = np.bincount(
+            np.asarray(hostcache.host(B, "edge_src")),
+            weights=np.asarray(hostcache.host(B, "values"), np.float64),
+            minlength=B.n_vertices,
+        )
+        checksum = float(np.dot(colsum_a, rowsum_b))
+    else:
+        checksum = float(sum(float(np.asarray(p).sum()) for p in csum_parts))
     elapsed_ms = (time.perf_counter() - t0) * 1e3
     if count_only:
         e = jnp.zeros(0)
