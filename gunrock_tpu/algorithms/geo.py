@@ -181,8 +181,15 @@ def geo_kernel(
         def wstep(s):
             i, y_lat, y_lon, out_lat, out_lon, done = s
             if layout is not None:
-                nonzeros, dinvs, wlat, wlon = weiszfeld_step_sums(
-                    layout, y_lat, y_lon, mlat3, mlon3, ok3,
+                # chunk-skipping step: converged rows' windows drop out,
+                # so the straggler tail (hundreds of steps on power-law
+                # inputs) rides the /8-/64 grids instead of full passes
+                from gunrock_tpu.ops.pallas.geo_step import (
+                    weiszfeld_step_sums_sparse,
+                )
+
+                nonzeros, dinvs, wlat, wlon = weiszfeld_step_sums_sparse(
+                    layout, y_lat, y_lon, mlat3, mlon3, ok3, ~done,
                     interpret=interpret,
                 )
                 sums = jnp.stack([nonzeros, dinvs, wlat, wlon], axis=1)

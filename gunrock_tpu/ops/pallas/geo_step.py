@@ -68,6 +68,50 @@ def _haversine_tiled(lat1, lon1, lat2, lon2, radius=6371.0):
     return radius * 2.0 * _asin_poly(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
 
 
+def _wstep_compute(row2, ylat_ref, ylon_ref, mlat_ref, mlon_ref, ok_ref,
+                   y4_ref, S):
+    """Shared chunk body of the dense and sparse Weiszfeld-step kernels:
+    gather the iterate, haversine, 4-channel shared MXU scatter."""
+    Cr = row2.shape[0]
+    ylg = _gather_window_dyn(ylat_ref[0], row2, S)
+    yog = _gather_window_dyn(ylon_ref[0], row2, S)
+    mlat2 = mlat_ref[0]
+    mlon2 = mlon_ref[0]
+    ok2 = ok_ref[0]  # 1.0 valid / 0.0 pad-or-unlabeled
+
+    d = _haversine_tiled(mlat2, mlon2, ylg, yog)
+    ok = (ok2 > 0.0) & (d != 0.0)
+    dinv = jnp.where(ok, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+    ch = (
+        ok.astype(jnp.float32),  # nonzero count
+        dinv,
+        dinv * mlat2,
+        dinv * mlon2,
+    )
+
+    # shared hi-level MXU scatter: lo one-hots of the 4 channels
+    # concatenated along the OUTPUT lane axis -> one matmul pair
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0)
+    scats = []
+    hi_ts = []
+    for cr in range(Cr):
+        row = row2[cr]
+        rhi = row // 128
+        rlo = row - rhi * 128
+        eq = rlo[:, None] == lo_iota
+        scats.append(jnp.concatenate(
+            [jnp.where(eq, c[cr][:, None], 0.0) for c in ch], axis=1
+        ))  # [128, 4*128]
+        hi_ts.append((rhi[None, :] == s_iota).astype(jnp.bfloat16))
+    lo_scat = scats[0] if Cr == 1 else jnp.concatenate(scats, axis=0)
+    hi_t = hi_ts[0] if Cr == 1 else jnp.concatenate(hi_ts, axis=1)
+    mh, ml = _split_bf16(lo_scat)
+    y4_ref[0] = y4_ref[0] + jnp.dot(
+        hi_t, mh, preferred_element_type=jnp.float32
+    ) + jnp.dot(hi_t, ml, preferred_element_type=jnp.float32)
+
+
 def _make_wstep_kernel(S: int):
     def kernel(pk_ref, ylat_ref, ylon_ref, row_ref, mlat_ref, mlon_ref,
                ok_ref, y4_ref):
@@ -80,45 +124,35 @@ def _make_wstep_kernel(S: int):
         def _():
             y4_ref[...] = jnp.zeros_like(y4_ref)
 
-        row2 = row_ref[0]  # [Cr, 128]
-        Cr = row2.shape[0]
-        ylg = _gather_window_dyn(ylat_ref[0], row2, S)
-        yog = _gather_window_dyn(ylon_ref[0], row2, S)
-        mlat2 = mlat_ref[0]
-        mlon2 = mlon_ref[0]
-        ok2 = ok_ref[0]  # 1.0 valid / 0.0 pad-or-unlabeled
+        _wstep_compute(row_ref[0], ylat_ref, ylon_ref, mlat_ref, mlon_ref,
+                       ok_ref, y4_ref, S)
 
-        d = _haversine_tiled(mlat2, mlon2, ylg, yog)
-        ok = (ok2 > 0.0) & (d != 0.0)
-        dinv = jnp.where(ok, 1.0 / jnp.maximum(d, 1e-30), 0.0)
-        ch = (
-            ok.astype(jnp.float32),  # nonzero count
-            dinv,
-            dinv * mlat2,
-            dinv * mlon2,
+    return kernel
+
+
+def _make_wstep_sparse_kernel(S: int):
+    """Chunk-skipping Weiszfeld-step kernel: slots past the active count
+    are predicated off entirely (the tail-slot permutation aliases the
+    LAST active chunk, so the end-of-grid flush rewrites an already-
+    correct block — semiring._sparse_chunk_select's contract)."""
+
+    def kernel(pk_ref, perm_ref, cnt_ref, ylat_ref, ylon_ref, row_ref,
+               mlat_ref, mlon_ref, ok_ref, y4_ref):
+        i = pl.program_id(0)
+        active = i < cnt_ref[0]
+        first_visit = active & jnp.logical_or(
+            i == 0,
+            pk_ref[i] // 65536 != pk_ref[jnp.maximum(i - 1, 0)] // 65536,
         )
 
-        # shared hi-level MXU scatter: lo one-hots of the 4 channels
-        # concatenated along the OUTPUT lane axis -> one matmul pair
-        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0)
-        scats = []
-        hi_ts = []
-        for cr in range(Cr):
-            row = row2[cr]
-            rhi = row // 128
-            rlo = row - rhi * 128
-            eq = rlo[:, None] == lo_iota
-            scats.append(jnp.concatenate(
-                [jnp.where(eq, c[cr][:, None], 0.0) for c in ch], axis=1
-            ))  # [128, 4*128]
-            hi_ts.append((rhi[None, :] == s_iota).astype(jnp.bfloat16))
-        lo_scat = scats[0] if Cr == 1 else jnp.concatenate(scats, axis=0)
-        hi_t = hi_ts[0] if Cr == 1 else jnp.concatenate(hi_ts, axis=1)
-        mh, ml = _split_bf16(lo_scat)
-        y4_ref[0] = y4_ref[0] + jnp.dot(
-            hi_t, mh, preferred_element_type=jnp.float32
-        ) + jnp.dot(hi_t, ml, preferred_element_type=jnp.float32)
+        @pl.when(first_visit)
+        def _():
+            y4_ref[...] = jnp.zeros_like(y4_ref)
+
+        @pl.when(active)
+        def _():
+            _wstep_compute(row_ref[0], ylat_ref, ylon_ref, mlat_ref,
+                           mlon_ref, ok_ref, y4_ref, S)
 
     return kernel
 
@@ -171,6 +205,76 @@ def weiszfeld_step_sums(
         interpret=interpret,
     )(pk, ylat3, ylon3, row2, mlat3, mlon3, ok3)
     y4 = jnp.where(layout.rb_occupied[:, None, None], y4, 0.0)
+    chans = [
+        y4[:, :, k * 128:(k + 1) * 128].reshape(-1)[:V] for k in range(4)
+    ]
+    return chans[0], chans[1], chans[2], chans[3]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tail_grids"))
+def weiszfeld_step_sums_sparse(
+    layout: BucketedEdges,
+    y_lat: jax.Array,
+    y_lon: jax.Array,
+    mlat3: jax.Array,
+    mlon3: jax.Array,
+    ok3: jax.Array,
+    undone: jax.Array,  # bool[V] — rows still iterating
+    interpret: bool = False,
+    tail_grids: tuple[int, ...] | None = (2, 4, 8, 64),
+):
+    """Chunk-skipping Weiszfeld step: only chunks whose ROW sub-blocks
+    hold an un-converged vertex run (dst_bits resolution, tail-grid
+    dispatch). Rows outside ``undone``'s touched windows return 0 sums —
+    the geo loop never reads them (done-masked updates). Stragglers
+    converge over hundreds of steps while the undone set collapses, so
+    late steps cost the /64 grid instead of the full pass."""
+    from gunrock_tpu.ops.pallas.semiring import (_sparse_chunk_select,
+                                                 _tail_grid_dispatch)
+
+    W, C = layout.window, layout.chunk
+    S = W // 128
+    n_chunks = layout.n_chunks
+    n_rb = layout.n_row_blocks
+    V = layout.n_vertices
+
+    ones = jnp.ones(V, bool)
+    ch_act, pk_r, perm, count = _sparse_chunk_select(layout, ones, undone)
+
+    def pad3(v):
+        p = jnp.zeros(n_rb * W, jnp.float32).at[:V].set(v)
+        return p.reshape(n_rb, S, 128)
+
+    ylat3 = pad3(y_lat)
+    ylon3 = pad3(y_lon)
+    row2 = layout.row_local.reshape(n_chunks, C // 128, 128)
+
+    mblock = (1, C // 128, 128)
+    in_specs = [
+        pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)),
+        pl.BlockSpec((1, S, 128), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)),
+        pl.BlockSpec(mblock, lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec(mblock, lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec(mblock, lambda i, pk, pm, ct: (pm[i], 0, 0)),
+        pl.BlockSpec(mblock, lambda i, pk, pm, ct: (pm[i], 0, 0)),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, S, 512), lambda i, pk, pm, ct: (pk[i] // 65536, 0, 0)
+    )
+    call_args = (pk_r, perm, count.reshape(1), ylat3, ylon3, row2, mlat3,
+                 mlon3, ok3)
+    y4 = _tail_grid_dispatch(
+        _make_wstep_sparse_kernel(S),
+        jax.ShapeDtypeStruct((n_rb, S, 512), jnp.float32),
+        in_specs, out_spec, call_args, count, n_chunks, interpret,
+        tail_grids,
+    )
+    rb_touched = (
+        jnp.zeros(n_rb, bool)
+        .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
+        .set(True, mode="drop")
+    )
+    y4 = jnp.where(rb_touched[:, None, None], y4, 0.0)
     chans = [
         y4[:, :, k * 128:(k + 1) * 128].reshape(-1)[:V] for k in range(4)
     ]
