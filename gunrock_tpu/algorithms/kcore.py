@@ -139,8 +139,18 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
         # size-gated tail-grid opt-in: peel waves collapse to a handful of
         # chunks over hundreds of rounds, so the smaller precompiled grids
         # pay for themselves only once the full grid is large (measured
-        # +15% at s18: 2916 vs 3433 ms, results_r2c battery)
-        tail_grids = (8, 64) if graph.n_vertices >= (1 << 18) else None
+        # +15% at s18: 2916 vs 3433 ms, results_r2c battery; still LOSES
+        # at s16 with sub-block bits: 452 vs 331 ms pre-bits A/B).
+        # GUNROCK_KCORE_TAIL_GRIDS overrides for A/Bs ("" = off).
+        import os
+
+        env_tg = os.environ.get("GUNROCK_KCORE_TAIL_GRIDS")
+        if env_tg is not None:
+            tail_grids = tuple(
+                int(t) for t in env_tg.split(",") if t.strip()
+            ) or None
+        else:
+            tail_grids = (8, 64) if graph.n_vertices >= (1 << 18) else None
 
         def decrement_fn(peel, alive, lay):
             # doubly frontier-sparse: peel waves are tiny in most rounds
