@@ -16,9 +16,10 @@ k_cores)``. Three round-count/cost optimizations over the naive flattening:
    rounds AND no round is ever spent just discovering that a level is
    done (the classic bucket skip costs one no-peel round per level;
    fusing it removes ~one round per distinct core value).
-2. **cond-guarded edge pass** — the O(E) neighbor-decrement only runs in
-   rounds that peeled something (``lax.cond`` inside ``while_loop``
-   genuinely skips the untaken branch on TPU).
+2. **unconditional edge pass** — because the fused k-jump guarantees
+   every round peels at least one vertex, the O(E) neighbor-decrement
+   runs unconditionally (the earlier ``lax.cond`` guard only paid off
+   when no-peel rounds existed; the k-jump removed those rounds).
 3. **Pallas decrement** — the decrement is a plus_times semiring advance
    over a unit-weight layout (the bucketed MXU/VPU kernel) instead of an
    E-wide gather + segmented count, when options select the Pallas path.
@@ -146,9 +147,9 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
 
         env_tg = os.environ.get("GUNROCK_KCORE_TAIL_GRIDS")
         if env_tg is not None:
-            tail_grids = tuple(
-                int(t) for t in env_tg.split(",") if t.strip()
-            ) or None
+            # empty tuple = explicit off (None would fall back to the
+            # process-wide GUNROCK_TAIL_GRIDS default in _tail_grid_dispatch)
+            tail_grids = tuple(int(t) for t in env_tg.split(",") if t.strip())
         else:
             tail_grids = (8, 64) if graph.n_vertices >= (1 << 18) else None
 

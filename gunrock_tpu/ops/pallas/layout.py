@@ -61,6 +61,12 @@ def _pack_subblock_bits(
     window-local index in sub-block b (sub-block = window/32 vertices).
     Vectorized as a bincount over the (chunk, sub-block) pair space —
     no ufunc.at scatter."""
+    if window < 32 or window % 32:
+        raise ValueError(
+            f"sub-block bit packing needs window to be a multiple of 32 "
+            f"and >= 32, got {window} (non-multiples would silently "
+            f"mis-bucket locals into the next chunk's word)"
+        )
     sub = window // 32
     pair = chunk_ids.astype(np.int64) * 32 + local.astype(np.int64) // sub
     occ = np.bincount(pair, minlength=n_chunks * 32).reshape(n_chunks, 32) > 0
