@@ -48,22 +48,14 @@ class Result:
     elapsed_ms: float
 
 
-def build_dag(graph: Graph):
-    """Degree-ordered DAG orientation (host side, numpy).
-
-    Returns (offsets int32[V+1], adj int32[E_dag], edge_u, edge_v, deg)
-    where ``adj`` rows are ascending (inherited from CSR column order),
-    (edge_u, edge_v) enumerate DAG edges in CSR order, and ``deg`` is the
-    symmetrized simple-graph degree the orientation ranked by (returned
-    so callers need not re-symmetrize — a second full scipy maximum(A.T)
-    pass costs seconds at scale 20).
-    """
+def _symmetrized_edges(graph: Graph):
+    """(src, cols, deg) of the underlying undirected simple graph —
+    triangles live there; directed inputs are symmetrized and deduped
+    (self-loops are dropped by the orientation either way)."""
     offsets = hostcache.host(graph, "row_offsets")
     cols = hostcache.host(graph, "col_indices")
     src = hostcache.host(graph, "edge_src")
     if not graph.properties.symmetric:
-        # Triangles live on the underlying undirected graph: symmetrize
-        # and dedupe directed inputs (self-loops dropped by orientation).
         import scipy.sparse as sp
 
         V = graph.n_vertices
@@ -77,6 +69,20 @@ def build_dag(graph: Graph):
         np.add.at(deg, src, 1)
     else:
         deg = np.diff(offsets)
+    return src, cols, deg
+
+
+def build_dag(graph: Graph):
+    """Degree-ordered DAG orientation (host side, numpy).
+
+    Returns (offsets int32[V+1], adj int32[E_dag], edge_u, edge_v, deg)
+    where ``adj`` rows are ascending (inherited from CSR column order),
+    (edge_u, edge_v) enumerate DAG edges in CSR order, and ``deg`` is the
+    symmetrized simple-graph degree the orientation ranked by (returned
+    so callers need not re-symmetrize — a second full scipy maximum(A.T)
+    pass costs seconds at scale 20).
+    """
+    src, cols, deg = _symmetrized_edges(graph)
     # rank(u) < rank(v) iff (deg[u], u) < (deg[v], v)
     keep = (deg[src] < deg[cols]) | ((deg[src] == deg[cols]) & (src < cols))
     edge_u = src[keep].astype(np.int32)
@@ -86,6 +92,92 @@ def build_dag(graph: Graph):
     dag_offsets = np.zeros(graph.n_vertices + 1, dtype=np.int32)
     np.cumsum(dag_deg, out=dag_offsets[1:])
     return dag_offsets, edge_v.copy(), edge_u, edge_v, np.asarray(deg, np.int64)
+
+
+def build_dag_ranked(graph: Graph):
+    """Degree-rank-relabeled DAG (host, numpy) — round-5 TC layout.
+
+    Vertices are renamed to their rank under ascending (degree, id), so
+    the degree orientation becomes plain id order (u -> v iff u < v) and
+    every wedge {x, y} drawn from a sorted adjacency row is already
+    oriented: y sits later in the row than x, hence y > x. Round 4's
+    device wedge enumeration paid two serialized ~100M-element ``deg``
+    gathers per slab just to orient wedges (VERDICT weak #1) — in rank
+    space both gathers and the compare disappear.
+
+    The wedge-bearing compaction ``wadj`` concatenates only rows with
+    DAG degree >= 2 (rows of degree <= 1 spawn no wedges and are never
+    referenced by one). Consecutive wedge-bearing edges are then at most
+    2 apart in wadj (the only wedge-free kept edges are each row's last),
+    which bounds the adjacency positions referenced by T consecutive
+    wedges to a window of 2T + max_deg — the contract of the Pallas
+    banded gather (ops/pallas/banded.py) that replaces the remaining
+    serialized ``dag_adj`` gather.
+
+    Returns dict: rank int32[V] (orig id -> rank id), eu/ev int32[E_dag]
+    (ALL dag edges, CSR order — the join's edge stream), wadj int32[Ew]
+    (x value of each wedge-bearing edge AND the y gather table), weu
+    int32[Ew] (apex), woff int64[Ew+1] (wedge offsets; base_j = j+1),
+    max_deg (max DAG out-degree), n_wedges.
+    """
+    import scipy.sparse as sp
+
+    src, cols, deg = _symmetrized_edges(graph)
+    V = graph.n_vertices
+    order = np.lexsort((np.arange(V), deg))
+    rank = np.empty(V, np.int64)
+    rank[order] = np.arange(V)
+    ru = rank[src]
+    rv = rank[cols]
+    keep = ru < rv
+    A = sp.csr_matrix(
+        (np.ones(int(keep.sum()), np.int8), (ru[keep], rv[keep])),
+        shape=(V, V),
+    )
+    A.sort_indices()
+    dag_offsets = A.indptr.astype(np.int64)
+    dag_adj = A.indices.astype(np.int32)
+    dag_deg = np.diff(dag_offsets)
+    eu = np.repeat(np.arange(V, dtype=np.int32), dag_deg)
+    keep_rows = dag_deg >= 2
+    row_sel = keep_rows[eu]
+    wadj = dag_adj[row_sel]
+    weu = eu[row_sel]
+    wdeg = dag_deg[keep_rows]
+    cnt = np.repeat(wdeg, wdeg) - (
+        np.arange(wadj.size, dtype=np.int64)
+        - np.repeat(
+            np.concatenate([[0], np.cumsum(wdeg)[:-1]]), wdeg
+        )
+    ) - 1
+    woff = np.zeros(wadj.size + 1, np.int64)
+    np.cumsum(cnt, out=woff[1:])
+    return {
+        "rank": rank.astype(np.int32),
+        "eu": eu,
+        "ev": dag_adj,
+        "wadj": wadj,
+        "weu": weu,
+        "woff": woff,
+        "max_deg": int(dag_deg.max()) if dag_deg.size else 0,
+        "n_wedges": int(woff[-1]),
+    }
+
+
+def build_wedges_ranked(wadj, weu, woff, t0: int = 0, t1: int | None = None):
+    """Host wedge enumeration in rank space: wedge t of wadj-edge j has
+    x = wadj[j], y = wadj[j + 1 + within] with y > x by construction —
+    no orientation pass. Returns (wv, ww, wu) int32."""
+    total = int(woff[-1])
+    if t1 is None:
+        t1 = total
+    t = np.arange(t0, min(t1, total), dtype=np.int64)
+    a_id = np.searchsorted(woff, t, side="right") - 1
+    within = t - woff[a_id]
+    wv = wadj[a_id]
+    ww = wadj[a_id + 1 + within]
+    wu = weu[a_id]
+    return wv.astype(np.int32), ww.astype(np.int32), wu.astype(np.int32)
 
 
 def _search_steps(max_len: int) -> int:
@@ -187,47 +279,6 @@ def build_wedges(dag_offsets, dag_adj, edge_u, edge_v, rank_deg,
     return wv.astype(np.int32), ww.astype(np.int32), wu.astype(np.int32)
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.jit, static_argnames=("B", "V"))
-def build_wedges_device(dag_offsets, dag_adj, edge_u, edge_v, deg,
-                        woff, r, w0, B: int, V: int):
-    """Device wedge enumeration for one slab [w0, w0+B) — the host
-    numpy build (searchsorted over the wedge-offset table) dominated
-    big-graph TC (s20: ~50 s/slab of a 1319 s run). Here the per-wedge
-    (x, adj_pos, u) streams are piecewise-arithmetic over the wedge
-    axis, so spgemm's telescoped expansion (scatter + cumsum) generates
-    them in linear vector passes; the only per-wedge gathers left are
-    dag_adj[adj_pos] and deg[y] (orientation).
-
-    ``woff`` int64[E+1] global wedge offsets (values may exceed int32 —
-    rebased per slab), ``r`` int32[E] within-row rank of each DAG edge.
-    Invalid slots (beyond the slab's real wedges) return wv = V, which
-    can never join (every edge key has a < V)."""
-    from gunrock_tpu.algorithms.spgemm import _piecewise_expand
-
-    E = edge_u.shape[0]
-    cnt = (woff[1:] - woff[:-1])
-    # off[e] = this slab's start slot of edge e's wedge segment
-    # (_piecewise_expand's int32[n_edges] convention, off[0] == 0)
-    off = jnp.clip(woff[:-1] - w0, 0, B).astype(jnp.int32)
-    skip = jnp.clip(w0 - woff[:-1], 0, cnt).astype(jnp.int32)
-    base = dag_offsets[edge_u] + r + 1 + skip
-    x_s, adj_pos = _piecewise_expand(edge_v, base, off, B)
-    u_s, _ = _piecewise_expand(edge_u, base, off, B)
-    n_valid = (jnp.clip(woff[-1] - w0, 0, B)).astype(jnp.int32)
-    valid = jnp.arange(B, dtype=jnp.int32) < n_valid
-    y_s = dag_adj[jnp.clip(adj_pos, 0, dag_adj.shape[0] - 1)]
-    dx = deg[jnp.clip(x_s, 0, V - 1)]
-    dy = deg[y_s]
-    x_first = (dx < dy) | ((dx == dy) & (x_s < y_s))
-    wv = jnp.where(valid, jnp.where(x_first, x_s, y_s), V)
-    ww = jnp.where(x_first, y_s, x_s)
-    wu = u_s
-    return wv, ww, wu
-
-
 def tc_kernel_sortjoin(V: int, eu, ev, wv, ww, wu):
     """Sort-merge join TC: wedges vs DAG edges as one device sort.
 
@@ -321,6 +372,81 @@ def _sortjoin_jit(n_vertices: int):
     return jax.jit(functools.partial(tc_kernel_sortjoin, n_vertices))
 
 
+def _slab_wedges_ranked(wx, weu, woff_hi, woff_lo, cnt, w0_hi, w0_lo,
+                        n_valid, wtab2, *, V, B, T, span_rows,
+                        interpret, use_banded):
+    """Device wedge enumeration for slab [w0, w0+B) in RANK space — no
+    deg gathers, no orientation compare (build_dag_ranked). The one
+    remaining per-wedge gather (adjacency y values) rides the Pallas
+    banded window kernel; per-block window starts are the exact
+    per-block minimum of adj_pos (a streaming reshape-min), with the
+    wadj compaction guaranteeing every window spans <= 2T + max_deg.
+
+    Wedge offsets exceed int32 on big graphs and the TPU has no int64
+    (silent truncation without x64) — ``woff`` rides as two int32 limbs
+    base 2^30 (hi = woff >> 30, lo = woff & (2^30-1)), and the slab
+    start likewise; the clipped differences the expansion needs are
+    exact in int32 whenever |hi delta| <= 1 and saturate otherwise."""
+    from gunrock_tpu.algorithms.spgemm import _piecewise_expand
+    from gunrock_tpu.ops.pallas.banded import banded_gather
+
+    Ew = wx.shape[0]
+    hi_d = woff_hi - w0_hi
+    lo_d = woff_lo - w0_lo
+    q = hi_d * (1 << 30) + lo_d  # exact when |hi_d| <= 1
+    off = jnp.where(
+        hi_d >= 2, B, jnp.where(hi_d <= -2, 0, jnp.clip(q, 0, B))
+    )[:-1].astype(jnp.int32)
+    skip = jnp.where(
+        hi_d[:-1] >= 2, 0,
+        jnp.where(hi_d[:-1] <= -2, cnt, jnp.clip(-q[:-1], 0, cnt)),
+    ).astype(jnp.int32)
+    base = jnp.arange(Ew, dtype=jnp.int32) + 1 + skip
+    x_s, adj_pos = _piecewise_expand(wx, base, off, B)
+    # apex stream: piecewise-constant expand (the "i" half of
+    # _piecewise_expand — one scatter + one cumsum)
+    du = jnp.zeros(B, jnp.int32).at[off[1:]].add(
+        weu[1:] - weu[:-1], mode="drop"
+    )
+    u_s = jnp.cumsum(du) + weu[0]
+    valid = jnp.arange(B, dtype=jnp.int32) < n_valid
+    if use_banded:
+        n_rows_pad = wtab2.shape[0]
+        sink = jnp.int32((n_rows_pad - span_rows) * 128)
+        adj_pos = jnp.where(valid, adj_pos, sink)
+        bl = adj_pos.reshape(B // T, T).min(axis=1)
+        block_lo = jnp.clip(
+            bl // 128, 0, n_rows_pad - span_rows
+        ).astype(jnp.int32)
+        y_s = banded_gather(
+            wtab2, adj_pos, block_lo,
+            span_rows=span_rows, block_t=T, interpret=interpret,
+        )
+    else:
+        y_s = wx[jnp.clip(adj_pos, 0, Ew - 1)]
+    wv = jnp.where(valid, x_s, V)
+    return wv, y_s, u_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("V", "B", "T", "span_rows", "interpret", "use_banded"),
+)
+def _tc_slab_counts(eu, ev, wx, weu, woff_hi, woff_lo, cnt, w0_hi, w0_lo,
+                    n_valid, wtab2, *, V, B, T,
+                    span_rows, interpret, use_banded):
+    """One fused slab: wedge enumeration + sort-join + per-vertex counts
+    in a SINGLE executable (alternating two jitted executables costs
+    ~0.6 s/call of argument rebinding over the axon tunnel — with 8+
+    slabs that alone was seconds of the round-4 s20 run)."""
+    wv, ww, wu = _slab_wedges_ranked(
+        wx, weu, woff_hi, woff_lo, cnt, w0_hi, w0_lo, n_valid, wtab2,
+        V=V, B=B, T=T, span_rows=span_rows,
+        interpret=interpret, use_banded=use_banded,
+    )
+    return tc_kernel_sortjoin(V, eu, ev, wv, ww, wu)
+
+
 def run(
     graph: Graph,
     reduce_all_triangles: bool = True,
@@ -337,46 +463,75 @@ def run(
     del options
     from gunrock_tpu.ops.pallas.layout import cached_layout
 
-    dag_offsets, dag_adj, edge_u, edge_v, udeg = cached_layout(
-        graph.col_indices, lambda: build_dag(graph), ("tc_dag",)
-    )
     if method == "sortjoin":
-        deg = np.diff(dag_offsets).astype(np.int64)
-        n_wedges = int((deg * (deg - 1) // 2).sum())
+        from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.banded import pad_table
+
+        V = graph.n_vertices
+        interpret = use_interpret()
+        T = 2048
+        rk = cached_layout(
+            graph.col_indices, lambda: build_dag_ranked(graph),
+            ("tc_dag_rank",),
+        )
+        n_wedges = rk["n_wedges"]
+        rank_d = cached_layout(
+            graph.col_indices, lambda: jnp.asarray(rk["rank"]),
+            ("tc_rank_dev",),
+        )
         if n_wedges > max_wedges:
             # big-graph path: SLAB the join. One sort of edges+ALL
             # wedges exceeds both HBM and the device/RPC deadline at
             # s20+ (UNAVAILABLE); per-corner counts are additive across
             # wedge slabs, so each slab joins against the full edge set
-            # independently. Wedges are enumerated ON DEVICE per slab
-            # (build_wedges_device — the host numpy build dominated the
-            # first measurement: 1319 s at s20, ~50 s/slab of
-            # searchsorted).
-            V = graph.n_vertices
-            fn = _sortjoin_jit(V)
-            dag_deg_np = np.diff(dag_offsets).astype(np.int64)
-            r_np = (np.arange(edge_u.size, dtype=np.int64)
-                    - dag_offsets[edge_u]).astype(np.int32)
-            woff_np = np.zeros(edge_u.size + 1, np.int64)
-            np.cumsum(dag_deg_np[edge_u]
-                      - r_np.astype(np.int64) - 1, out=woff_np[1:])
-            eu_d = jnp.asarray(edge_u)
-            ev_d = jnp.asarray(edge_v)
-            offs_d = jnp.asarray(dag_offsets.astype(np.int32))
-            adj_d = jnp.asarray(dag_adj)
-            deg_d = jnp.asarray(np.minimum(udeg, 2**31 - 1).astype(np.int32))
-            woff_d = jnp.asarray(woff_np)
-            r_d = jnp.asarray(r_np)
+            # independently. Wedges enumerate ON DEVICE per slab in rank
+            # space — no deg gathers, and the adjacency gather rides the
+            # Pallas banded kernel; the whole slab (enumeration + join +
+            # counts) is ONE executable (no rebinding between slabs).
+            B = -(-max_wedges // T) * T
+            span_rows = -(-(2 * T + rk["max_deg"] + 2) // 128) + 1
+            # pathological max degree: window too big for the select
+            # tree — fall back to the XLA gather (still no deg gathers)
+            use_banded = span_rows <= 120
+            eu_d, ev_d, wx_d, weu_d, whi_d, wlo_d, cnt_d, wtab_d = (
+                cached_layout(
+                    graph.col_indices,
+                    lambda: (
+                        jnp.asarray(rk["eu"]), jnp.asarray(rk["ev"]),
+                        jnp.asarray(rk["wadj"]), jnp.asarray(rk["weu"]),
+                        jnp.asarray(
+                            (rk["woff"] >> 30).astype(np.int32)
+                        ),
+                        jnp.asarray(
+                            (rk["woff"] & ((1 << 30) - 1)).astype(np.int32)
+                        ),
+                        jnp.asarray(
+                            np.diff(rk["woff"]).astype(np.int32)
+                        ),
+                        jnp.asarray(pad_table(rk["wadj"], span_rows)),
+                    ),
+                    ("tc_rank_slab_dev", span_rows),
+                )
+            )
+            def slab(w0):
+                return _tc_slab_counts(
+                    eu_d, ev_d, wx_d, weu_d, whi_d, wlo_d, cnt_d,
+                    jnp.int32(w0 >> 30),
+                    jnp.int32(w0 & ((1 << 30) - 1)),
+                    jnp.int32(max(0, min(n_wedges - w0, B))),
+                    wtab_d, V=V, B=B, T=T, span_rows=span_rows,
+                    interpret=interpret, use_banded=use_banded,
+                )
+
+            if warmup:
+                jax.block_until_ready(slab(0))
             t0 = time.perf_counter()
             counts = None
-            for w0 in range(0, n_wedges, max_wedges):
-                wv, ww, wu = build_wedges_device(
-                    offs_d, adj_d, eu_d, ev_d, deg_d, woff_d, r_d,
-                    jnp.int64(w0), B=max_wedges, V=V,
-                )
-                part = fn(eu_d, ev_d, wv, ww, wu)
+            for w0 in range(0, n_wedges, B):
+                part = slab(w0)
                 counts = part if counts is None else counts + part
             counts = jax.block_until_ready(counts)
+            counts = jnp.take(counts, rank_d)
             elapsed_ms = (time.perf_counter() - t0) * 1e3
             total = int(jnp.sum(counts)) if reduce_all_triangles else 0
             return Result(
@@ -385,23 +540,21 @@ def run(
                 n_triangles=total // 3,
                 elapsed_ms=elapsed_ms,
             )
-        if 0 < n_wedges <= max_wedges:
+        if 0 < n_wedges:
             args = cached_layout(
                 graph.col_indices,
                 lambda: tuple(
                     jnp.asarray(x)
-                    for x in (edge_u, edge_v)
-                    + build_wedges(
-                        dag_offsets, dag_adj, edge_u, edge_v, udeg
-                    )
+                    for x in (rk["eu"], rk["ev"])
+                    + build_wedges_ranked(rk["wadj"], rk["weu"], rk["woff"])
                 ),
-                ("tc_wedges",),
+                ("tc_wedges_rank",),
             )
-            fn = _sortjoin_jit(graph.n_vertices)
+            fn = _sortjoin_jit(V)
             if warmup:
                 jax.block_until_ready(fn(*args))
             t0 = time.perf_counter()
-            counts = jax.block_until_ready(fn(*args))
+            counts = jax.block_until_ready(jnp.take(fn(*args), rank_d))
             elapsed_ms = (time.perf_counter() - t0) * 1e3
             total = int(jnp.sum(counts)) if reduce_all_triangles else 0
             return Result(
@@ -410,6 +563,9 @@ def run(
                 n_triangles=total // 3,
                 elapsed_ms=elapsed_ms,
             )
+    dag_offsets, dag_adj, edge_u, edge_v, udeg = cached_layout(
+        graph.col_indices, lambda: build_dag(graph), ("tc_dag",)
+    )
     D = int(np.diff(dag_offsets).max()) if dag_adj.size else 1
     # bound chunk memory to ~2^22 lanes
     chunk = int(max(128, min((1 << 22) // max(D, 1), 1 << 15)))
