@@ -151,7 +151,16 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
             # process-wide GUNROCK_TAIL_GRIDS default in _tail_grid_dispatch)
             tail_grids = tuple(int(t) for t in env_tg.split(",") if t.strip())
         else:
-            tail_grids = (8, 64) if graph.n_vertices >= (1 << 18) else None
+            # round-5 chip A/B at s20: ladder (2,4,8,16,32,64,256)
+            # 4.996 s vs (8,64) 5.508 s vs (8,64,512) 5.422 s — active
+            # chunk counts per wave sit BETWEEN the coarse tiers (one
+            # peeled hub lights ~deg chunks), so a denser ladder tracks
+            # them; the win is bounded (~9%) because the per-wave floor
+            # is the plan + cond machinery, not grid slots.
+            tail_grids = (
+                (2, 4, 8, 16, 32, 64, 256)
+                if graph.n_vertices >= (1 << 18) else None
+            )
 
         def decrement_fn(peel, alive, lay):
             # doubly frontier-sparse: peel waves are tiny in most rounds
