@@ -175,6 +175,7 @@ def bfs_kernel_do(
             y = bucketed_semiring_spmv_sparse(
                 lay, front.astype(jnp.float32), front, "plus_times",
                 interpret=interpret, out_mask=unreached, exact=True,
+                unit=True,
                 tail_grids=(2, 4, 8, 64),
             )
             new = (y > 0.5) & unreached

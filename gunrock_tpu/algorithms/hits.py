@@ -57,10 +57,34 @@ def hits_step(graph: Graph, auth, hub):
 
 
 def hits_kernel(graph: Graph, max_iterations: int = 50):
-    """Pure HITS to convergence. Returns (auth, hub, iterations)."""
+    """Pure HITS to convergence. Returns (auth, hub, iterations).
+
+    On symmetric storage A = A^T with equal starts, hub and auth stay
+    equal forever — one segment-sum per iteration (see
+    hits_kernel_pallas's symmetric path for the argument)."""
     V = graph.n_vertices
     auth0 = jnp.ones(V, dtype=jnp.float32)
     hub0 = jnp.ones(V, dtype=jnp.float32)
+
+    if graph.properties.symmetric:
+        from gunrock_tpu.ops.segment import seg_sum_sorted
+
+        def cond1(carry):
+            it, auth, done = carry
+            return (~done) & (it < max_iterations)
+
+        def body1(carry):
+            it, auth, _ = carry
+            auth_n = _l2_normalize(
+                seg_sum_sorted(auth[graph.csc_rows], graph.csc_offsets)
+            )
+            done = jnp.all(auth_n == auth)
+            return it + 1, auth_n, done
+
+        it, auth, _ = jax.lax.while_loop(
+            cond1, body1, (jnp.int32(0), auth0, jnp.bool_(False))
+        )
+        return auth, auth, it
 
     def cond(carry):
         it, auth, hub, done = carry
@@ -86,6 +110,7 @@ def hits_kernel_pallas(
     push_layout=None,
     pull_layout=None,
     interpret: bool | None = None,
+    symmetric: bool = False,
 ):
     """HITS with the plus-times Pallas semiring: both accumulations are
     bucketed windowed-one-hot sums over unit-weight layouts (HITS sums
@@ -112,18 +137,57 @@ def hits_kernel_pallas(
     auth0 = jnp.ones(V, dtype=jnp.float32)
     hub0 = jnp.ones(V, dtype=jnp.float32)
 
+    if symmetric:
+        # A = A^T and auth0 == hub0 make the two sequences IDENTICAL
+        # (hub_{t+1} = A auth_t, auth_{t+1} = A^T hub_t = A hub_t;
+        # equal starts stay equal forever) — one pass per iteration,
+        # exact parity with the two-pass form.
+        def cond(carry):
+            it, auth, done = carry
+            return (~done) & (it < max_iterations)
+
+        def body(carry):
+            it, auth, _ = carry
+            auth_n = _l2_normalize(
+                bucketed_semiring_spmv(pull_layout, auth, "plus_times",
+                                       interpret=interpret, unit=True)
+            )
+            done = jnp.all(auth_n == auth)
+            return it + 1, auth_n, done
+
+        it, auth, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), auth0, jnp.bool_(False))
+        )
+        return auth, auth, it
+
+    # directed: ONE fused sweep computes both Jacobi accumulations
+    # (ops/pallas/hits_fused.py) when the col side fits a VMEM-resident
+    # whole-array block; otherwise the classic two passes.
+    from gunrock_tpu.ops.pallas.hits_fused import hits_fused_pass
+
+    fused = V <= (1 << 22)
+
     def cond(carry):
         it, auth, hub, done = carry
         return (~done) & (it < max_iterations)
 
     def body(carry):
         it, auth, hub, _ = carry
-        hub_n = _l2_normalize(
-            bucketed_semiring_spmv(push_layout, auth, "plus_times", interpret=interpret)
-        )
-        auth_n = _l2_normalize(
-            bucketed_semiring_spmv(pull_layout, hub, "plus_times", interpret=interpret)
-        )
+        if fused:
+            hub_raw, auth_raw = hits_fused_pass(
+                push_layout, auth, hub, interpret=interpret
+            )
+            hub_n = _l2_normalize(hub_raw)
+            auth_n = _l2_normalize(auth_raw)
+        else:
+            hub_n = _l2_normalize(
+                bucketed_semiring_spmv(push_layout, auth, "plus_times",
+                                       interpret=interpret, unit=True)
+            )
+            auth_n = _l2_normalize(
+                bucketed_semiring_spmv(pull_layout, hub, "plus_times",
+                                       interpret=interpret, unit=True)
+            )
         done = jnp.all(auth_n == auth) | jnp.all(hub_n == hub)
         return it + 1, auth_n, hub_n, done
 
@@ -162,11 +226,12 @@ def run(
                           window=w, chunk=c)
         pl_ = pull_layout(graph, unit=True, interpret=interpret,
                           window=w, chunk=c)
+        sym = bool(graph.properties.symmetric)
         fn = cached_jit(
-            ("hits_pallas", max_iterations, interpret),
+            ("hits_pallas", max_iterations, interpret, sym),
             lambda: lambda g, ps, pl: hits_kernel_pallas(
                 g, max_iterations, push_layout=ps, pull_layout=pl,
-                interpret=interpret,
+                interpret=interpret, symmetric=sym,
             ),
         )
     else:

@@ -170,7 +170,7 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
             cnt = bucketed_semiring_spmv_sparse(
                 lay, peel.astype(jnp.float32), peel, "plus_times",
                 interpret=interpret, out_mask=alive,
-                tail_grids=tail_grids, exact=True,
+                tail_grids=tail_grids, exact=True, unit=True,
             )
             return jnp.round(cnt).astype(jnp.int32)
 

@@ -144,6 +144,17 @@ def build_dag_ranked(graph: Graph):
     wadj = dag_adj[row_sel]
     weu = eu[row_sel]
     wdeg = dag_deg[keep_rows]
+    if wadj.size == 0:
+        return {
+            "rank": rank.astype(np.int32),
+            "eu": eu,
+            "ev": dag_adj,
+            "wadj": wadj.astype(np.int32),
+            "weu": weu.astype(np.int32),
+            "woff": np.zeros(1, np.int64),
+            "max_deg": int(dag_deg.max()) if dag_deg.size else 0,
+            "n_wedges": 0,
+        }
     cnt = np.repeat(wdeg, wdeg) - (
         np.arange(wadj.size, dtype=np.int64)
         - np.repeat(

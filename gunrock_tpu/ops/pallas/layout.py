@@ -121,7 +121,11 @@ def build_bucketed_layout(
     n_chunks = int(chunks_per_bucket.sum())
     dest = (chunk_off[inverse] + rank // chunk) * chunk + rank % chunk
     E_out = n_chunks * chunk
-    row_local = np.zeros(E_out, dtype=np.int32)
+    # padding slots carry row_local = window: a SENTINEL no one-hot /
+    # MXU / min scatter can match, so pad contributions drop even when
+    # values carry no identity (the round-5 value-less unit kernels);
+    # valued kernels additionally keep the pad_value identity mechanism
+    row_local = np.full(E_out, window, dtype=np.int32)
     col_local = np.zeros(E_out, dtype=np.int32)
     vals_out = np.full(E_out, pad_value, dtype=np.float32)
     row_local[dest] = (rows - rb * window).astype(np.int32)

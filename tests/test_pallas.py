@@ -18,8 +18,12 @@ def test_bucketed_layout_roundtrip():
     # chunks ordered by row block so output windows revisit consecutively
     rb = np.asarray(layout.chunk_rb)
     assert (np.diff(rb) >= 0).all()
-    # local ids stay inside the window
-    assert int(np.asarray(layout.row_local).max()) < layout.window
+    # real-edge local ids stay inside the window; padding slots carry the
+    # row sentinel == window (round 5: scatter-dropped without a value
+    # identity, enabling the value-less unit kernels)
+    rl = np.asarray(layout.row_local)
+    assert int(rl.max()) <= layout.window
+    assert int(rl[rl < layout.window].max(initial=0)) < layout.window
     assert int(np.asarray(layout.col_local).max()) < layout.window
 
 
