@@ -77,8 +77,8 @@ FULL = [
     ("spmv", ["--validate"]),
     ("hits", ["--validate", "--max_iterations", "20"]),
     ("mst", ["--validate"]),
-    ("ppr", ["--src", "0"]),
-    ("geo", ["--spatial_iterations", "25"]),
+    ("ppr", ["--src", "0", "--validate"]),
+    ("geo", ["--spatial_iterations", "25", "--validate"]),
     ("spgemm", ["--validate"]),
 ]
 DIRECTED = [
@@ -116,8 +116,12 @@ def run_cli(algo, argv):
     """Drive the example main() in-process; FAIL on any 'FAILED' line."""
     mod = __import__(f"gunrock_tpu.examples.{algo}", fromlist=["main"])
     buf = _io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        mod.main(argv)
+    try:
+        with contextlib.redirect_stdout(buf):
+            mod.main(argv)
+    except SystemExit as e:  # validation failures sys.exit(1)
+        out = buf.getvalue()
+        return (not e.code, out)
     out = buf.getvalue()
     return ("FAILED" not in out), out
 

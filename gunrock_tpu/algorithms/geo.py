@@ -262,6 +262,15 @@ def geo_kernel(
                 jnp.where(unl & (n_valid > 2), med_lon, lon),
             ),
         )
+        # wrap longitudes into [-180, 180): coordinate-space means and
+        # Weiszfeld steps near the date line produce values past 180
+        # (caught by the round-5 CLI invariants check: 402 deg outputs
+        # on rmat12_sym) — and an unwrapped assignment would poison
+        # every later iteration that consumes it as a neighbor label
+        new_lon = jnp.where(
+            jnp.isnan(new_lon), new_lon,
+            jnp.mod(new_lon + 180.0, 360.0) - 180.0,
+        )
         return it + 1, new_lat, new_lon
 
     def cond(c):

@@ -71,6 +71,115 @@ def pr(graph, alpha: float = 0.85, tol: float = 1e-6, max_iter: int = 10_000):
     return p.astype(np.float32)
 
 
+def ppr(graph, seed: int, alpha: float = 0.15, epsilon: float = 1e-6,
+        max_iterations: int | None = None) -> np.ndarray:
+    """Andersen-style frontier-synchronous PPR push — the numpy mirror
+    of algorithms/ppr.ppr_kernel (role of reference
+    examples/algorithms/ppr/ppr_cpu.hxx, validated by ppr.cu:70).
+    float32 arithmetic so knife-edge threshold crossings match the
+    device loop."""
+    A = _to_scipy(graph)
+    V = graph.n_vertices
+    deg = np.diff(A.indptr).astype(np.float32)
+    srcs = np.repeat(np.arange(V), np.diff(A.indptr))
+    c1 = np.float32(2 * alpha / (1 + alpha))
+    c2 = np.float32((1 - alpha) / (1 + alpha))
+    p = np.zeros(V, np.float32)
+    r = np.zeros(V, np.float32)
+    r[seed] = 1.0
+    front = np.zeros(V, bool)
+    front[seed] = True
+    thresh = (deg * np.float32(epsilon)).astype(np.float32)
+    max_it = (2 * V) if max_iterations is None else max_iterations
+    it = 0
+    while front.any() and it < max_it:
+        p = np.where(front, p + c1 * r, p)
+        rp = np.where(front, np.float32(0.0), r)
+        push = np.where(
+            front[srcs], c2 * r[srcs] / np.maximum(deg[srcs], 1.0), 0.0
+        ).astype(np.float32)
+        upd = np.bincount(
+            A.indices, weights=push, minlength=V
+        ).astype(np.float32)
+        new_rp = (rp + upd).astype(np.float32)
+        front = (rp < thresh) & (new_rp >= thresh)
+        r = new_rp
+        it += 1
+    return p
+
+
+def geo_invariants(graph, lat0, lon0, out_lat, out_lon,
+                   atol: float = 1e-2) -> int:
+    """Geolocation invariants check (the reference geo driver ships no
+    CPU oracle — geo.cu validates nothing; these are the exact closed
+    forms of geo.hxx's 1- and 2-neighbor cases plus label preservation).
+    Returns the number of violations:
+
+    1. originally-labeled vertices keep their coordinates,
+    2. predicted coordinates lie in valid (lat, lon) ranges,
+    3. an unlabeled vertex whose ONLY originally-labeled neighbor is v
+       ends exactly at v's coordinates (assigned at iteration 1, stable
+       after),
+    4. exactly two originally-labeled neighbors -> their haversine
+       midpoint (algorithms/geo.midpoint closed form).
+    """
+    from gunrock_tpu.algorithms.geo import midpoint
+
+    A = _to_scipy(graph)
+    V = graph.n_vertices
+    lat0 = np.asarray(lat0, np.float32)
+    lon0 = np.asarray(lon0, np.float32)
+    out_lat = np.asarray(out_lat, np.float32)
+    out_lon = np.asarray(out_lon, np.float32)
+    labeled0 = ~np.isnan(lat0)
+    errors = 0
+    keep = labeled0 & (
+        ~np.isclose(out_lat, lat0, atol=atol)
+        | ~np.isclose(out_lon, lon0, atol=atol)
+    )
+    errors += int(keep.sum())
+    ok = ~np.isnan(out_lat)
+    bad_range = ok & (
+        (out_lat < -90 - atol) | (out_lat > 90 + atol)
+        | (out_lon < -180 - atol) | (out_lon > 180 + atol)
+    )
+    errors += int(bad_range.sum())
+    srcs = np.repeat(np.arange(V), np.diff(A.indptr))
+    nb_lab = labeled0[A.indices]
+    nlab = np.bincount(srcs, weights=nb_lab, minlength=V)
+    # first labeled neighbor per src (edge order, matches the kernel)
+    first = np.full(V, -1, np.int64)
+    order = np.flatnonzero(nb_lab)[::-1]
+    first[srcs[order]] = A.indices[order]
+    last = np.full(V, -1, np.int64)
+    order_f = np.flatnonzero(nb_lab)
+    last[srcs[order_f]] = A.indices[order_f]
+    one = (~labeled0) & (nlab == 1) & (first >= 0)
+    if one.any():
+        errors += int((
+            ~np.isclose(out_lat[one], lat0[first[one]], atol=atol)
+            | ~np.isclose(out_lon[one], lon0[first[one]], atol=atol)
+        ).sum())
+    two = (~labeled0) & (nlab == 2) & (first >= 0) & (last >= 0)
+    if two.any():
+        import jax.numpy as jnp
+
+        mla, mlo = midpoint(
+            jnp.asarray(lat0[first[two]]), jnp.asarray(lon0[first[two]]),
+            jnp.asarray(lat0[last[two]]), jnp.asarray(lon0[last[two]]),
+        )
+        # midpoint()'s atan2 form can land outside [-180, 180) while the
+        # kernel wraps on assignment — compare longitudes modulo 360
+        dlon = np.mod(
+            out_lon[two] - np.asarray(mlo) + 180.0, 360.0
+        ) - 180.0
+        errors += int((
+            ~np.isclose(out_lat[two], np.asarray(mla), atol=atol)
+            | (np.abs(dlon) > atol)
+        ).sum())
+    return errors
+
+
 def spmv(graph, x: np.ndarray) -> np.ndarray:
     return (_to_scipy(graph) @ x).astype(np.float32)
 

@@ -92,6 +92,20 @@ def main(argv=None):
     runner.print_head(runner.to_original(params, result.latitude), name="latitude")
     runner.finish(params, "geo", graph, times)
 
+    if params.validate:
+        import sys
+
+        from gunrock_tpu.examples import cpu_reference
+
+        n = cpu_reference.geo_invariants(
+            graph, lat, lon, result.latitude, result.longitude
+        )
+        if n == 0:
+            print("geo validation: PASSED")
+        else:
+            print(f"geo validation: FAILED ({n} invariant violations)")
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

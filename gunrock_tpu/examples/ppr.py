@@ -52,6 +52,18 @@ def main(argv=None):
 
     runner.finish(params, "ppr", graph, times, srcs=seeds, depths=depths)
 
+    if params.validate and result is not None:
+        import sys
+
+        from gunrock_tpu.examples import cpu_reference
+
+        ref = cpu_reference.ppr(
+            graph, run_seeds[-1], alpha=params.extra.alpha,
+            epsilon=params.extra.epsilon,
+        )
+        if runner.validate("ppr", result.p, ref, atol=1e-3):
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

@@ -1241,6 +1241,11 @@ def geo(sg: ShardedGraph, latitude, longitude, mesh,
                 unl & (n_valid == 1), n1_lon,
                 jnp.where(unl & (n_valid == 2), mid_lon,
                           jnp.where(unl & (n_valid > 2), med_lon, lon)))
+            # date-line wrap, bit-identical to the single-chip kernel
+            new_lon = jnp.where(
+                jnp.isnan(new_lon), new_lon,
+                jnp.mod(new_lon + 180.0, 360.0) - 180.0,
+            )
             return it + 1, new_lat, new_lon
 
         def cond(c):
