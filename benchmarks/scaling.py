@@ -52,7 +52,8 @@ def partition_stats(graph, n):
 
 def model_efficiency(graph, sizes, stream_gbps=90.0, ici_gbps=100.0,
                      ici_lat_us=5.0, exchanges_per_iter=1,
-                     pass_ms: float = 0.0):
+                     pass_ms: float = 0.0, chips_per_host: int = 0,
+                     dcn_gbps: float = 25.0, dcn_lat_us: float = 50.0):
     """Analytical scaling-efficiency prediction (the BASELINE >=70%
     edges/s north-star, computable without a pod slice): per iteration,
     T_comp(n) = (E/n * 12 B) / stream; comm is one boundary exchange —
@@ -78,6 +79,35 @@ def model_efficiency(graph, sizes, stream_gbps=90.0, ici_gbps=100.0,
         t_ag = ag_bytes / (ici_gbps * 1e9) + (n - 1) * ici_lat_us * 1e-6
         t_halo = halo_bytes / (ici_gbps * 1e9) + ici_lat_us * 1e-6
         use_halo = st["halo_max_pair"] < st["v_per_shard"]
+        row_extra = {}
+        if chips_per_host and n > chips_per_host:
+            # hierarchical (host, chip) mesh: the 2-stage exchange's DCN
+            # stage carries per-host AGGREGATED blocks (one message per
+            # host pair, parallel/sharded._a2a_shards); ICI carries the
+            # in-host reroute. The slower tier gates the exchange.
+            n_hosts = -(-n // chips_per_host)
+            H = st["halo_max_pair"]
+            dcn_halo = (n - chips_per_host) * H * 4
+            dcn_ag = (n_hosts - 1) * chips_per_host * st["v_per_shard"] * 4
+            t_halo = max(
+                t_halo,
+                dcn_halo / (dcn_gbps * 1e9)
+                + (n_hosts - 1) * dcn_lat_us * 1e-6,
+            )
+            t_ag = max(
+                t_ag,
+                dcn_ag / (dcn_gbps * 1e9)
+                + (n_hosts - 1) * dcn_lat_us * 1e-6,
+            )
+            row_extra = {
+                "n_hosts": n_hosts,
+                "dcn_bytes": int(dcn_halo if use_halo else dcn_ag),
+                "ici_bytes": int(
+                    (halo_bytes if use_halo else ag_bytes)
+                    - (dcn_halo if use_halo else 0)
+                ),
+                "dcn_gbps": dcn_gbps,
+            }
         t_comm = (min(t_ag, t_halo) if use_halo else t_ag) * exchanges_per_iter
         tn = t_comp + t_comm
         rows.append({
@@ -90,6 +120,7 @@ def model_efficiency(graph, sizes, stream_gbps=90.0, ici_gbps=100.0,
             "v_per_shard": st["v_per_shard"],
             "stream_gbps": stream_gbps,
             "ici_gbps": ici_gbps,
+            **row_extra,
         })
     return rows
 
@@ -115,6 +146,13 @@ def main(argv=None):
                    "efficiency numbers reflect the real kernel "
                    "(VERDICT round-3 next-step #3)")
     p.add_argument("--ici-lat-us", type=float, default=5.0)
+    p.add_argument("--chips-per-host", type=int, default=0,
+                   help="model a hierarchical (host, chip) mesh: shards "
+                   "beyond this count cross DCN; the 2-stage exchange "
+                   "(sharded._a2a_shards) aggregates per-host blocks so "
+                   "DCN sees one message per host pair")
+    p.add_argument("--dcn-gbps", type=float, default=25.0,
+                   help="assumed per-host DCN bandwidth (model mode)")
     p.add_argument("--rmat", type=int, default=14)
     p.add_argument("--edge_factor", type=int, default=16)
     p.add_argument("--algorithm", default="pagerank",
@@ -150,7 +188,9 @@ def main(argv=None):
                                     stream_gbps=ns.stream_gbps,
                                     ici_gbps=ns.ici_gbps,
                                     ici_lat_us=ns.ici_lat_us,
-                                    pass_ms=ns.pass_ms):
+                                    pass_ms=ns.pass_ms,
+                                    chips_per_host=ns.chips_per_host,
+                                    dcn_gbps=ns.dcn_gbps):
             print(json.dumps({"rmat": ns.rmat, **row}))
         return
 

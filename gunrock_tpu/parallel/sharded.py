@@ -42,6 +42,42 @@ from gunrock_tpu.graph.properties import GraphProperties
 UNREACHED = jnp.iinfo(jnp.int32).max
 
 
+
+def mesh_axes(mesh):
+    """The vertex-shard axis spec for this mesh: a single name for the
+    flat 1-D layout, or the ORDERED tuple of names for a hierarchical
+    (host, chip) mesh — shard ids run host-major, so `axis_index(axes)`,
+    `all_gather(..., axes, tiled=True)` and the hierarchical halo
+    exchange all agree on shard numbering. Collectives accept the tuple
+    directly (psum/pmax/pmin/axis_index), and the DCN-aware paths branch
+    on it (SURVEY §2.8 two-level partition)."""
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[0]
+
+
+def _a2a_shards(send, axis):
+    """all_to_all of per-destination-shard blocks ``send[n, ...]``.
+
+    1-D mesh: one ICI all_to_all. Hierarchical mesh (tuple axis): the
+    OUTER (DCN/host) axis exchanges per-host AGGREGATED payloads first —
+    one big message per host pair instead of one per (chip, chip) pair —
+    then the inner (ICI/chip) axis reroutes within each host. Net
+    result identical to the flat exchange (probed on the virtual 2x4
+    mesh); DCN sees n_hosts aggregated transfers."""
+    if not isinstance(axis, tuple):
+        return jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    if len(axis) != 2:
+        raise NotImplementedError("meshes deeper than (host, chip)")
+    outer, inner = axis
+    nh = jax.lax.psum(1, outer)  # constant-folded axis size
+    nc = jax.lax.psum(1, inner)
+    s4 = send.reshape((nh, nc) + send.shape[1:])
+    a = jax.lax.all_to_all(s4, outer, split_axis=0, concat_axis=0)
+    a = jnp.swapaxes(a, 0, 1)
+    b = jax.lax.all_to_all(a, inner, split_axis=0, concat_axis=0)
+    return jnp.swapaxes(b, 0, 1).reshape(send.shape)
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     # check_vma=False: pallas_call outputs inside the SPMD body carry no
     # varying-mesh-axes annotation (jax 0.9 requires it under the default
@@ -231,7 +267,8 @@ def partition_sharded(
         if mesh is not None:
             from jax.sharding import NamedSharding
 
-            arr = jax.device_put(arr, NamedSharding(mesh, P(axis_name)))
+            spec = mesh_axes(mesh) if axis_name == "edges" else axis_name
+            arr = jax.device_put(arr, NamedSharding(mesh, P(spec)))
         return arr
 
     return jax.tree_util.tree_map(dev, sg)
@@ -244,6 +281,30 @@ def collective_bytes_per_exchange(sg: ShardedGraph) -> int:
     if sg.use_halo:
         return 4 * n * max(sg.d_halo, sg.s_halo)
     return 4 * n * sg.v_per_shard
+
+
+def collective_bytes_detail(sg: ShardedGraph, n_hosts: int = 1) -> dict:
+    """Per-exchange byte accounting split by interconnect tier for the
+    hierarchical (host, chip) mesh (scaling.py --model): on the 2-stage
+    halo exchange the DCN (host) stage moves each shard's cross-host
+    blocks once as per-host aggregates, the ICI (chip) stage reroutes
+    everything within hosts; the all_gather form gathers shard-wide
+    vectors over ICI first, hosts exchange chip-aggregated blocks."""
+    n = sg.n_shards
+    chips = max(1, n // max(n_hosts, 1))
+    if sg.use_halo:
+        H = max(sg.d_halo, sg.s_halo)
+        total = 4 * n * H
+        # blocks destined to other hosts (per device): (n - chips) * H
+        dcn = 4 * (n - chips) * H if n_hosts > 1 else 0
+        return {"total": total, "dcn": dcn, "ici": total - dcn,
+                "dcn_messages_per_device": max(n_hosts - 1, 0)}
+    total = 4 * n * sg.v_per_shard
+    dcn = (
+        4 * (n_hosts - 1) * chips * sg.v_per_shard if n_hosts > 1 else 0
+    )
+    return {"total": total, "dcn": dcn, "ici": total - dcn,
+            "dcn_messages_per_device": max(n_hosts - 1, 0)}
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +335,7 @@ def _gather(sg_local, x_local, axis, side: str):
             x_local[send_idx.reshape(n, H)],
             jnp.zeros((), x_local.dtype),
         )
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+        recv = _a2a_shards(send, axis)
         return recv.reshape(-1)[pos]
     x_full = jax.lax.all_gather(x_local, axis, tiled=True)
     return x_full[eidx]
@@ -508,7 +569,7 @@ def bfs(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None,
     frontier advance through the bucketed Pallas kernels instead of the
     XLA gather + segment reduction."""
     V, Vs = sg.n_vertices, sg.v_per_shard
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     max_it = V if max_iterations is None else max_iterations
 
     def spmd(sg, *lay):
@@ -557,7 +618,7 @@ def sssp(sg: ShardedGraph, src: int, mesh, max_iterations: int | None = None,
     """Distributed frontier Bellman-Ford. Returns (distances f32[V], depth).
     ``layouts`` must be built with ``pad_value=inf`` (min_plus)."""
     V = sg.n_vertices
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     max_it = V if max_iterations is None else max_iterations
     BIG = jnp.float32(3.0e38)
 
@@ -610,7 +671,7 @@ def pagerank(sg: ShardedGraph, mesh, alpha: float = 0.85, tol: float = 1e-6,
     Returns (p f32[V], iterations). ``layouts``: bucketed Pallas spread
     pass (side='d', pad_value=0)."""
     V, Vs = sg.n_vertices, sg.v_per_shard
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
 
     def spmd(sg, *lay):
         vvalid, ids = _vvalid(sg, axis)
@@ -668,7 +729,7 @@ def spmv(sg: ShardedGraph, x: jax.Array, mesh,
     """Distributed y = A.x (y[src] = sum w * x[dst]). Returns y f32[V].
     ``layouts``: bucketed Pallas pass (side='s', pad_value=0)."""
     V, Vs, n = sg.n_vertices, sg.v_per_shard, sg.n_shards
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     x_pad = jnp.zeros(n * Vs, jnp.float32).at[:V].set(jnp.asarray(x, jnp.float32))
 
     def spmd(sg, x_local, *lay):
@@ -693,7 +754,7 @@ def kcore(sg: ShardedGraph, mesh):
     """Distributed k-core (k-jump peel; in-degrees — undirected graphs).
     Returns (k_cores int32[V], degeneracy)."""
     V = sg.n_vertices
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     BIGD = jnp.int32(2**30)
 
     def spmd(sg):
@@ -749,7 +810,7 @@ def hits(sg: ShardedGraph, mesh, max_iterations: int = 50,
     pair — runs both update passes through the bucketed Pallas
     kernels."""
     V = sg.n_vertices
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
 
     def spmd(sg, *lay):
         vvalid, _ = _vvalid(sg, axis)
@@ -814,7 +875,7 @@ def color(sg: ShardedGraph, mesh, seed: int = 0,
     algorithms/color.py semantics: two colors per round over out-edge
     neighbor max/min of uncolored priorities). Returns (colors, rounds)."""
     V, Vs = sg.n_vertices, sg.v_per_shard
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     max_it = V if max_iterations is None else max_iterations
     # unique priorities in [1, V]: a global permutation, replicated compute
     perm = jax.random.permutation(jax.random.PRNGKey(seed), V).astype(jnp.int32)
@@ -902,7 +963,7 @@ def color_greedy(sg: ShardedGraph, mesh, K: int = 32,
     Priorities are the global vertex-id order (deterministic — relabel
     to change). Returns (colors, rounds)."""
     V, Vs = sg.n_vertices, sg.v_per_shard
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     max_it = 4 * V if max_iterations is None else max_iterations
     INVALID = jnp.int32(-1)
 
@@ -1002,7 +1063,7 @@ def ppr(sg: ShardedGraph, seed: int, mesh, alpha: float = 0.15,
     """Distributed push-style personalized PageRank (single-chip
     algorithms/ppr.py semantics). Returns (p f32[V], iterations)."""
     V = sg.n_vertices
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     max_it = (2 * V) if max_iterations is None else max_iterations
 
     def spmd(sg):
@@ -1053,7 +1114,7 @@ def bc(sg: ShardedGraph, src: int, mesh):
     algorithms/bc.py semantics: 0.5-scaled, source excluded).
     Returns bc_values f32[V]."""
     V = sg.n_vertices
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
 
     def spmd(sg):
         vvalid, ids = _vvalid(sg, axis)
@@ -1133,7 +1194,7 @@ def geo(sg: ShardedGraph, latitude, longitude, mesh,
     from gunrock_tpu.algorithms.geo import haversine, midpoint
 
     V, Vs, n = sg.n_vertices, sg.v_per_shard, sg.n_shards
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     lat_pad = jnp.full(n * Vs, jnp.nan, jnp.float32).at[:V].set(
         jnp.asarray(latitude, jnp.float32))
     lon_pad = jnp.full(n * Vs, jnp.nan, jnp.float32).at[:V].set(
@@ -1270,7 +1331,7 @@ def mst(sg: ShardedGraph, mesh, max_rounds: int | None = None):
     host-side super-vertex count, mst.hxx:245-267).
     Returns (total_weight, n_rounds)."""
     V, Vs, n = sg.n_vertices, sg.v_per_shard, sg.n_shards
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     max_r = 64 if max_rounds is None else max_rounds
     BIG = jnp.float32(3.0e38)
     V_pad = n * Vs
@@ -1389,7 +1450,7 @@ def spgemm_count(sg_a: ShardedGraph, graph_b: Graph, mesh,
     nnz and the value checksum combine with one scalar psum.
     Returns (nnz, checksum)."""
     V, Vs, n = sg_a.n_vertices, sg_a.v_per_shard, sg_a.n_shards
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     Es = sg_a.es_per_shard
     b_off = graph_b.row_offsets
     b_col = graph_b.col_indices
@@ -1460,7 +1521,7 @@ def tc_ring(graph: Graph, mesh):
     from gunrock_tpu.algorithms.tc import _search_steps, build_dag
 
     V = graph.n_vertices
-    axis = mesh.axis_names[0]
+    axis = mesh_axes(mesh)
     n = mesh.size
     Vs = -(-max(V, 1) // n)
     dag_offsets, dag_adj, edge_u, edge_v, _udeg = build_dag(graph)

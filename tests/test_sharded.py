@@ -344,3 +344,101 @@ def test_sharded_hits_pallas_layouts(setup, mesh):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
                                rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (host, chip) mesh — SURVEY §2.8 two-level partition
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from gunrock_tpu.parallel.mesh import make_mesh_2d
+
+    return make_mesh_2d(2, 4)
+
+
+@pytest.fixture(scope="module", params=["allgather", "halo"])
+def setup2d(request, mesh2d):
+    from gunrock_tpu.parallel.sharded import partition_sharded
+
+    g, A = random_graph(None, n=100, p=0.06, weighted=True, seed_offset=40)
+    sg = partition_sharded(g, N_DEV, mesh2d,
+                           use_halo=request.param == "halo")
+    return g, A, sg
+
+
+def test_2d_mesh_bfs_sssp_parity(setup2d, mesh2d):
+    import scipy.sparse.csgraph as csg
+
+    from gunrock_tpu.algorithms import bfs as sbfs
+    from gunrock_tpu.parallel import sharded
+
+    g, A, sg = setup2d
+    dist, _ = sharded.bfs(sg, 0, mesh2d)
+    want = np.asarray(sbfs.run(g, 0, warmup=False).distances)
+    np.testing.assert_array_equal(np.asarray(dist), want)
+    d2, _ = sharded.sssp(sg, 0, mesh2d)
+    np.testing.assert_allclose(
+        np.asarray(d2), csg.dijkstra(A, indices=0), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_2d_mesh_pagerank_kcore_parity(setup2d, mesh2d):
+    from gunrock_tpu.algorithms import kcore as skc
+    from gunrock_tpu.algorithms import pr as spr
+    from gunrock_tpu.parallel import sharded
+    from gunrock_tpu.parallel.sharded import partition_sharded
+
+    g, A, sg = setup2d
+    p, _ = sharded.pagerank(sg, mesh2d)
+    want = np.asarray(spr.run(g, warmup=False).p)
+    np.testing.assert_allclose(np.asarray(p), want, rtol=2e-4, atol=1e-6)
+    # kcore needs symmetric storage (in-degree peel)
+    gs, _ = random_graph(None, n=96, p=0.07, weighted=True,
+                         symmetric=True, seed_offset=41)
+    sgs = partition_sharded(gs, N_DEV, mesh2d, use_halo=sg.use_halo)
+    cores, k = sharded.kcore(sgs, mesh2d)
+    ref = skc.run(gs, warmup=False)
+    np.testing.assert_array_equal(np.asarray(cores),
+                                  np.asarray(ref.k_cores))
+    assert int(k) == ref.degeneracy
+
+
+def test_2d_mesh_hierarchical_a2a_matches_flat(mesh2d, mesh):
+    """The 2-stage (DCN-aggregated) halo exchange must be a drop-in for
+    the flat all_to_all: same recv ordering for host-major shard ids."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from gunrock_tpu.parallel import sharded
+
+    rng = np.random.default_rng(3)
+    H = 5
+    data = jnp.asarray(rng.random((N_DEV * N_DEV, H)).astype(np.float32))
+
+    def flat(x):
+        return jax.lax.all_to_all(x, "edges", split_axis=0, concat_axis=0)
+
+    def hier(x):
+        return sharded._a2a_shards(x, ("host", "chip"))
+
+    r1 = jax.jit(sharded._shard_map(
+        flat, mesh, in_specs=P("edges"), out_specs=P("edges")))(data)
+    r2 = jax.jit(sharded._shard_map(
+        hier, mesh2d, in_specs=P(("host", "chip")),
+        out_specs=P(("host", "chip"))))(data)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_collective_bytes_detail():
+    from gunrock_tpu.parallel.sharded import (
+        collective_bytes_detail, partition_sharded)
+
+    g, _ = random_graph(None, n=120, p=0.05, seed_offset=41)
+    sg = partition_sharded(g, N_DEV, None, use_halo=True)
+    d = collective_bytes_detail(sg, n_hosts=2)
+    assert d["total"] == d["dcn"] + d["ici"]
+    assert d["dcn"] > 0 and d["dcn_messages_per_device"] == 1
+    d1 = collective_bytes_detail(sg, n_hosts=1)
+    assert d1["dcn"] == 0 and d1["total"] == d["total"]
