@@ -23,6 +23,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gunrock_tpu.framework.enactor import Enactor
+from gunrock_tpu.framework.problem import Problem
 from gunrock_tpu.graph import hostcache
 
 from gunrock_tpu.graph import Graph
@@ -164,8 +166,11 @@ def hits_kernel_pallas(
     # (ops/pallas/hits_fused.py) when the col side fits a VMEM-resident
     # whole-array block; otherwise the classic two passes.
     from gunrock_tpu.ops.pallas.hits_fused import hits_fused_pass
+    from gunrock_tpu.ops.pallas.layout import BucketedEdges
 
-    fused = V <= (1 << 22)
+    # fused needs an SMEM-resident layout (no paged variant yet) and a
+    # VMEM-resident whole-array col accumulator (V * 4 B)
+    fused = V <= (1 << 22) and isinstance(push_layout, BucketedEdges)
 
     def cond(carry):
         it, auth, hub, done = carry
@@ -197,52 +202,148 @@ def hits_kernel_pallas(
     return auth, hub, it
 
 
+class HitsProblem(Problem):
+    """Role of reference hits problem_t (hits.hxx:54-135): auth/hub
+    buffers + the (optional) Pallas layouts, which ride INSIDE the state
+    pytree so they stay jit arguments (a closure would bake them into
+    the HLO — the round-2 HTTP-413 trap)."""
+
+    def __init__(self, graph: Graph, push_layout=None, pull_layout=None):
+        super().__init__(graph)
+        self.push_layout = push_layout
+        self.pull_layout = pull_layout
+
+    def reset(self):
+        V = self.graph.n_vertices
+        return {
+            "auth": jnp.ones(V, jnp.float32),
+            "hub": jnp.ones(V, jnp.float32),
+            "done": jnp.bool_(False),
+            "push": self.push_layout,
+            "pull": self.pull_layout,
+        }
+
+
+class HitsEnactor(Enactor):
+    """hits.hxx:138-192 on the framework skeleton: loop = both Jacobi
+    accumulations (fused single-sweep Pallas kernel / symmetric
+    single-pass / XLA segment sums — resolved at construction) +
+    L2 normalization; converged at either vector's fixpoint."""
+
+    def __init__(self, problem, max_iterations: int, mode: str,
+                 interpret: bool = False):
+        super().__init__(problem, max_iterations=max_iterations)
+        self.mode = mode  # "fused" | "two_pass" | "symmetric" | "xla"
+        self.interpret = interpret
+
+    def prepare_frontier(self):
+        return self.problem.reset()
+
+    def is_converged(self, state):
+        return state["done"]
+
+    def loop(self, state):
+        auth, hub = state["auth"], state["hub"]
+        if self.mode == "xla":
+            auth_n, hub_n = hits_step(self.problem.graph, auth, hub)
+        elif self.mode == "symmetric":
+            from gunrock_tpu.ops.pallas.semiring import (
+                bucketed_semiring_spmv,
+            )
+
+            auth_n = _l2_normalize(
+                bucketed_semiring_spmv(
+                    state["pull"], auth, "plus_times",
+                    interpret=self.interpret, unit=True,
+                )
+            )
+            hub_n = auth_n
+        elif self.mode == "fused":
+            from gunrock_tpu.ops.pallas.hits_fused import hits_fused_pass
+
+            hub_raw, auth_raw = hits_fused_pass(
+                state["push"], auth, hub, interpret=self.interpret
+            )
+            hub_n = _l2_normalize(hub_raw)
+            auth_n = _l2_normalize(auth_raw)
+        else:  # two_pass (paged layouts / huge V)
+            from gunrock_tpu.ops.pallas.semiring import (
+                bucketed_semiring_spmv,
+            )
+
+            hub_n = _l2_normalize(
+                bucketed_semiring_spmv(
+                    state["push"], auth, "plus_times",
+                    interpret=self.interpret, unit=True,
+                )
+            )
+            auth_n = _l2_normalize(
+                bucketed_semiring_spmv(
+                    state["pull"], hub, "plus_times",
+                    interpret=self.interpret, unit=True,
+                )
+            )
+        done = jnp.all(auth_n == auth) | jnp.all(hub_n == hub)
+        return {**state, "auth": auth_n, "hub": hub_n, "done": done}
+
+
 def run(
     graph: Graph,
     max_iterations: int = 50,
     options: Options | None = None,
     warmup: bool = True,
 ) -> Result:
-    """Role of reference ``hits::run`` (hits.hxx:215-240)."""
+    """Role of reference ``hits::run`` (hits.hxx:215-240), driven
+    through the framework Enactor/Problem skeleton (VERDICT r4 #9)."""
     from gunrock_tpu.ops.configs import LoadBalance, default_options
 
     if options is None:
         options = default_options()
-    from gunrock_tpu.utils.jitcache import cached_jit
+    from gunrock_tpu.ops.pallas.layout import cached_layout
 
     if options.load_balance == LoadBalance.PALLAS_MERGE_PATH:
         from gunrock_tpu.ops.pallas import use_interpret
+        from gunrock_tpu.ops.pallas.layout import (
+            BucketedEdges, dense_window_chunk)
         from gunrock_tpu.ops.pallas.semiring import pull_layout, push_layout
 
         interpret = use_interpret()
         # HITS is dense-only: bigger-chunk layouts win (see
         # layout.dense_window_chunk; BASELINE round-4 chunk sweep).
-        # Layouts ride as jit ARGUMENTS (a closure would bake them in).
-        from gunrock_tpu.ops.pallas.layout import dense_window_chunk
-
         dwc = dense_window_chunk(graph.n_vertices, interpret)
         w, c = dwc if dwc else (None, None)
         ps_ = push_layout(graph, unit=True, interpret=interpret,
                           window=w, chunk=c)
         pl_ = pull_layout(graph, unit=True, interpret=interpret,
                           window=w, chunk=c)
-        sym = bool(graph.properties.symmetric)
-        fn = cached_jit(
-            ("hits_pallas", max_iterations, interpret, sym),
-            lambda: lambda g, ps, pl: hits_kernel_pallas(
-                g, max_iterations, push_layout=ps, pull_layout=pl,
-                interpret=interpret, symmetric=sym,
-            ),
-        )
+        if graph.properties.symmetric:
+            mode = "symmetric"
+        elif (
+            graph.n_vertices <= (1 << 22)
+            and isinstance(ps_, BucketedEdges)
+        ):
+            mode = "fused"
+        else:
+            mode = "two_pass"
+        key = ("hits_enactor", max_iterations, interpret, mode)
     else:
         ps_ = pl_ = None
-        fn = cached_jit(
-            ("hits_xla", max_iterations),
-            lambda: lambda g, ps, pl: hits_kernel(g, max_iterations),
-        )
-    if warmup:
-        jax.block_until_ready(fn(graph, ps_, pl_))
-    t0 = time.perf_counter()
-    auth, hub, it = jax.block_until_ready(fn(graph, ps_, pl_))
-    elapsed_ms = (time.perf_counter() - t0) * 1e3
-    return Result(auth=auth, hub=hub, iterations=int(it), elapsed_ms=elapsed_ms)
+        interpret = False
+        mode = "xla"
+        key = ("hits_enactor", max_iterations, mode)
+
+    # enactor (and its compiled while_loop) cached per graph + config —
+    # a fresh instance per call would retrace (~90 s over the tunnel)
+    enactor = cached_layout(
+        graph.col_indices,
+        lambda: HitsEnactor(
+            HitsProblem(graph, ps_, pl_), max_iterations, mode,
+            interpret,
+        ),
+        key,
+    )
+    state, elapsed_ms = enactor.enact(warmup=warmup)
+    return Result(
+        auth=state["auth"], hub=state["hub"],
+        iterations=int(state["iteration"]), elapsed_ms=elapsed_ms,
+    )

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 
 
+from gunrock_tpu.framework.enactor import Enactor
+from gunrock_tpu.framework.problem import Problem
 from gunrock_tpu.graph import Graph
 from gunrock_tpu.ops.configs import Options
 
@@ -118,6 +120,69 @@ def kcore_kernel(graph: Graph, decrement_fn=None, layout=None):
     return cores, jnp.max(cores), rounds
 
 
+class KCoreProblem(Problem):
+    """Role of reference kcore problem_t (kcore.hxx:54-101): persistent
+    degrees/deleted/cores state. The Pallas layout rides INSIDE the
+    state pytree so it stays a jit argument (a closure would bake it
+    into the HLO — the round-2 HTTP-413 trap)."""
+
+    def __init__(self, graph: Graph, layout=None):
+        super().__init__(graph)
+        self.layout = layout
+
+    def reset(self):
+        V = self.graph.n_vertices
+        self_loops = jax.ops.segment_sum(
+            (self.graph.edge_src == self.graph.col_indices).astype(
+                jnp.int32
+            ),
+            self.graph.edge_src, num_segments=V, indices_are_sorted=True,
+        )
+        deg0 = self.graph.out_degrees().astype(jnp.int32) - self_loops
+        return {
+            "k": jnp.int32(1),
+            "degrees": deg0,
+            "frontier": jnp.ones(V, bool),  # alive = not deleted
+            "cores": jnp.zeros(V, jnp.int32),
+            "layout": self.layout,
+        }
+
+
+class KCoreEnactor(Enactor):
+    """Reference enactor pattern (kcore.hxx:139-202) on the framework
+    skeleton: loop = k-jump + peel + decrement; converged when the alive
+    frontier empties. Same math as :func:`kcore_kernel` (the fused
+    k-jump docstring above)."""
+
+    def __init__(self, problem, decrement_fn=None):
+        super().__init__(problem)
+        self._decrement = decrement_fn
+
+    def prepare_frontier(self):
+        return self.problem.reset()
+
+    def loop(self, state):
+        k, deg = state["k"], state["degrees"]
+        alive, cores = state["frontier"], state["cores"]
+        min_remaining = jnp.min(jnp.where(alive, deg, _BIG_DEG))
+        k = jnp.maximum(k, min_remaining)
+        peel = alive & (deg <= k)
+        cores = jnp.where(peel, k, cores)
+        alive = alive & ~peel
+        if self._decrement is not None:
+            dec = self._decrement(peel, alive, state["layout"])
+        else:
+            from gunrock_tpu.ops.segment import seg_count_sorted
+
+            g = self.problem.graph
+            dec = seg_count_sorted(peel[g.csc_rows], g.csc_offsets)
+        return {**state, "k": k, "degrees": deg - dec,
+                "frontier": alive, "cores": cores}
+
+    def finalize(self, state):
+        return state
+
+
 def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Result:
     """Role of reference ``kcore::run`` (kcore.hxx:221-244)."""
     from gunrock_tpu.ops.configs import LoadBalance, default_options
@@ -174,19 +239,25 @@ def run(graph: Graph, options: Options | None = None, warmup: bool = True) -> Re
             )
             return jnp.round(cnt).astype(jnp.int32)
 
-    # one jitted executable per strategy (decrement_fn closes over only
-    # the static interpret flag; graph and layout ride as arguments)
-    from gunrock_tpu.utils.jitcache import cached_jit
+    # Framework-skeleton driver (round 5, VERDICT #9): the BSP loop runs
+    # through Enactor/Problem like bfs/sssp/pr. The enactor instance
+    # (and its compiled while_loop) is cached per graph + strategy —
+    # constructing a fresh one per call would retrace (~90 s over the
+    # tunnel; the jitcache lesson).
+    from gunrock_tpu.ops.pallas.layout import cached_layout
 
-    fn = cached_jit(
-        ("kcore", options.load_balance,
-         None if decrement_fn is None else ("pallas", interpret, tail_grids)),
-        lambda: lambda g, lay: kcore_kernel(g, decrement_fn, layout=lay),
+    strat_key = (
+        None if decrement_fn is None
+        else ("pallas", interpret, tail_grids)
     )
-    if warmup:
-        jax.block_until_ready(fn(graph, layout))
-    t0 = time.perf_counter()
-    cores, k, rounds = jax.block_until_ready(fn(graph, layout))
-    elapsed_ms = (time.perf_counter() - t0) * 1e3
-    return Result(k_cores=cores, degeneracy=int(k), elapsed_ms=elapsed_ms,
-                  rounds=int(rounds))
+    enactor = cached_layout(
+        graph.col_indices,
+        lambda: KCoreEnactor(KCoreProblem(graph, layout), decrement_fn),
+        ("kcore_enactor", options.load_balance, strat_key),
+    )
+    state, elapsed_ms = enactor.enact(warmup=warmup)
+    cores = state["cores"]
+    return Result(
+        k_cores=cores, degeneracy=int(jnp.max(cores)),
+        elapsed_ms=elapsed_ms, rounds=int(state["iteration"]),
+    )

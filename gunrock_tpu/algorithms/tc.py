@@ -502,8 +502,11 @@ def run(
             B = -(-max_wedges // T) * T
             span_rows = -(-(2 * T + rk["max_deg"] + 2) // 128) + 1
             # pathological max degree: window too big for the select
-            # tree — fall back to the XLA gather (still no deg gathers)
-            use_banded = span_rows <= 120
+            # tree — fall back to the XLA gather (still no deg gathers).
+            # 200 rows = 200 KB double-buffered VMEM scratch and a
+            # 200-step unrolled tree (s22 rmat: max_deg ~11.6K ->
+            # span_rows 123; still ~25x the serialized-gather rate)
+            use_banded = span_rows <= 200
             eu_d, ev_d, wx_d, weu_d, whi_d, wlo_d, cnt_d, wtab_d = (
                 cached_layout(
                     graph.col_indices,
