@@ -97,7 +97,31 @@ def run_one(config: str, algo: str, num_runs: int = 1):
             extra["depth"] = int(d[d < np.iinfo(np.int32).max].max())
             extra["mteps"] = round(g.n_edges / r.elapsed_ms / 1e3, 2)
         elif algo == "sssp":
-            r = A.sssp.run(g, 0)
+            if config == "road":
+                # high-diameter planar class: BSP SSSP is thousands of
+                # rounds — ONE while_loop dispatch exceeds the axon RPC
+                # deadline (UNAVAILABLE; geo's round-3 failure class).
+                # Use the round-slabbed resumable DO driver (sssp.py).
+                import jax as _jax
+
+                from gunrock_tpu.algorithms.sssp import sssp_do_slabbed
+
+                _jax.block_until_ready(
+                    sssp_do_slabbed(g, 0, rounds_per_dispatch=200)[0]
+                )
+                t0_ = time.perf_counter()
+                d, depth = sssp_do_slabbed(g, 0, rounds_per_dispatch=200)
+                _jax.block_until_ready(d)
+                ms = (time.perf_counter() - t0_) * 1e3
+                extra["depth"] = int(depth)
+                extra["mode"] = "do_slabbed_200"
+
+                class R:  # noqa: N801 — local result shim
+                    elapsed_ms = ms
+
+                r = R()
+            else:
+                r = A.sssp.run(g, 0)
             extra["mteps"] = round(g.n_edges / r.elapsed_ms / 1e3, 2)
         elif algo == "pr":
             r = A.pr.run(g)

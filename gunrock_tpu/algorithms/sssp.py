@@ -128,6 +128,9 @@ def sssp_kernel_do(
     layout=None,
     interpret: bool | None = None,
     layout_dense=None,
+    init_state=None,
+    stop=None,
+    return_state: bool = False,
 ):
     """Direction-optimizing SSSP: sparse push relaxations for small
     frontiers (the dominant regime on long-diameter road networks), dense
@@ -191,12 +194,20 @@ def sssp_kernel_do(
 
         dense_big_step = None
 
-    dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
-    front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
+    if init_state is None:
+        dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
+        front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
+        it0 = jnp.int32(0)
+    else:
+        # resumable slab (round-slabbed driver below): continue from a
+        # prior dispatch's carry — big-diameter graphs exceed the axon
+        # RPC deadline when the whole loop is ONE dispatch
+        it0, front0, dist0 = init_state
+    limit = max_it if stop is None else stop
 
     def cond(c):
         it, front, dist = c
-        return jnp.any(front) & (it < max_it)
+        return jnp.any(front) & (it < limit)
 
     def body(c):
         it, front, dist = c
@@ -231,8 +242,46 @@ def sssp_kernel_do(
             )
         return it + 1, front, dist
 
-    it, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(0), front0, dist0))
+    state = jax.lax.while_loop(cond, body, (it0, front0, dist0))
+    if return_state:
+        return state
+    it, _, dist = state
     return dist, it
+
+
+def sssp_do_slabbed(
+    graph: Graph,
+    single_source,
+    rounds_per_dispatch: int = 256,
+    layout=None,
+    interpret: bool | None = None,
+):
+    """Round-slabbed direction-optimized SSSP for BIG-DIAMETER graphs:
+    the host re-dispatches the (resumable) while_loop every
+    ``rounds_per_dispatch`` BSP rounds, so no single device execution
+    exceeds the axon RPC deadline (road-class inputs run thousands of
+    rounds — one-dispatch forms die UNAVAILABLE, the geo round-3 /
+    SpGEMM round-4 failure class). One scalar device->host read per
+    slab. Returns (distances, depth)."""
+    from gunrock_tpu.utils.jitcache import cached_jit
+
+    V = graph.n_vertices
+    fn = cached_jit(
+        ("sssp_do_slab", layout is not None, interpret),
+        lambda: lambda g, st, stop, lay: sssp_kernel_do(
+            g, 0, layout=lay, interpret=interpret,
+            init_state=st, stop=stop, return_state=True,
+        ),
+    )
+    dist0 = jnp.full(V, INF, dtype=jnp.float32).at[single_source].set(0.0)
+    front0 = jnp.zeros(V, dtype=bool).at[single_source].set(True)
+    state = (jnp.int32(0), front0, dist0)
+    while True:
+        stop = int(state[0]) + rounds_per_dispatch
+        state = fn(graph, state, jnp.int32(stop), layout)
+        if not bool(jnp.any(state[1])) or int(state[0]) >= V:
+            break
+    return state[2], state[0]
 
 
 def sssp_kernel_delta(

@@ -261,3 +261,17 @@ def test_pr_cli_alphas(capsys):
     out = capsys.readouterr().out
     assert "FAILED" not in out
     assert "rank[alpha=0.8]" in out
+
+
+def test_sssp_do_slabbed_matches_dense():
+    """The round-slabbed resumable DO driver (big-diameter escape hatch
+    for the single-dispatch RPC deadline) must give identical distances
+    to the one-shot kernel across slab boundaries."""
+    from gunrock_tpu.algorithms.sssp import sssp_do_slabbed, sssp_kernel
+
+    g = sample.small_connected_graph()
+    want, _ = sssp_kernel(g, 0)
+    for rounds in (1, 2, 7):
+        got, depth = sssp_do_slabbed(g, 0, rounds_per_dispatch=rounds)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
