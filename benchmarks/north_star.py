@@ -56,8 +56,16 @@ def build_graph(config: str):
         )
         return g, "chesapeake.mtx (real)", None
     if config == "road":
+        from gunrock_tpu.graph.reorder import rcm_sort
+
+        # RCM, not degree sort: planar meshes have uniform degrees but
+        # terrible bucket locality under random labeling (delaunay n20
+        # measured 262K chunks at W=2048 — 10x fragmentation, past the
+        # SMEM budget into the paged path); bandwidth-minimizing RCM is
+        # the road-class analog of the power-law degree sort.
         g = G.delaunay_graph(1 << 21, seed=1)
-        return g, "delaunay_n21 proxy (roadNet-CA class)", None
+        g, perm = rcm_sort(g)
+        return g, "delaunay_n21 proxy (roadNet-CA class, RCM)", perm
     if config == "coauthor":
         g = G.sbm_graph(299_067, n_blocks=300, avg_degree=13, seed=1)
         g, perm = degree_sort(g)
