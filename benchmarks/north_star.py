@@ -113,16 +113,23 @@ def run_one(config: str, algo: str, num_runs: int = 1):
                 import jax as _jax
 
                 from gunrock_tpu.algorithms.sssp import sssp_do_slabbed
+                from gunrock_tpu.ops.pallas.semiring import (
+                    _BIG, pull_layout)
 
+                lay = pull_layout(g, pad_value=_BIG)
                 _jax.block_until_ready(
-                    sssp_do_slabbed(g, 0, rounds_per_dispatch=200)[0]
+                    sssp_do_slabbed(
+                        g, 0, rounds_per_dispatch=100, layout=lay
+                    )[0]
                 )
                 t0_ = time.perf_counter()
-                d, depth = sssp_do_slabbed(g, 0, rounds_per_dispatch=200)
+                d, depth = sssp_do_slabbed(
+                    g, 0, rounds_per_dispatch=100, layout=lay
+                )
                 _jax.block_until_ready(d)
                 ms = (time.perf_counter() - t0_) * 1e3
                 extra["depth"] = int(depth)
-                extra["mode"] = "do_slabbed_200"
+                extra["mode"] = "do_slabbed_100_pallas"
 
                 class R:  # noqa: N801 — local result shim
                     elapsed_ms = ms
