@@ -443,15 +443,19 @@ def _dense_block_kernel(
     return rows, cols, vals, nnz, checksum
 
 
-# block_rows=256 measured fastest at s16 (9.8 s vs 11.3 s at 128,
-# results_r2c.jsonl 2026-08-19): wider K amortizes the window one-hot
-# masks over more MXU columns before VMEM pressure bites.
+# block_rows=256 measured fastest for the MATERIALIZING path at s16
+# (9.8 s vs 11.3 s at 128, results_r2c.jsonl 2026-08-19; 512 is a
+# compile-time VMEM OOM there): wider K amortizes the window one-hot
+# masks over more MXU columns before VMEM pressure bites. count_only
+# carries half the VMEM (no value accumulators) and fits K=512 —
+# measured 6.49 s vs 9.48 s sweep-equivalent at s16
+# (probe_spmm_block, battery_r5 2026-08-20) — so it defaults wider.
 def _run_dense(
     A: Graph,
     B: Graph,
     count_only: bool,
     warmup: bool,
-    block_rows: int = 256,
+    block_rows: int | None = None,
     block_cap: int = 4_000_000,
 ) -> Result:
     """Dense row-block SpGEMM (strategy="dense"). Cost is
@@ -471,6 +475,8 @@ def _run_dense(
     del warmup  # first block doubles as compile warmup
     interpret = use_interpret()
     V = A.n_vertices
+    if block_rows is None:
+        block_rows = 512 if count_only else 256
     # count_only: STRUCTURAL counting — both operands ride unit values,
     # so x and the messages are bf16-exact {0,1} and the SpMM kernel's
     # exact=True path halves the x-window DMA (the measured bound) and
