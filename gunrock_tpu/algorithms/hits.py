@@ -312,19 +312,28 @@ def run(
         # layout.dense_window_chunk; BASELINE round-4 chunk sweep).
         dwc = dense_window_chunk(graph.n_vertices, interpret)
         w, c = dwc if dwc else (None, None)
-        ps_ = push_layout(graph, unit=True, interpret=interpret,
-                          window=w, chunk=c)
-        pl_ = pull_layout(graph, unit=True, interpret=interpret,
-                          window=w, chunk=c)
         if graph.properties.symmetric:
+            # A = A^T: one pass per iteration over ONE layout — building
+            # the (structurally identical) push layout too doubled the
+            # HBM footprint and OOMed s22 (134M-edge layouts are ~2 GB
+            # each)
             mode = "symmetric"
-        elif (
-            graph.n_vertices <= (1 << 22)
-            and isinstance(ps_, BucketedEdges)
-        ):
-            mode = "fused"
+            ps_ = None
+            pl_ = pull_layout(graph, unit=True, interpret=interpret,
+                              window=w, chunk=c)
         else:
-            mode = "two_pass"
+            ps_ = push_layout(graph, unit=True, interpret=interpret,
+                              window=w, chunk=c)
+            if (
+                graph.n_vertices <= (1 << 22)
+                and isinstance(ps_, BucketedEdges)
+            ):
+                mode = "fused"
+                pl_ = None  # the fused sweep reads only the push layout
+            else:
+                mode = "two_pass"
+                pl_ = pull_layout(graph, unit=True, interpret=interpret,
+                                  window=w, chunk=c)
         key = ("hits_enactor", max_iterations, interpret, mode)
     else:
         ps_ = pl_ = None

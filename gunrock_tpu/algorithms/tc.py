@@ -490,6 +490,11 @@ def run(
             graph.col_indices, lambda: jnp.asarray(rk["rank"]),
             ("tc_rank_dev",),
         )
+        # HBM budget: the slab's sort peak is ~44 B/wedge-slot on top of
+        # the device graph (~16 B/edge with CSC) — at s22 (128M edges)
+        # B=400M slabs RESOURCE_EXHAUST; shrink the slab instead
+        if graph.n_edges > (40 << 20):
+            max_wedges = min(max_wedges, 150_000_000)
         if n_wedges > max_wedges:
             # big-graph path: SLAB the join. One sort of edges+ALL
             # wedges exceeds both HBM and the device/RPC deadline at
