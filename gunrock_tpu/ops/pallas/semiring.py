@@ -705,16 +705,26 @@ def _sparse_chunk_select(layout: BucketedEdges, active, out_mask):
     act_words = jnp.sum(
         jnp.where(act_blk, bit_w, jnp.uint32(0)), axis=1, dtype=jnp.uint32
     )
-    ch_act = (act_words[layout.chunk_cb] & layout.src_bits) != 0
     if out_mask is not None:
         om_pad = jnp.zeros(n_rb * W, bool).at[:V].set(out_mask)
         om_blk = jnp.any(om_pad.reshape(n_rb, 32, W // 32), axis=2)
         om_words = jnp.sum(
             jnp.where(om_blk, bit_w, jnp.uint32(0)), axis=1, dtype=jnp.uint32
         )
-        ch_act = ch_act & (
-            (om_words[layout.chunk_rb] & layout.dst_bits) != 0
-        )
+    else:
+        om_words = act_words  # ignored (masked=False)
+    # per-chunk word test via the Pallas small-table dynamic gather —
+    # the XLA form (`act_words[layout.chunk_cb] & ...`) serializes at
+    # ~7.4 ns/chunk and was the dominant per-wave floor of the peel /
+    # label loops (round-5 k-core trace; ops/pallas/chunkplan.py)
+    from gunrock_tpu.ops.pallas import use_interpret
+    from gunrock_tpu.ops.pallas.chunkplan import chunk_activity
+
+    ch_act = chunk_activity(
+        act_words, om_words, layout.chunk_cb, layout.chunk_rb,
+        layout.src_bits, layout.dst_bits,
+        masked=out_mask is not None, interpret=use_interpret(),
+    )
     pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
     count = (pos[-1] + 1).astype(jnp.int32)
     perm = (

@@ -777,3 +777,32 @@ def test_snake_semiring_matches_bucketed():
         m = np.isfinite(y_ref)
         np.testing.assert_array_equal(m, np.isfinite(y_snk))
         np.testing.assert_allclose(y_ref[m], y_snk[m], rtol=1e-5, atol=1e-5)
+
+
+def test_chunkplan_matches_xla_form():
+    """The Pallas small-table chunk-activity kernel must reproduce the
+    XLA gather form bit-exactly (it replaced it on the hot path of every
+    frontier-sparse plan — round 5)."""
+    import jax.numpy as jnp
+
+    from gunrock_tpu.ops.pallas.chunkplan import chunk_activity
+
+    rng = np.random.default_rng(7)
+    for n_cb, n_rb, n_chunks in ((3, 5, 77), (512, 512, 20000), (1, 1, 1)):
+        aw = rng.integers(0, 1 << 32, n_cb, dtype=np.uint32)
+        ow = rng.integers(0, 1 << 32, n_rb, dtype=np.uint32)
+        cb = rng.integers(0, n_cb, n_chunks).astype(np.int32)
+        rb = rng.integers(0, n_rb, n_chunks).astype(np.int32)
+        sb = rng.integers(0, 1 << 32, n_chunks, dtype=np.uint32)
+        db = rng.integers(0, 1 << 32, n_chunks, dtype=np.uint32)
+        for masked in (False, True):
+            want = (aw[cb] & sb) != 0
+            if masked:
+                want &= (ow[rb] & db) != 0
+            got = chunk_activity(
+                jnp.asarray(aw), jnp.asarray(ow), jnp.asarray(cb),
+                jnp.asarray(rb), jnp.asarray(sb), jnp.asarray(db),
+                masked=masked, interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(got), want,
+                                          err_msg=f"{n_chunks}/{masked}")
