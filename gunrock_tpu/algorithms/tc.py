@@ -549,10 +549,17 @@ def run(
             for w0 in range(0, n_wedges, B):
                 part = slab(w0)
                 counts = part if counts is None else counts + part
-            counts = jax.block_until_ready(counts)
             counts = jnp.take(counts, rank_d)
+            # timing must END on a device->host READ: under the axon
+            # tunnel, block_until_ready returns early once the dispatch
+            # queue is deep (K_2400 check: elapsed said 0.98 s, wall
+            # said 169 s) — a 4-byte scalar read forces the chain
+            _ = np.asarray(jnp.sum(counts))
             elapsed_ms = (time.perf_counter() - t0) * 1e3
-            total = int(jnp.sum(counts)) if reduce_all_triangles else 0
+            total = (
+        int(np.asarray(counts, dtype=np.int64).sum())
+        if reduce_all_triangles else 0
+    )
             return Result(
                 vertex_triangles_count=counts,
                 total_triangles_count=total,
@@ -573,9 +580,13 @@ def run(
             if warmup:
                 jax.block_until_ready(fn(*args))
             t0 = time.perf_counter()
-            counts = jax.block_until_ready(jnp.take(fn(*args), rank_d))
+            counts = jnp.take(fn(*args), rank_d)
+            _ = np.asarray(jnp.sum(counts))  # D2H read ends the timing
             elapsed_ms = (time.perf_counter() - t0) * 1e3
-            total = int(jnp.sum(counts)) if reduce_all_triangles else 0
+            total = (
+        int(np.asarray(counts, dtype=np.int64).sum())
+        if reduce_all_triangles else 0
+    )
             return Result(
                 vertex_triangles_count=counts,
                 total_triangles_count=total,
@@ -631,7 +642,10 @@ def run(
     t0 = time.perf_counter()
     counts = sweep()
     elapsed_ms = (time.perf_counter() - t0) * 1e3
-    total = int(jnp.sum(counts)) if reduce_all_triangles else 0
+    total = (
+        int(np.asarray(counts, dtype=np.int64).sum())
+        if reduce_all_triangles else 0
+    )
     return Result(
         vertex_triangles_count=counts,
         total_triangles_count=total,

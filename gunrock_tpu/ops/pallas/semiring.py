@@ -725,27 +725,50 @@ def _sparse_chunk_select(layout: BucketedEdges, active, out_mask):
         layout.src_bits, layout.dst_bits,
         masked=out_mask is not None, interpret=use_interpret(),
     )
-    pos = jnp.cumsum(ch_act.astype(jnp.int32)) - 1
-    count = (pos[-1] + 1).astype(jnp.int32)
-    perm = (
-        jnp.zeros(n_chunks, jnp.int32)
-        .at[jnp.where(ch_act, pos, n_chunks)]
-        .set(jnp.arange(n_chunks, dtype=jnp.int32), mode="drop")
+    count = jnp.sum(ch_act.astype(jnp.int32))
+    # active-first compaction as ONE stable 1-key sort carrying BOTH the
+    # chunk id (-> perm) and the packed rb|cb metadata (-> pk_r): the
+    # former scatter-compact + packed[perm] gather pair serialized at
+    # ~7.4 ns/chunk each (~1.5 ms/wave at s20's 123K chunks — the
+    # round-5 k-core trace's top two fusions). Stability keeps active
+    # chunks in (rb, cb) order, which the output-block revisit logic
+    # requires.
+    packed = layout.chunk_rb * 65536 + layout.chunk_cb
+    _, perm, pk_r = jax.lax.sort(
+        (
+            (~ch_act).astype(jnp.int32),
+            jnp.arange(n_chunks, dtype=jnp.int32),
+            packed,
+        ),
+        num_keys=1, is_stable=True,
     )
     # Inactive tail slots (i >= count) must alias the LAST active chunk,
     # not chunk 0: TPU output blocks are not read back from HBM on
     # revisit, so a tail slot pointing at an earlier row block would
     # flush the stale VMEM buffer over rows already computed. Extending
     # the final contiguous run means the end-of-grid flush rewrites the
-    # (already correct) last block. count==0 leaves perm=0 everywhere;
-    # the undefined flush lands on a block rb_touched masks out anyway.
-    last_perm = perm[jnp.maximum(count - 1, 0)]
-    perm = jnp.where(jnp.arange(n_chunks, dtype=jnp.int32) < count,
-                     perm, last_perm)
-    # packed (rb*65536 + cb), permuted active-first: one SMEM prefetch
-    # array instead of two (1 MB SMEM cap; see bucketed_semiring_spmv)
-    pk_r = (layout.chunk_rb * 65536 + layout.chunk_cb)[perm]
+    # (already correct) last block. count==0 leaves the aliases at slot
+    # 0; the undefined flush lands on a block rb_touched masks out.
+    tail_i = jnp.maximum(count - 1, 0)
+    in_range = jnp.arange(n_chunks, dtype=jnp.int32) < count
+    perm = jnp.where(in_range, perm, perm[tail_i])
+    pk_r = jnp.where(in_range, pk_r, pk_r[tail_i])
     return ch_act, pk_r, perm, count
+
+
+def _rb_touched(layout: BucketedEdges, ch_act):
+    """bool[n_rb]: row blocks holding >=1 ACTIVE chunk — via cumsum
+    difference over the rb-sorted chunk order (chunks are built sorted
+    by (rb, cb)), replacing a per-chunk scatter that serialized at
+    ~0.8 ms/wave at s20 (round-5 k-core trace)."""
+    cs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(ch_act.astype(jnp.int32))]
+    )
+    bounds = jnp.searchsorted(
+        layout.chunk_rb,
+        jnp.arange(layout.n_row_blocks + 1, dtype=jnp.int32),
+    )
+    return jnp.diff(cs[bounds]) > 0
 
 
 def _sparse_chunk_plan(layout: BucketedEdges, x, active, out_mask,
@@ -871,11 +894,7 @@ def _bucketed_semiring_spmv_sparse_impl(
         tail_grids,
     )
     # dynamic occupancy: row windows touched by >=1 ACTIVE chunk
-    rb_touched = (
-        jnp.zeros(n_rb, bool)
-        .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
-        .set(True, mode="drop")
-    )
+    rb_touched = _rb_touched(layout, ch_act)
     y3 = jnp.where(rb_touched[:, None, None], y3, ident)
     y = y3.reshape(-1)[:V]
     if semiring == "min_plus":
@@ -1063,11 +1082,7 @@ def _bucketed_minmax_impl(
         in_specs, (out_block, out_block), call_args, call_args[2][0],
         n_chunks, interpret, tail_grids,
     )
-    rb_touched = (
-        jnp.zeros(n_rb, bool)
-        .at[jnp.where(ch_act, layout.chunk_rb, n_rb)]
-        .set(True, mode="drop")
-    )
+    rb_touched = _rb_touched(layout, ch_act)
     ymax3 = jnp.where(rb_touched[:, None, None], ymax3, 0.0)
     ymin3 = jnp.where(rb_touched[:, None, None], ymin3, _BIG)
     return ymax3.reshape(-1)[:V], ymin3.reshape(-1)[:V]
